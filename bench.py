@@ -1,0 +1,58 @@
+"""Benchmark runner — times every registered suite query at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": "suite_total_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Each query is fully materialized via collect() (mirrors the driver's
+execution of queries()).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from mfdb_hafro_etl_spark.session import get_spark
+    from mfdb_hafro_etl_spark.suite import QUERIES
+
+    spark = get_spark(app_name="mfdb-etl-bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("WARN")
+
+    only = os.environ.get("BENCH_ONLY")
+    names = sorted(QUERIES) if not only else [n for n in sorted(QUERIES) if n in set(only.split(","))]
+
+    # warm the JVM + parquet footers once so timings measure the query,
+    # not session startup
+    QUERIES[names[0]](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "suite_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

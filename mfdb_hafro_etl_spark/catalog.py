@@ -1,0 +1,147 @@
+"""Schema registry + table loaders.
+
+The reference reads fixed-schema Oracle tables positionally by name
+(reference R/initdb.R:104-147) and file sources with schema-on-read
+(initdb.R:27-30,73,164). The engine's stance (SURVEY §1.3): every
+source has an explicit ``StructType`` declared here; ``inferSchema``
+is for dev only.
+
+Two families:
+
+- TESTDATA — the driver's TPC-H-ish star schema + events/documents/
+  embeddings (TESTDATA.md). Parquet carries its own schema; the DDL
+  here is the contract we validate against.
+- FIXTURES — Oracle-shaped domain tables from FIXTURES.md used by the
+  plans/ pipelines and golden tests (stodvar, lengdir, kvarnir, ...).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Broadcast-sized dimensions at every sf we target (SURVEY §2.3:
+# "all dimension sides are broadcast-sized").
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+TESTDATA_DDL: dict[str, str] = {
+    "region": "r_regionkey INT, r_name STRING",
+    "nation": "n_nationkey INT, n_name STRING, n_regionkey INT",
+    "customer": "c_custkey BIGINT, c_name STRING, c_nationkey INT, c_acctbal DOUBLE, c_mktsegment STRING",
+    "supplier": "s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE",
+    "part": "p_partkey BIGINT, p_name STRING, p_brand STRING, p_type STRING, p_size INT, p_retailprice DOUBLE",
+    "orders": "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING",
+    "lineitem": (
+        "l_orderkey BIGINT, l_partkey BIGINT, l_suppkey BIGINT, l_linenumber INT, "
+        "l_quantity DOUBLE, l_extendedprice DOUBLE, l_discount DOUBLE, l_tax DOUBLE, "
+        "l_returnflag STRING, l_linestatus STRING, l_shipdate TIMESTAMP"
+    ),
+    "events": "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING",
+    "documents": "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    "embeddings": "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT",
+}
+
+# Oracle-shaped fixtures (FIXTURES.md; cites into /root/reference).
+FIXTURE_DDL: dict[str, str] = {
+    # sampling stations (reference R/initdb.R:104-147)
+    "stodvar": (
+        "synis_id BIGINT, dags DATE, skip INT, ar INT, man INT, synaflokkur INT, "
+        "veidarfaeri INT, kastad_n_breidd DOUBLE, kastad_v_lengd DOUBLE, "
+        "hift_n_breidd DOUBLE, hift_v_lengd DOUBLE, dypi_kastad DOUBLE, reitur INT, "
+        "smareitur INT, skiki INT, fjardarreitur DOUBLE, leidangur STRING, "
+        "toglengd DOUBLE, tognumer INT, togtimi DOUBLE, botnhiti DOUBLE, yfirbordshiti DOUBLE"
+    ),
+    # length measurements (reference R/initdb.R:203-227)
+    "lengdir": "synis_id BIGINT, tegund INT, lengd DOUBLE, fjoldi DOUBLE, kyn INT, kynthroski INT",
+    # age/otolith measurements (reference R/initdb.R:294-312)
+    "kvarnir": (
+        "synis_id BIGINT, tegund INT, nr INT, lengd DOUBLE, aldur INT, kyn INT, "
+        "kynthroski INT, oslaegt DOUBLE, slaegt DOUBLE, lifur DOUBLE, kynfaeri DOUBLE"
+    ),
+    # counted/measured totals (reference R/shrimp_support_tables.R:2141-2151)
+    "numer": "synis_id BIGINT, tegund INT, fj_maelt DOUBLE, fj_talid DOUBLE, afli DOUBLE, vigt_synis DOUBLE",
+    # vessel registry history, SCD-2 (reference R/initdb.R:106-108,348-349)
+    "skipasaga": (
+        "skip_nr INT, saga_nr INT, i_gildi DATE, ur_gildi DATE, flokkur INT, "
+        "brl DOUBLE, heiti STRING, lengd DOUBLE"
+    ),
+    "skip_extra": "skip_nr INT, orka_velar_1 DOUBLE",
+    "utg_fl": "flokkur INT",
+    # landings (reference R/initdb.R:347-375)
+    "lods": (
+        "skip_nr INT, komunr INT, hofn INT, veidarfaeri INT, fteg INT, kfteg INT, "
+        "ar INT, man INT, magn_oslaegt DOUBLE, veidisvaedi STRING, l_dags DATE"
+    ),
+    "landed_catch_pre94": (
+        "veidarfaeri INT, skip_nr INT, fteg INT, ar INT, man INT, hofn INT, "
+        "magn_oslaegt DOUBLE, veidisvaedi STRING"
+    ),
+    "skikar": "skiki INT, fj_reitur DOUBLE, skikaheiti STRING, hafsvaedi STRING",
+    "ices_landed_catch": (
+        "species STRING, species_code STRING, area STRING, subarea STRING, "
+        "country STRING, year INT, landings DOUBLE"
+    ),
+    "vigtarskra66_81": (
+        "skip_nr INT, artal INT, manudur INT, vinnsluhofn INT, radlykill INT, "
+        "skipsgerd STRING, fteg INT, reiknistudull DOUBLE, magn DOUBLE, veidarfaeri INT"
+    ),
+    "reitmapping": "GRIDCELL STRING, DIVISION INT, SUBDIVISION STRING, id INT, lat DOUBLE, lon DOUBLE, size DOUBLE",
+    "gear_mapping": "veidarfaeri INT, gear STRING",
+    "species_key": "tegund INT, species STRING",
+    "vessel_type": "vessel_type STRING, description STRING",
+}
+
+
+def schema_of(table: str) -> T.StructType:
+    ddl = TESTDATA_DDL.get(table) or FIXTURE_DDL.get(table)
+    if ddl is None:
+        raise KeyError(f"unknown table {table!r}")
+    return T.StructType.fromDDL(ddl)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver testdata table (Parquet keeps its own schema —
+    columnar scan + pushdown come for free).
+
+    events.ts is written as TIMESTAMP(NANOS), which Spark's vectorized
+    parquet reader rejects; we read nanos as long and truncate to
+    microseconds — the same ns→µs floor DuckDB applies, so oracle
+    comparisons stay exact.
+    """
+    if name not in TESTDATA_TABLES:
+        raise KeyError(f"unknown testdata table {name!r}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        from pyspark.sql import functions as F
+
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register every testdata table as a temp view for spark.sql use."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

@@ -1,0 +1,57 @@
+"""SparkSession factory.
+
+The reference connects to Oracle via ``connect_mar()`` (reference
+R/initdb.R:16); our equivalent entry point is a SparkSession over
+Parquet tables. Tuned for the local[32] test harness but with every
+setting chosen to also hold on a large cluster:
+
+- AQE on (runtime re-plan, skew-join splitting, partition coalescing)
+- session timezone pinned to UTC (oracle comparability; cluster jobs
+  should never depend on machine-local time)
+- Arrow enabled for the few pandas_udf paths (multimodal/geo)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "mfdb-hafro-etl-spark",
+    cpus: str | int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = cpus if cpus is not None else os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if shuffle_partitions is None:
+        try:
+            shuffle_partitions = max(int(str(cpus)), 8)
+        except ValueError:
+            shuffle_partitions = 32
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine settings to an externally-created
+    session (the driver passes us its own SparkSession)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    except Exception:
+        pass  # static confs on some builds; harmless
+    return spark
