@@ -1,0 +1,236 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+No reference counterpart (driver extension scope). Five families:
+
+- exact_dedup         — hash-groupBy keep-first (one shuffle)
+- ngram-jaccard       — exact pairwise similarity via shingle join
+- MinHash + LSH       — shingle → k minhashes → bands → bucket join;
+                        candidates verified with exact jaccard
+- SimHash             — bitwise majority signature, hamming buckets
+- embedding near-dup  — cosine threshold over vector pairs (see
+                        similarity.py for the kernels)
+
+Scale design: everything is shuffle-based (no driver collects); the
+LSH band join keys are (band_index, band_value) so candidate
+generation is a plain shuffle join whose fan-out is controlled by
+rows-per-band; dedup against 100 TB runs as a chain of narrow maps +
+three shuffles (shingle explode → signature groupBy → band join).
+
+Determinism: hash functions are md5-derived (content-only, no seeds,
+no RNG) so results are reproducible across engines — the DuckDB
+oracles replicate the exact algorithm, banding misses and all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mfdb_hafro_etl_spark.operators.text import tokens
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact duplicate removal: md5-bucket rows, keep the smallest id
+    per bucket. Returns the surviving rows' (id, hash)."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array column. Docs shorter
+    than n tokens get an empty array (guard: Spark's sequence()
+    happily generates DESCENDING ranges, so sequence(1, size-n+1)
+    on a short doc would silently produce wrong shingles)."""
+    toks = tokens(col)
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) exploded, distinct per doc."""
+    return df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.6
+) -> DataFrame:
+    """Exact pairwise n-gram Jaccard via shingle equi-join
+    (brute-force baseline; use minhash_lsh_pairs at scale).
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded
+    to 6 for stable cross-engine comparison."""
+    sh = shingle_table(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _minhash_exprs(k: int) -> list[Column]:
+    """k md5-derived minhash aggregates over an exploded shingle
+    column: h_i = min(md5('i:' || shingle)). Min over lexicographic
+    hex strings is engine-portable and needs no RNG."""
+    return [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(k)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 8
+) -> DataFrame:
+    """(id, h0..h{k-1}) minhash signature, one groupBy over the
+    exploded shingle table."""
+    sh = shingle_table(df, id_col, text_col, n)
+    return sh.groupBy(id_col).agg(*_minhash_exprs(k))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 8,
+    rows_per_band: int = 2,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs, verified.
+
+    1. signature: k minhashes per doc (one shuffle);
+    2. banding: k/rows_per_band bands, band value = concat of its
+       minhashes; candidates = docs sharing any (band_idx, value)
+       (one shuffle join);
+    3. verification: exact n-gram jaccard on candidates only.
+
+    Banding probability gates candidate generation exactly as in the
+    standard MinHash-LSH construction; because hashes are content-
+    derived, the (rare) banding misses are deterministic and
+    reproduced by the SQL oracle.
+    """
+    assert k % rows_per_band == 0
+    # the shingle table feeds both signature generation and candidate
+    # verification — cache it so the explode runs once
+    sh = shingle_table(df, id_col, text_col, n).cache()
+    sig = sh.groupBy(id_col).agg(*_minhash_exprs(k))
+    n_bands = k // rows_per_band
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat(
+                    *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("val"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    exploded = sig.select(F.col(id_col), F.explode(bands).alias("bv")).select(
+        F.col(id_col), F.col("bv.band").alias("band"), F.col("bv.val").alias("val")
+    )
+    left = exploded.select(F.col(id_col).alias("id_a"), "band", "val")
+    right = exploded.select(F.col(id_col).alias("id_b"), "band", "val")
+    candidates = (
+        left.join(right, on=["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+    # verify candidates with exact jaccard (reuses the cached shingles)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        candidates.join(a, "id_a")
+        .join(b.withColumnRenamed("shingle", "shingle_b"), "id_b")
+        .filter(F.col("shingle") == F.col("shingle_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """SimHash signature: per token, take the first ``bits`` bits of
+    md5(token); sum ±1 per bit position over all tokens; the sign
+    vector packed into an integer. Pure Column algebra via an
+    explode over bit positions (portable to the SQL oracle via the
+    same hex-digit arithmetic).
+
+    bits must be ≤ 28 so the packed value fits an int32 exactly in
+    both engines.
+    """
+    assert bits <= 28
+    tok = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok")
+    ).withColumn("h", F.md5(F.col("tok")))
+    # bit j of the hex string: hex digit at position floor(j/4),
+    # value via base-16 parse, bit = (value >> (3 - j%4)) & 1
+    bitpos = tok.select(
+        F.col(id_col),
+        F.col("h"),
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
+    ).withColumn(
+        "digit_val",
+        F.conv(
+            F.col("h").substr(F.floor(F.col("j") / 4).cast("int") + 1, F.lit(1)),
+            16,
+            10,
+        ).cast("int"),
+    ).withColumn(
+        # column-valued shift amounts need the SQL form (the Python
+        # F.shiftright wrapper only takes a literal int)
+        "bit",
+        F.expr("shiftright(digit_val, cast(3 - j % 4 as int)) & 1"),
+    )
+    per_bit = bitpos.groupBy(id_col, "j").agg(
+        F.sum(F.when(F.col("bit") == 1, 1).otherwise(-1)).alias("balance")
+    )
+    packed = per_bit.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("balance") > 0, F.expr("shiftleft(cast(1 as bigint), cast(j as int))")).otherwise(0)
+        )
+        .cast("int")
+        .alias("simhash")
+    )
+    return packed

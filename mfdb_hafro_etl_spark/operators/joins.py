@@ -44,6 +44,7 @@ def temporal_join(
     *,
     closed: str = "right",
     how: str = "left",
+    broadcast_registry: bool = True,
 ) -> DataFrame:
     """SCD-2 valid-time (as-of) resolution — J7.
 
@@ -77,7 +78,14 @@ def temporal_join(
     else:
         raise ValueError(f"closed={closed!r}")
     cond = (F.col(f"l.{key}") == F.col(f"r.{registry_key}")) & band
-    return left.alias("l").join(F.broadcast(registry.alias("r")), on=cond, how=how)
+    r = registry.alias("r")
+    if broadcast_registry:
+        # dimension-sized registry (the reference's vessel history):
+        # broadcast-hash join, band evaluated inside the join
+        r = F.broadcast(r)
+    # else: equi-key sort-merge join with the band as a join filter —
+    # the right plan when the registry is fact-sized
+    return left.alias("l").join(r, on=cond, how=how)
 
 
 def join_coalesce(

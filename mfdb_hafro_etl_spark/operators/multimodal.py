@@ -1,0 +1,116 @@
+"""Multimodal column plumbing (driver extension scope).
+
+Images/audio/video are carried as opaque ``binary`` columns with a
+typed metadata struct; decode / feature-extract run as Arrow-batched
+``mapInPandas`` generators so each task processes columnar batches —
+the 100 TB path is: binary payloads stay in executor memory, the
+Python worker sees pyarrow-backed pandas batches, and partitioning is
+by content hash so hot keys spread.
+
+The actual image/audio codecs are NOT in this container, so the
+decode kernels are stubbed: ``mode='fake'`` produces deterministic
+pseudo-features from the bytes (real Spark plumbing, fake math);
+``mode='real'`` raises NotImplementedError at the point a codec
+would be called. Schema, batching, UDF signatures and partitioning
+are real and tested either way.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("meta", T.StructType(
+            [
+                T.StructField("mime", T.StringType()),
+                T.StructField("n_bytes", T.LongType()),
+                T.StructField("sha256", T.StringType()),
+            ]
+        )),
+    ]
+)
+
+FEATURE_DIM = 8
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def attach_binary(df: DataFrame, id_col: str, payload_col: str, mime: str = "application/octet-stream") -> DataFrame:
+    """Wrap a column as an opaque media payload with typed metadata
+    (content hash computed JVM-side)."""
+    content = F.encode(F.col(payload_col), "UTF-8")
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        content.alias("content"),
+        F.struct(
+            F.lit(mime).alias("mime"),
+            F.length(content).cast("long").alias("n_bytes"),
+            F.sha2(content, 256).alias("sha256"),
+        ).alias("meta"),
+    )
+
+
+def _fake_features(data: bytes) -> list[float]:
+    """Deterministic pseudo-features: 8 floats from the sha256 of the
+    payload, each mapped into [0,1). Stands in for a real
+    decode→embed kernel."""
+    h = hashlib.sha256(data).digest()
+    return [int.from_bytes(h[4 * i : 4 * i + 4], "big") / 2**32 for i in range(FEATURE_DIM)]
+
+
+def extract_features(media: DataFrame, mode: str = "fake", batch_hint: int | None = None) -> DataFrame:
+    """Decode + feature-extract via mapInPandas.
+
+    mode='fake' → deterministic stub features (see _fake_features);
+    mode='real' → NotImplementedError (no codecs in this container).
+    """
+    if mode not in ("fake", "real"):
+        raise ValueError(f"mode={mode!r}")
+
+    from mfdb_hafro_etl_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(media.sparkSession)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if mode == "real":
+                raise NotImplementedError(
+                    "real media decode requires image/audio codecs not present "
+                    "in this environment; use mode='fake' for plumbing tests"
+                )
+            feats = [_fake_features(bytes(b)) for b in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": [len(bytes(b)) for b in pdf["content"]],
+                    "features": feats,
+                }
+            )
+
+    return media.mapInPandas(gen, schema=FEATURES_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
+    """Video frame-sampling plumbing: emit (media_id, offset) rows for
+    each sample point — the Spark-side planning of a frame extraction
+    job (the decode itself is stubbed). Pure Column algebra."""
+    n = F.col("meta.n_bytes")
+    offsets = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(every_n_bytes))
+    return media.select(
+        "media_id", F.explode(offsets).alias("byte_offset")
+    )

@@ -54,4 +54,36 @@ def tune_session(spark: SparkSession) -> SparkSession:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     except Exception:
         pass  # static confs on some builds; harmless
+    ensure_package_shipped(spark)
     return spark
+
+
+_SHIPPED_SESSIONS: set[int] = set()
+
+
+def ensure_package_shipped(spark: SparkSession) -> None:
+    """Make mfdb_hafro_etl_spark importable on executor Python
+    workers.
+
+    Python UDF / mapInPandas closures that reference this package are
+    pickled by module reference; if the driver process was started
+    from a cwd that doesn't contain the package (as an external
+    harness will be), workers raise ModuleNotFoundError. Shipping a
+    zip via addPyFile puts the package on every worker's sys.path —
+    the same mechanism used for real clusters."""
+    key = id(spark)
+    if key in _SHIPPED_SESSIONS:
+        return
+    import pathlib
+    import tempfile
+    import zipfile
+
+    pkg_dir = pathlib.Path(__file__).resolve().parent
+    tmp = tempfile.NamedTemporaryFile(
+        prefix="mfdb_hafro_etl_spark_", suffix=".zip", delete=False
+    )
+    with zipfile.ZipFile(tmp.name, "w") as z:
+        for p in sorted(pkg_dir.rglob("*.py")):
+            z.write(p, arcname=str(p.relative_to(pkg_dir.parent)))
+    spark.sparkContext.addPyFile(tmp.name)
+    _SHIPPED_SESSIONS.add(key)

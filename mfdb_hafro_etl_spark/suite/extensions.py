@@ -1,0 +1,388 @@
+"""LLM-training-data-pipeline extension queries (driver north-star
+scope): dedup, similarity search, text analysis, multimodal plumbing,
+event sessionization. Keys are prefixed x_.
+
+Every deterministic operator carries a full DuckDB oracle that
+replicates the ALGORITHM (md5-derived hashing, banding misses and
+all), so the hash comparison checks the distributed implementation
+against an independent single-node one. Only the mapInPandas feature
+extractor (non-SQL-expressible) is registered without an oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mfdb_hafro_etl_spark.catalog import load_table
+from mfdb_hafro_etl_spark.operators import dedup as dd
+from mfdb_hafro_etl_spark.operators import multimodal as mm
+from mfdb_hafro_etl_spark.operators import sessions as sess
+from mfdb_hafro_etl_spark.operators import similarity as sim
+from mfdb_hafro_etl_spark.operators import text as tx
+from mfdb_hafro_etl_spark.suite import register
+
+# Shared SQL fragment: distinct word-3-gram shingle table over documents.
+_SH_SQL = """
+arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(list_slice(a, i, i + 2), ' ') AS shingle
+       FROM arr, unnest(generate_series(1, len(a) - 2)) t(i)
+       WHERE len(a) >= 3)
+"""
+
+
+# ----------------------------------------------------------- exact dedup
+@register(
+    "x_dedup_exact",
+    """
+    SELECT md5(text) AS content_hash, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def x_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy keep smallest id."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.exact_dedup(docs, "text", "doc_id").select("content_hash", "doc_id", "n_copies")
+
+
+# --------------------------------------------------- n-gram jaccard pairs
+@register(
+    "x_dedup_ngram_jaccard",
+    f"""
+    WITH {_SH_SQL},
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b,
+           ROUND(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 6) AS jaccard
+    FROM inter i JOIN sz sa ON i.id_a = sa.doc_id JOIN sz sb ON i.id_b = sb.doc_id
+    WHERE ROUND(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 6) >= 0.6
+    """,
+)
+def x_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise word-3-gram Jaccard ≥ 0.6 (brute-force
+    baseline; the LSH variant below is the scale path)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.6)
+
+
+# ------------------------------------------------------- minhash + LSH
+def _minhash_sql(k: int = 8, rows_per_band: int = 2, threshold: float = 0.6) -> str:
+    sig_cols = ",\n           ".join(
+        f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(k)
+    )
+    n_bands = k // rows_per_band
+    band_selects = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {val} AS val FROM sig".format(
+            b=b,
+            val=" || ".join(f"h{b * rows_per_band + r}" for r in range(rows_per_band)),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH {_SH_SQL},
+    sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+    bands AS ({band_selects}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS i
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.id_a
+      JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+      GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b,
+           ROUND(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 6) AS jaccard
+    FROM inter i JOIN sz sa ON i.id_a = sa.doc_id JOIN sz sb ON i.id_b = sb.doc_id
+    WHERE ROUND(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 6) >= {threshold}
+    """
+
+
+@register("x_dedup_minhash_lsh", _minhash_sql())
+def x_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(k=8) + LSH(4 bands × 2 rows) near-dup pairs, verified
+    with exact jaccard ≥ 0.6. The oracle replicates the banding, so
+    any probabilistic misses are identical on both sides."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, k=8, rows_per_band=2, threshold=0.6
+    )
+
+
+# ------------------------------------------------------------- simhash
+@register(
+    "x_dedup_simhash",
+    """
+    WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    h AS (SELECT doc_id, md5(tok) AS h FROM tok),
+    bits AS (
+      SELECT doc_id, j,
+             ((strpos('0123456789abcdef', substr(h, CAST(floor(j / 4) AS INT) + 1, 1)) - 1)
+              >> CAST(3 - (j % 4) AS INT)) & 1 AS bit
+      FROM h, unnest(generate_series(0, 15)) t(j)
+    ),
+    bal AS (SELECT doc_id, j, SUM(CASE WHEN bit = 1 THEN 1 ELSE -1 END) AS balance
+            FROM bits GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN balance > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS INT) AS simhash
+    FROM bal GROUP BY doc_id
+    """,
+)
+def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash signature per document (bitwise majority over
+    md5(token) bits)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.simhash(docs, "doc_id", "text", bits=16).select("doc_id", "simhash")
+
+
+# -------------------------------------------------- cosine top-k search
+_COSINE_SQL = """
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    s AS (
+      SELECT e.vec_id,
+             ROUND(
+               list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv) /
+               (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+                sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+      FROM embeddings e, q
+      WHERE e.vec_id <> 0
+    )
+    SELECT vec_id, cos_sim FROM s ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+
+@register("x_embed_cosine_topk", _COSINE_SQL)
+def x_embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 neighbors of vec_id=0 (similarity
+    search baseline). The query vector is a one-row lookup collected
+    to a literal — the big side never shuffles."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return sim.cosine_topk(emb, list(qvec), k=10, exclude_id=0)
+
+
+# ------------------------------------------------ embedding near-dup pairs
+@register(
+    "x_embed_neardup",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(
+             list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+             (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+              sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND(
+             list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+             (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+              sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) >= 0.45
+    """,
+)
+def x_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.45)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.cosine_pairs(emb, threshold=0.45)
+
+
+# ------------------------------------------------------- LSH-bucketed ANN
+def _ann_sql() -> str:
+    planes = sim._plane_signs(4, 64)
+    plane_lits = [
+        "[" + ", ".join(f"{v:.1f}" for v in row) + "]::DOUBLE[]" for row in planes
+    ]
+    bucket_expr = " + ".join(
+        f"(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), {plane_lits[p]}) > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(4)
+    )
+    qbucket_expr = " + ".join(
+        f"(CASE WHEN list_dot_product(q.qv, {plane_lits[p]}) > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(4)
+    )
+    return f"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    qb AS (SELECT qv, {qbucket_expr} AS qbucket FROM q),
+    s AS (
+      SELECT e.vec_id,
+             ROUND(
+               list_dot_product(CAST(e.embedding AS DOUBLE[]), qb.qv) /
+               (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+                sqrt(list_dot_product(qb.qv, qb.qv))), 6) AS cos_sim
+      FROM embeddings e, qb
+      WHERE e.vec_id <> 0 AND ({bucket_expr}) = qb.qbucket
+    )
+    SELECT vec_id, cos_sim FROM s ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """
+
+
+@register("x_ann_lsh_topk", _ann_sql())
+def x_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via random-hyperplane LSH buckets (the
+    scale path: per-query scan shrinks 2^planes-fold; planes are
+    md5-derived constants so the oracle replicates them exactly)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return sim.ann_lsh_topk(emb, list(qvec), k=10, n_planes=4, exclude_id=0)
+
+
+# ----------------------------------------------------------- text stats
+@register(
+    "x_text_stats",
+    """
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           ROUND(CAST(SUM(length(tok)) AS DOUBLE) / COUNT(*), 6) AS mean_token_len,
+           ROUND(CAST(SUM(CASE WHEN tok IN ('the','a','of','and','is','to','in') THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS stop_ratio
+    FROM tok GROUP BY doc_id
+    """,
+)
+def x_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality inputs per document (whitespace
+    tokenizer; pure Column algebra)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.token_count("text").cast("long").alias("n_tokens"),
+        F.round(tx.mean_token_len("text"), 6).alias("mean_token_len"),
+        F.round(tx.stopword_ratio("text"), 6).alias("stop_ratio"),
+    )
+
+
+# ------------------------------------------------------------- lang id
+@register(
+    "x_text_langid",
+    """
+    WITH scored AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text,' '), t -> list_contains(['the','a','of','and','is'], t))) AS s_en,
+             len(list_filter(string_split(text,' '), t -> list_contains(['el','la','de','y','es'], t))) AS s_es,
+             len(list_filter(string_split(text,' '), t -> list_contains(['der','die','das','und','ist'], t))) AS s_de,
+             len(list_filter(string_split(text,' '), t -> list_contains(['le','la','de','et','est'], t))) AS s_fr
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE
+             WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de AND s_fr > 0 THEN 'fr'
+             WHEN s_es >= s_en AND s_es >= s_de AND s_es > 0 THEN 'es'
+             WHEN s_en >= s_de AND s_en > 0 THEN 'en'
+             WHEN s_de > 0 THEN 'de'
+             ELSE 'und'
+           END AS lang_guess
+    FROM scored
+    """,
+)
+def x_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-overlap language-ID heuristic; ties resolved to the
+    lexicographically greatest language code (struct-max semantics,
+    replicated in the oracle's CASE ordering)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", tx.lang_guess("text").alias("lang_guess"))
+
+
+# --------------------------------------------------------- fingerprint
+@register(
+    "x_text_fingerprint",
+    """
+    WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents)
+    SELECT doc_id,
+           md5(string_agg(md5(a[i]), '' ORDER BY i)) AS fingerprint
+    FROM arr, unnest(generate_series(1, len(a))) t(i)
+    GROUP BY doc_id
+    """,
+)
+def x_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling document fingerprint (md5 over
+    concatenated per-token md5s)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", tx.fingerprint("text").alias("fingerprint"))
+
+
+# --------------------------------------------------------- sessionize
+@register(
+    "x_events_sessionize",
+    """
+    WITH lagged AS (
+      SELECT user_id, ts, event_id,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    starts AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                       OR (epoch_us(ts) / 1000000.0 - epoch_us(prev_ts) / 1000000.0) > 1800.0
+                     THEN 1 ELSE 0 END AS is_start
+      FROM lagged
+    ),
+    sess AS (
+      SELECT *, SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM starts
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           COUNT(*) AS n_events,
+           ROUND(MAX(epoch_us(ts) / 1000000.0) - MIN(epoch_us(ts) / 1000000.0), 3) AS duration_s
+    FROM sess GROUP BY 1, 2
+    """,
+)
+def x_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) + per-session stats —
+    the batch twin of the streaming sessionizer."""
+    ev = load_table(spark, sf_dir, "events")
+    return sess.session_stats(ev, gap_minutes=30.0)
+
+
+# ----------------------------------------------------- tumbling window
+@register(
+    "x_events_tumbling",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def x_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling-window aggregate per event type."""
+    ev = load_table(spark, sf_dir, "events")
+    return sess.tumbling_window_agg(ev, window="1 hour")
+
+
+# ----------------------------------------------------- multimodal meta
+@register(
+    "x_multimodal_meta",
+    """
+    SELECT doc_id AS media_id,
+           'application/octet-stream' AS mime,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS sha256
+    FROM documents
+    """,
+)
+def x_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media-column plumbing: payload + typed metadata
+    (mime, byte length, content hash) computed JVM-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = mm.attach_binary(docs, "doc_id", "text")
+    return media.select(
+        "media_id",
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.sha256").alias("sha256"),
+    )
+
+
+# ------------------------------------------------ multimodal features
+@register("x_multimodal_features")  # no oracle: mapInPandas kernel is not SQL-expressible
+def x_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction over binary
+    payloads (deterministic stub kernel — the real codec is gated
+    behind mode='real' → NotImplementedError)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = mm.attach_binary(docs, "doc_id", "text")
+    return mm.extract_features(media, mode="fake")

@@ -301,6 +301,10 @@ def j7_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         key="l_orderkey", registry_key="o_orderkey",
         event_date="l_shipdate", valid_from="o_orderdate", valid_to="valid_to",
         closed="right", how="left",
+        # orders is fact-sized here, not a dim registry: equi-key SMJ
+        # with the band as join filter; AQE may still broadcast at
+        # small sf
+        broadcast_registry=False,
     )
     return (
         j.filter(F.col("r.o_orderkey").isNotNull())
