@@ -1,0 +1,186 @@
+"""Landings pipelines (reference R/initdb.R:322-612).
+
+Current landings ∪ historical file landings, vessel-history
+resolution, port→division bucketing, ling/tusk published-landings
+rescale, and the foreign/old landings month-spread grids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mfdb_hafro_etl_spark.functions.conditionals import nvl
+from mfdb_hafro_etl_spark.functions.domain import range_bucket, vessel_id
+from mfdb_hafro_etl_spark.operators.grids import month_spread
+
+# port → division ranges (reference R/initdb.R:322-335). Later rules
+# overwrite earlier ones in R's masked-assignment style; expressed
+# here in first-match-wins order with the overlaps resolved the way
+# the R code lands (97 → 103 wins over the 82-96 and 98-115 rules).
+PORT_DIVISION_RANGES: list[tuple[int, int, int]] = [
+    (0, 15, 110),
+    (16, 56, 101),
+    (57, 81, 102),
+    (82, 96, 104),
+    (97, 97, 103),
+    (98, 115, 104),
+    (116, 121, 105),
+    (122, 148, 106),
+    (149, 149, 109),
+    (150, 10**9, 111),
+]
+
+
+def port2division(hofn: F.Column) -> F.Column:
+    """Vectorized port-number → division bucket (SURVEY C8)."""
+    return range_bucket(hofn, PORT_DIVISION_RANGES, default=0)
+
+
+def build_landings_map(lods: DataFrame, skipasaga: DataFrame) -> DataFrame:
+    """Vessel-history keys per landing event (reference
+    R/initdb.R:346-351): temporal join with OPEN interval bounds
+    (l_dags < ur_gildi, l_dags > i_gildi — different from the
+    stations pipeline's half-open bounds; preserved exactly)."""
+    j = lods.join(F.broadcast(skipasaga), on="skip_nr", how="left")
+    keep = (F.col("l_dags") < F.col("ur_gildi")) & (F.col("l_dags") > F.col("i_gildi"))
+    return j.filter(keep).select("skip_nr", "saga_nr", "komunr", "hofn").dropDuplicates()
+
+
+def build_landed_catch(
+    lods: DataFrame,
+    fiskifelag: DataFrame,
+    landings_map: DataFrame,
+    skipasaga: DataFrame,
+    gear_mapping: DataFrame,
+    species_key: DataFrame,
+    port2sr: DataFrame,
+    *,
+    foreign: bool = False,
+    year_min: int = 1993,
+) -> DataFrame:
+    """Landed catch fact rows (reference R/initdb.R:353-375 domestic,
+    :379-397 foreign):
+
+    - current landings (ar > year_min) ∪ historical fiskifelag rows
+      (l_dags synthesized from yyyymm, saga_nr=0) — U1 with filled
+      columns
+    - vessel identity §2.10.1; flokkur nvl 0
+    - domestic keeps flokkur != -4, foreign keeps flokkur == -4
+    - gear fallback 'LLN'; species whitelist on fteg; areacell via
+      port2sr
+    """
+    cur = (
+        lods.join(landings_map, on=["skip_nr", "komunr", "hofn"], how="left")
+        .filter(F.col("ar") > year_min)
+        .select(
+            "veidarfaeri", "skip_nr", "fteg", "ar", "man", "hofn",
+            "magn_oslaegt", "veidisvaedi", "l_dags", "saga_nr",
+        )
+    )
+    hist = fiskifelag.select(
+        "veidarfaeri", "skip_nr", "fteg", "ar", "man", "hofn",
+        "magn_oslaegt", "veidisvaedi",
+        F.to_date(
+            F.concat(F.col("ar").cast("string"), F.lpad(F.col("man").cast("string"), 2, "0")),
+            "yyyyMM",
+        ).alias("l_dags"),
+        F.lit(0).alias("saga_nr"),
+    )
+    both = cur.unionByName(hist)
+    flokkur_pred = (F.col("flokkur") == -4) if foreign else (F.col("flokkur") != -4)
+    sampling = "FLND" if foreign else "LND"
+    return (
+        both.join(
+            F.broadcast(skipasaga.select("skip_nr", "saga_nr", "flokkur")),
+            on=["skip_nr", "saga_nr"],
+            how="left",
+        )
+        .withColumn("vessel", vessel_id(F.col("skip_nr"), F.col("saga_nr")))
+        .withColumn("flokkur", nvl(F.col("flokkur"), 0))
+        .filter((F.col("veidisvaedi") == "I") & flokkur_pred)
+        .join(F.broadcast(gear_mapping), on="veidarfaeri", how="left")
+        .join(
+            F.broadcast(species_key.withColumnRenamed("tegund", "fteg")),
+            on="fteg",
+            how="inner",
+        )
+        .join(F.broadcast(port2sr), on="hofn", how="left")
+        .withColumn("sampling_type", F.lit(sampling))
+        .withColumn("gear", nvl(F.col("gear"), "LLN"))
+        .select(
+            F.col("magn_oslaegt").alias("weight_total"),
+            "sampling_type",
+            "areacell",
+            "vessel",
+            "species",
+            F.col("ar").alias("year"),
+            F.col("man").alias("month"),
+            "gear",
+        )
+    )
+
+
+def rescale_by_published(
+    landings: DataFrame,
+    published: DataFrame,
+    years: tuple[int, int] = (1993, 2005),
+) -> DataFrame:
+    """Ling/tusk rescale (reference R/initdb.R:469-483): ratio r =
+    published Iceland landings / DB catch per (species, year) in the
+    window; weight_total *= r where a ratio exists.
+
+    ``published`` columns: species, year, iceland (tonnes·1000⁻¹
+    comparable to the DB sum/1000).
+    """
+    db = landings.groupBy("species", "year").agg(
+        (F.sum("weight_total") / 1000).alias("catch")
+    )
+    scalar = (
+        published.join(db, on=["species", "year"], how="inner")
+        .filter(F.col("year").between(*years))
+        .select("species", "year", (F.col("iceland") / F.col("catch")).alias("r"))
+    )
+    return (
+        landings.join(F.broadcast(scalar), on=["species", "year"], how="left")
+        .withColumn(
+            "weight_total",
+            F.when(F.col("r").isNull(), F.col("weight_total")).otherwise(
+                F.col("r") * F.col("weight_total")
+            ),
+        )
+        .drop("r")
+    )
+
+
+def import_filter(landings: DataFrame, bad_vessels: list[str]) -> DataFrame:
+    """Pre-import cleanup (reference R/initdb.R:485-495): '-0' vessel
+    → NULL, drop hotfix vessels, positive non-null weights only."""
+    return (
+        landings.withColumn(
+            "vessel",
+            F.when(F.col("vessel") == "-0", F.lit(None).cast("string")).otherwise(F.col("vessel")),
+        )
+        .filter(~nvl(F.col("vessel"), "").isin(bad_vessels))
+        .filter((F.col("weight_total") > 0) & F.col("weight_total").isNotNull())
+    )
+
+
+def build_month_spread_landings(
+    by_year: DataFrame,
+    value_expr: F.Column,
+    sampling_type: str,
+    gear: str,
+    areacell: str = "2741",
+) -> DataFrame:
+    """Foreign/old landings month-spread (reference
+    R/initdb.R:499-545): annual totals fanned over 12 months with
+    weight_total = 1000*value/12, fixed gear + areacell placeholders."""
+    annual = by_year.withColumn("__v__", value_expr * 1000)
+    spread = month_spread(annual, "__v__", "weight_total")
+    return (
+        spread.withColumn("sampling_type", F.lit(sampling_type))
+        .withColumn("gear", F.lit(gear))
+        .withColumn("areacell", F.lit(areacell))
+        .drop("__v__")
+    )

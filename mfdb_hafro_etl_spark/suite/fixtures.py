@@ -1,0 +1,443 @@
+"""Oracle-shaped fixture tables, derived deterministically from the
+driver's testdata so the reference pipelines (plans/) can be
+hash-verified against DuckDB oracles end-to-end.
+
+Every fixture is defined twice, in lockstep: a Spark builder
+``(spark, sf_dir) -> DataFrame`` and a DuckDB SQL string over the
+pre-registered testdata views. Expression shapes are mirrored exactly
+(same arithmetic, same CASE structure) so both engines compute
+bit-identical values — no float reductions in the generators (integer
+sums only), so results are order-independent.
+
+Schemas follow FIXTURES.md; the edge branches each fixture must cover
+(NULL skip, NULL i_gildi sentinel, zero divisors, tegund 9 / 41,
+synaflokkur 30/35, ...) come from the reference call sites cited
+there.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mfdb_hafro_etl_spark.catalog import load_table
+
+# synaflokkur domain (reference R/initdb.R:117; R/initdb_shrimp.R:214)
+SYNAFLOKKUR = [1, 2, 8, 10, 12, 14, 20, 30, 31, 34, 35, 37, 38]
+
+# species whitelist: 1..31 minus {20,29}, plus shrimp 41 and 48
+# (reference R/initdb.R:63-69 species_key; 41 = shrimp biom species,
+# R/shrimp_support_tables.R:2137)
+SPECIES_TEGUND = [t for t in range(1, 32) if t not in (20, 29)] + [41, 48]
+
+
+# --------------------------------------------------------------- stodvar
+# sampling stations from orders (reference schema R/initdb.R:104-147)
+
+STODVAR_SQL = """
+SELECT
+  o_orderkey                                   AS synis_id,
+  CAST(o_orderdate AS DATE)                    AS dags,
+  CASE WHEN o_orderkey % 11 = 0 THEN NULL
+       ELSE CAST(o_custkey % 200 AS INT) END   AS skip,
+  CAST(year(o_orderdate) AS INT)               AS ar,
+  CAST(month(o_orderdate) AS INT)              AS man,
+  CAST(({syn})[1 + o_orderkey % 13] AS INT)    AS synaflokkur,
+  CAST(o_orderkey % 100 AS INT)                AS veidarfaeri,
+  63.0 + (o_orderkey % 400) * 0.01             AS kastad_n_breidd,
+  -(18.0 + (o_custkey % 900) * 0.01)           AS kastad_v_lengd,
+  63.0 + (o_orderkey % 400) * 0.01 + ((o_orderkey % 7) - 3) * 0.02 AS hift_n_breidd,
+  -(18.0 + (o_custkey % 900) * 0.01) + ((o_orderkey % 5) - 2) * 0.02 AS hift_v_lengd,
+  CAST(o_orderkey % 500 AS DOUBLE)             AS dypi_kastad,
+  CAST(300 + o_orderkey % 400 AS INT)          AS reitur,
+  CASE WHEN o_orderkey % 4 = 0 THEN NULL
+       ELSE CAST(o_orderkey % 4 AS INT) END    AS smareitur
+FROM orders
+""".format(syn=str(SYNAFLOKKUR))
+
+
+def stodvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    k, c = F.col("o_orderkey"), F.col("o_custkey")
+    lat = F.lit(63.0) + (k % 400) * 0.01
+    lon = -(F.lit(18.0) + (c % 900) * 0.01)
+    return o.select(
+        k.alias("synis_id"),
+        F.col("o_orderdate").cast("date").alias("dags"),
+        F.when(k % 11 == 0, F.lit(None)).otherwise((c % 200).cast("int")).alias("skip"),
+        F.year("o_orderdate").alias("ar"),
+        F.month("o_orderdate").alias("man"),
+        F.element_at(
+            F.array(*[F.lit(v) for v in SYNAFLOKKUR]), (k % 13 + 1).cast("int")
+        ).alias("synaflokkur"),
+        (k % 100).cast("int").alias("veidarfaeri"),
+        lat.alias("kastad_n_breidd"),
+        lon.alias("kastad_v_lengd"),
+        (lat + ((k % 7) - 3) * 0.02).alias("hift_n_breidd"),
+        (lon + ((k % 5) - 2) * 0.02).alias("hift_v_lengd"),
+        (k % 500).cast("double").alias("dypi_kastad"),
+        (300 + k % 400).cast("int").alias("reitur"),
+        F.when(k % 4 == 0, F.lit(None)).otherwise((k % 4).cast("int")).alias("smareitur"),
+    )
+
+
+# ------------------------------------------------------------- skipasaga
+# SCD-2 vessel registry (reference R/initdb.R:106-108,348-349): two
+# validity generations per vessel; skip_nr % 17 = 3 gets a NULL
+# i_gildi on generation 1 (sentinel-date branch, initdb.R:108);
+# skip_nr % 10 = 0 is foreign (flokkur -4, initdb.R:368).
+
+SKIPASAGA_SQL = """
+SELECT
+  s.skip_nr,
+  g.saga_nr,
+  CASE WHEN g.saga_nr = 1 THEN
+    CASE WHEN s.skip_nr % 17 = 3 THEN NULL ELSE DATE '1990-01-01' END
+  ELSE DATE '1999-12-31' END                   AS i_gildi,
+  CASE WHEN g.saga_nr = 1 THEN DATE '1999-12-31'
+       ELSE DATE '2100-01-01' END              AS ur_gildi,
+  CASE WHEN s.skip_nr % 10 = 0 THEN -4
+       ELSE CAST(s.skip_nr % 5 AS INT) END     AS flokkur,
+  s.skip_nr * 10.0                             AS brl,
+  'V' || CAST(s.skip_nr AS VARCHAR)            AS heiti,
+  20.0 + s.skip_nr % 30                        AS lengd
+FROM (SELECT DISTINCT CAST(c_custkey % 200 AS INT) AS skip_nr FROM customer) s
+CROSS JOIN (SELECT CAST(unnest(generate_series(1, 2)) AS INT) AS saga_nr) g
+"""
+
+
+def skipasaga(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    skips = c.select((F.col("c_custkey") % 200).cast("int").alias("skip_nr")).distinct()
+    gens = spark.range(1, 3).select(F.col("id").cast("int").alias("saga_nr"))
+    s, g = F.col("skip_nr"), F.col("saga_nr")
+    return skips.crossJoin(gens).select(
+        "skip_nr",
+        "saga_nr",
+        F.when(
+            g == 1,
+            F.when(s % 17 == 3, F.lit(None)).otherwise(F.lit("1990-01-01").cast("date")),
+        )
+        .otherwise(F.lit("1999-12-31").cast("date"))
+        .alias("i_gildi"),
+        F.when(g == 1, F.lit("1999-12-31").cast("date"))
+        .otherwise(F.lit("2100-01-01").cast("date"))
+        .alias("ur_gildi"),
+        F.when(s % 10 == 0, F.lit(-4)).otherwise((s % 5).cast("int")).alias("flokkur"),
+        (s * 10.0).alias("brl"),
+        F.concat(F.lit("V"), s.cast("string")).alias("heiti"),
+        (F.lit(20.0) + s % 30).alias("lengd"),
+    )
+
+
+# ---------------------------------------------------------- gear_mapping
+# veidarfaeri → gear code (reference inst/mapping.txt:1-58); 10% of
+# codes left unmapped to exercise the left-join NULL → 'LLN' fallback
+# (reference R/initdb.R:372).
+
+GEAR_MAPPING_SQL = """
+SELECT CAST(v AS INT) AS veidarfaeri,
+       'G' || CAST(v % 12 AS VARCHAR) AS gear
+FROM (SELECT unnest(generate_series(0, 99)) AS v)
+WHERE v % 10 <> 7
+"""
+
+
+def gear_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = F.col("id")
+    return (
+        spark.range(0, 100)
+        .filter(v % 10 != 7)
+        .select(
+            v.cast("int").alias("veidarfaeri"),
+            F.concat(F.lit("G"), (v % 12).cast("string")).alias("gear"),
+        )
+    )
+
+
+# ----------------------------------------------------------- reitmapping
+# areacell validation grid (reference inst demo-data reitmapping.tsv,
+# R/initdb.R:27-30): cells 10*r+s for r 300..699, s 1..3; r % 5 = 0
+# dropped so the inner-join validation actually rejects rows.
+
+REITMAPPING_SQL = """
+SELECT CAST(10 * r + s AS VARCHAR)        AS GRIDCELL,
+       CAST(r % 10 + 101 AS INT)          AS DIVISION,
+       CAST(r % 30 AS VARCHAR)            AS SUBDIVISION,
+       CAST(10 * r + s AS INT)            AS id
+FROM (SELECT unnest(generate_series(300, 699)) AS r),
+     (SELECT unnest(generate_series(1, 3)) AS s)
+WHERE r % 5 <> 0
+"""
+
+
+def reitmapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r, s = F.col("r"), F.col("s")
+    return (
+        spark.range(300, 700)
+        .select(F.col("id").alias("r"))
+        .crossJoin(spark.range(1, 4).select(F.col("id").alias("s")))
+        .filter(r % 5 != 0)
+        .select(
+            (r * 10 + s).cast("int").cast("string").alias("GRIDCELL"),
+            (r % 10 + 101).cast("int").alias("DIVISION"),
+            (r % 30).cast("string").alias("SUBDIVISION"),
+            (r * 10 + s).cast("int").alias("id"),
+        )
+    )
+
+
+# ----------------------------------------------------------- species_key
+# tegund → species whitelist (reference R/initdb.R:63-69).
+
+SPECIES_KEY_SQL = """
+SELECT CAST(t AS INT) AS tegund, 'SP' || CAST(t AS VARCHAR) AS species
+FROM (SELECT unnest({lst}) AS t)
+""".format(lst=str(SPECIES_TEGUND))
+
+
+def species_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.createDataFrame(
+        [(t, f"SP{t}") for t in SPECIES_TEGUND], "tegund INT, species STRING"
+    )
+
+
+# --------------------------------------------------------------- lengdir
+# length measurements from lineitem (reference R/initdb.R:203-227);
+# covers kyn NULL/1/2, kynthroski NULL/1..4, tegund 9 (special
+# maturity) and 41 (biom species).
+
+LENGDIR_SQL = """
+SELECT
+  l_orderkey                                   AS synis_id,
+  CAST(1 + l_partkey % 50 AS INT)              AS tegund,
+  ROUND(l_quantity * 1.5, 1)                   AS lengd,
+  CAST(l_linenumber + 1 AS DOUBLE)             AS fjoldi,
+  CASE WHEN l_suppkey % 3 = 0 THEN NULL
+       ELSE CAST(l_suppkey % 3 AS INT) END     AS kyn,
+  CASE WHEN l_partkey % 5 = 0 THEN NULL
+       ELSE CAST(l_partkey % 5 AS INT) END     AS kynthroski
+FROM lineitem
+"""
+
+
+def lengdir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pk, sk = F.col("l_partkey"), F.col("l_suppkey")
+    return li.select(
+        F.col("l_orderkey").alias("synis_id"),
+        (1 + pk % 50).cast("int").alias("tegund"),
+        F.round(F.col("l_quantity") * 1.5, 1).alias("lengd"),
+        (F.col("l_linenumber") + 1).cast("double").alias("fjoldi"),
+        F.when(sk % 3 == 0, F.lit(None)).otherwise((sk % 3).cast("int")).alias("kyn"),
+        F.when(pk % 5 == 0, F.lit(None)).otherwise((pk % 5).cast("int")).alias("kynthroski"),
+    )
+
+
+# ----------------------------------------------------------------- numer
+# counted/measured totals per (synis_id, tegund) (reference
+# R/shrimp_support_tables.R:2141-2151). Aggregates use integer sums
+# only (cents for money) so both engines agree bit-for-bit regardless
+# of reduction order; zero branches exercise every divide guard.
+
+NUMER_SQL = """
+SELECT
+  l_orderkey                                   AS synis_id,
+  CAST(1 + l_partkey % 50 AS INT)              AS tegund,
+  CAST(SUM(l_linenumber + 1) AS DOUBLE)        AS fj_maelt,
+  CASE WHEN l_orderkey % 7 = 0 THEN 0.0
+       ELSE CAST(SUM(l_linenumber + 2) AS DOUBLE) END AS fj_talid,
+  CASE WHEN l_orderkey % 13 = 0 THEN 0.0
+       ELSE SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 10000.0 END AS afli,
+  CASE WHEN l_orderkey % 11 = 0 THEN 0.0
+       ELSE SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 50000.0 END AS vigt_synis
+FROM lineitem
+GROUP BY 1, 2
+"""
+
+
+def numer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sid = F.col("l_orderkey")
+    cents = F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("bigint"))
+    return (
+        li.groupBy(
+            sid.alias("synis_id"),
+            (1 + F.col("l_partkey") % 50).cast("int").alias("tegund"),
+        )
+        .agg(
+            F.sum(F.col("l_linenumber") + 1).cast("double").alias("fj_maelt"),
+            F.sum(F.col("l_linenumber") + 2).cast("double").alias("_ft"),
+            cents.alias("_cents"),
+        )
+        .select(
+            "synis_id",
+            "tegund",
+            "fj_maelt",
+            F.when(F.col("synis_id") % 7 == 0, F.lit(0.0)).otherwise(F.col("_ft")).alias("fj_talid"),
+            F.when(F.col("synis_id") % 13 == 0, F.lit(0.0))
+            .otherwise(F.col("_cents") / 10000.0)
+            .alias("afli"),
+            F.when(F.col("synis_id") % 11 == 0, F.lit(0.0))
+            .otherwise(F.col("_cents") / 50000.0)
+            .alias("vigt_synis"),
+        )
+    )
+
+
+# --------------------------------------------------------------- kvarnir
+# age/otolith measurements (reference R/initdb.R:294-312); one row per
+# measured fish → restrict to l_linenumber <= 2.
+
+KVARNIR_SQL = """
+SELECT
+  l_orderkey                                   AS synis_id,
+  CAST(1 + l_partkey % 50 AS INT)              AS tegund,
+  CAST(l_linenumber AS INT)                    AS nr,
+  ROUND(l_quantity * 1.2, 1)                   AS lengd,
+  CAST(1 + l_suppkey % 12 AS INT)              AS aldur,
+  CASE WHEN l_suppkey % 3 = 0 THEN NULL
+       ELSE CAST(l_suppkey % 3 AS INT) END     AS kyn,
+  CASE WHEN l_partkey % 5 = 0 THEN NULL
+       ELSE CAST(l_partkey % 5 AS INT) END     AS kynthroski,
+  ROUND(l_quantity * 8.1, 2)                   AS oslaegt,
+  ROUND(l_quantity * 7.3, 2)                   AS slaegt,
+  CASE WHEN l_partkey % 6 = 0 THEN NULL
+       ELSE ROUND(l_quantity * 0.9, 2) END     AS lifur,
+  ROUND(l_quantity * 0.4, 2)                   AS kynfaeri
+FROM lineitem
+WHERE l_linenumber <= 2
+"""
+
+
+def kvarnir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") <= 2)
+    pk, sk, q = F.col("l_partkey"), F.col("l_suppkey"), F.col("l_quantity")
+    return li.select(
+        F.col("l_orderkey").alias("synis_id"),
+        (1 + pk % 50).cast("int").alias("tegund"),
+        F.col("l_linenumber").cast("int").alias("nr"),
+        F.round(q * 1.2, 1).alias("lengd"),
+        (1 + sk % 12).cast("int").alias("aldur"),
+        F.when(sk % 3 == 0, F.lit(None)).otherwise((sk % 3).cast("int")).alias("kyn"),
+        F.when(pk % 5 == 0, F.lit(None)).otherwise((pk % 5).cast("int")).alias("kynthroski"),
+        F.round(q * 8.1, 2).alias("oslaegt"),
+        F.round(q * 7.3, 2).alias("slaegt"),
+        F.when(pk % 6 == 0, F.lit(None)).otherwise(F.round(q * 0.9, 2)).alias("lifur"),
+        F.round(q * 0.4, 2).alias("kynfaeri"),
+    )
+
+
+# ------------------------------------------------------------------ lods
+# landings (reference R/initdb.R:347-375); veidisvaedi 'I'/'U' split,
+# NULL skip_nr rows, ports spanning every port2division bucket.
+
+LODS_SQL = """
+SELECT
+  CASE WHEN l_suppkey % 19 = 0 THEN NULL
+       ELSE CAST(l_suppkey % 200 AS INT) END   AS skip_nr,
+  CAST(l_linenumber AS INT)                    AS komunr,
+  CAST(l_partkey % 160 AS INT)                 AS hofn,
+  CAST(l_suppkey % 100 AS INT)                 AS veidarfaeri,
+  CAST(1 + l_partkey % 50 AS INT)              AS fteg,
+  CAST(l_orderkey % 5 AS INT)                  AS kfteg,
+  CAST(year(l_shipdate) AS INT)                AS ar,
+  CAST(month(l_shipdate) AS INT)               AS man,
+  CAST(ROUND(l_extendedprice * 100) AS BIGINT) / 1000.0 AS magn_oslaegt,
+  CASE WHEN l_orderkey % 4 = 0 THEN 'U' ELSE 'I' END AS veidisvaedi,
+  CAST(l_shipdate AS DATE)                     AS l_dags
+FROM lineitem
+"""
+
+
+def lods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    ok, pk, sk = F.col("l_orderkey"), F.col("l_partkey"), F.col("l_suppkey")
+    return li.select(
+        F.when(sk % 19 == 0, F.lit(None)).otherwise((sk % 200).cast("int")).alias("skip_nr"),
+        F.col("l_linenumber").cast("int").alias("komunr"),
+        (pk % 160).cast("int").alias("hofn"),
+        (sk % 100).cast("int").alias("veidarfaeri"),
+        (1 + pk % 50).cast("int").alias("fteg"),
+        (ok % 5).cast("int").alias("kfteg"),
+        F.year("l_shipdate").alias("ar"),
+        F.month("l_shipdate").alias("man"),
+        (F.round(F.col("l_extendedprice") * 100, 0).cast("bigint") / 1000.0).alias("magn_oslaegt"),
+        F.when(ok % 4 == 0, F.lit("U")).otherwise(F.lit("I")).alias("veidisvaedi"),
+        F.col("l_shipdate").cast("date").alias("l_dags"),
+    )
+
+
+# ------------------------------------------------------------ fiskifelag
+# historical (pre-1994) landings from orders (reference
+# R/initdb.R:360-363): no l_dags (synthesized from yyyymm), saga_nr=0.
+
+FISKIFELAG_SQL = """
+SELECT
+  CAST(o_orderkey % 100 AS INT)                AS veidarfaeri,
+  CAST(o_custkey % 200 AS INT)                 AS skip_nr,
+  CAST(1 + o_orderkey % 50 AS INT)             AS fteg,
+  CAST(1980 + o_orderkey % 14 AS INT)          AS ar,
+  CAST(month(o_orderdate) AS INT)              AS man,
+  CAST(o_custkey % 160 AS INT)                 AS hofn,
+  CAST(ROUND(o_totalprice * 100) AS BIGINT) / 2000.0  AS magn_oslaegt,
+  CASE WHEN o_orderkey % 4 = 0 THEN 'U' ELSE 'I' END AS veidisvaedi
+FROM orders
+WHERE o_orderkey % 3 = 0
+"""
+
+
+def fiskifelag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 3 == 0)
+    k, c = F.col("o_orderkey"), F.col("o_custkey")
+    return o.select(
+        (k % 100).cast("int").alias("veidarfaeri"),
+        (c % 200).cast("int").alias("skip_nr"),
+        (1 + k % 50).cast("int").alias("fteg"),
+        (1980 + k % 14).cast("int").alias("ar"),
+        F.month("o_orderdate").alias("man"),
+        (c % 160).cast("int").alias("hofn"),
+        (F.round(F.col("o_totalprice") * 100, 0).cast("bigint") / 2000.0).alias("magn_oslaegt"),
+        F.when(k % 4 == 0, F.lit("U")).otherwise(F.lit("I")).alias("veidisvaedi"),
+    )
+
+
+# --------------------------------------------------------------- port2sr
+# port → areacell lookup (reference R/initdb.R:340-343 port2sr).
+
+PORT2SR_SQL = """
+SELECT CAST(h AS INT) AS hofn,
+       CAST(3001 + (h * 7) % 699 AS VARCHAR) AS areacell
+FROM (SELECT unnest(generate_series(0, 159)) AS h)
+"""
+
+
+def port2sr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = F.col("id")
+    return spark.range(0, 160).select(
+        h.cast("int").alias("hofn"),
+        (3001 + (h * 7) % 699).cast("int").cast("string").alias("areacell"),
+    )
+
+
+# All fixture CTEs, ready to splice into a WITH clause.
+FIXTURE_CTES: dict[str, str] = {
+    "stodvar": STODVAR_SQL,
+    "skipasaga": SKIPASAGA_SQL,
+    "gear_mapping": GEAR_MAPPING_SQL,
+    "reitmapping": REITMAPPING_SQL,
+    "species_key": SPECIES_KEY_SQL,
+    "lengdir": LENGDIR_SQL,
+    "numer": NUMER_SQL,
+    "kvarnir": KVARNIR_SQL,
+    "lods": LODS_SQL,
+    "fiskifelag": FISKIFELAG_SQL,
+    "port2sr": PORT2SR_SQL,
+}
+
+
+def with_clause(*names: str) -> str:
+    """``WITH a AS (...), b AS (...)`` for the named fixtures (order
+    preserved; list dependencies before dependents)."""
+    parts = [f"{n} AS ({FIXTURE_CTES[n]})" for n in names]
+    return "WITH " + ",\n".join(parts)

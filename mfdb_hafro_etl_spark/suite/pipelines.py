@@ -1,0 +1,392 @@
+"""End-to-end reference pipelines (plans/) as hash-verified suite
+queries: the stations spine, ldist/aldist measurement facts, and the
+landings union — each mirrored column-for-column by a DuckDB oracle
+over the same deterministically-derived fixtures (suite/fixtures.py).
+
+These are the strongest parity checks in the suite: a full reference
+entry point (SURVEY §3) reproduced end to end, not a single operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mfdb_hafro_etl_spark.plans import landings as landings_plan
+from mfdb_hafro_etl_spark.plans import ldist as ldist_plan
+from mfdb_hafro_etl_spark.plans import stations as stations_plan
+from mfdb_hafro_etl_spark.suite import fixtures as fx
+from mfdb_hafro_etl_spark.suite import register
+
+# ---------------------------------------------------------------- SQL blocks
+
+VESSEL_MAP_SQL = """
+SELECT e.synis_id, r.saga_nr
+FROM stodvar e
+LEFT JOIN skipasaga r ON e.skip = r.skip_nr
+WHERE (e.dags > r.i_gildi AND e.dags <= r.ur_gildi)
+   OR COALESCE(e.skip, -999) = -999
+   OR COALESCE(r.i_gildi, DATE '2100-01-01') = DATE '2100-01-01'
+"""
+
+_HAVERSINE = """
+2 * 3437.74677078 * ASIN(SQRT(
+  POW(SIN(RADIANS(s.hift_n_breidd - s.kastad_n_breidd) / 2), 2)
+  + COS(RADIANS(s.kastad_n_breidd)) * COS(RADIANS(s.hift_n_breidd))
+    * POW(SIN(RADIANS(s.hift_v_lengd - s.kastad_v_lengd) / 2), 2)
+))
+"""
+
+# mirrors plans/stations.py::build_stations expression for expression
+STATIONS_SQL = f"""
+SELECT
+  s.synis_id                                    AS tow,
+  s.ar                                          AS year,
+  CASE WHEN s.synaflokkur = 30 THEN 4
+       WHEN s.synaflokkur = 35 THEN 10
+       ELSE s.man END                           AS month,
+  s.kastad_n_breidd                             AS latitude,
+  s.kastad_v_lengd                              AS longitude,
+  g.gear                                        AS gear,
+  CASE WHEN s.synaflokkur IN (1, 2, 8)    THEN 'SEA'
+       WHEN s.synaflokkur IN (10, 12, 20) THEN 'ADH'
+       WHEN s.synaflokkur = 30            THEN 'IGFS'
+       WHEN s.synaflokkur = 35            THEN 'AUT'
+       WHEN s.synaflokkur = 38            THEN 'LOBS'
+       ELSE 'SMN' END                           AS sampling_type,
+  s.dypi_kastad                                 AS depth,
+  CASE WHEN COALESCE(CAST(s.skip AS VARCHAR), '') || '-'
+            || CAST(COALESCE(vm.saga_nr, 0) AS VARCHAR) = '-0' THEN NULL
+       ELSE COALESCE(CAST(s.skip AS VARCHAR), '') || '-'
+            || CAST(COALESCE(vm.saga_nr, 0) AS VARCHAR) END AS vessel,
+  CAST(CAST(10 * s.reitur + COALESCE(s.smareitur, 1) AS INT) AS VARCHAR) AS areacell,
+  ROUND({_HAVERSINE}, 6)                        AS towlength
+FROM stodvar s
+LEFT JOIN vessel_map vm ON s.synis_id = vm.synis_id
+LEFT JOIN gear_mapping g ON s.veidarfaeri = g.veidarfaeri
+JOIN reitmapping rm
+  ON CAST(CAST(10 * s.reitur + COALESCE(s.smareitur, 1) AS INT) AS VARCHAR) = rm.GRIDCELL
+WHERE s.synaflokkur IN (1, 2, 8, 10, 12, 20, 30, 34, 35, 38)
+"""
+
+_STATION_COLS = (
+    "tow, year, month, latitude, longitude, gear, sampling_type, depth, vessel, areacell"
+)
+
+
+def _spark_fixture_stations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vm = stations_plan.build_vessel_map(fx.stodvar(spark, sf_dir), fx.skipasaga(spark, sf_dir))
+    return stations_plan.build_stations(
+        fx.stodvar(spark, sf_dir), vm, fx.gear_mapping(spark, sf_dir), fx.reitmapping(spark, sf_dir)
+    )
+
+
+# -------------------------------------------------------------- p1 stations
+@register(
+    "p1_stations",
+    fx.with_clause("stodvar", "skipasaga", "gear_mapping", "reitmapping")
+    + f""",
+vessel_map AS ({VESSEL_MAP_SQL}),
+stations AS ({STATIONS_SQL})
+SELECT {_STATION_COLS}, ROUND(towlength, 3) AS towlength FROM stations
+""",
+)
+def p1_stations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full stations spine (reference R/initdb.R:100-151): SCD-2
+    vessel resolution, decode, timing bump, vessel identity, areacell
+    encode, haversine towlength, grid validation. One wide broadcast-
+    join chain, zero shuffles until the sink. towlength re-rounded to
+    3 dp so cross-engine libm ulp differences can't flip the hash."""
+    st = _spark_fixture_stations(spark, sf_dir)
+    return st.withColumn("towlength", F.round("towlength", 3))
+
+
+# ----------------------------------------------------------------- p2 ldist
+
+# gear_mapping has no 'stations' filter column; build_stations keeps
+# only whitelisted synaflokkur (the JOIN/WHERE above). The ldist SQL
+# mirrors skala_med_toldum2 (plans/ldist.py) with the weighted-sum
+# stages omitted: they only feed mean_wt, which build_ldist drops.
+LDIST_SQL = """
+biom_mat AS (
+  SELECT 41 AS tegund, 0.000628641104521994 AS a, 2.84713109335131 AS b, 0.1 AS s
+),
+ratio AS (
+  SELECT synis_id, tegund,
+    CASE WHEN fj_talid = 0 THEN 1.0
+         ELSE fj_talid / (CASE WHEN fj_maelt = 0 THEN 1.0 ELSE fj_maelt END) END AS r,
+    CASE WHEN afli = 0 THEN NULL
+         ELSE afli / (CASE WHEN vigt_synis = 0 THEN NULL ELSE vigt_synis END) END AS biom_r
+  FROM numer
+),
+scaled AS (
+  SELECT l.synis_id AS tow, l.tegund, l.lengd, l.kyn, l.kynthroski, sk.species,
+    l.fjoldi * (CASE WHEN l.tegund IN (41) THEN rt.biom_r ELSE rt.r END) AS fjoldi
+  FROM lengdir l
+  JOIN species_key sk ON l.tegund = sk.tegund
+  LEFT JOIN ratio rt ON l.synis_id = rt.synis_id AND l.tegund = rt.tegund
+),
+ldist AS (
+  SELECT st.tow, st.year, st.month, st.latitude, st.longitude, st.gear,
+    st.sampling_type, st.depth, st.vessel, st.areacell, sc.species,
+    COALESCE(sc.lengd, 0.0)  AS length,
+    COALESCE(sc.fjoldi, 0.0) AS "count",
+    CASE WHEN sc.kyn = 2 THEN 'F' WHEN sc.kyn = 1 THEN 'M' ELSE '' END AS sex,
+    CASE WHEN sc.tegund = 9 THEN
+      CASE WHEN sc.kynthroski > 2
+            AND (CASE WHEN sc.kyn = 2 THEN 'F' WHEN sc.kyn = 1 THEN 'M' ELSE '' END) = 'F' THEN 2
+           WHEN sc.kynthroski IN (1, 2)
+            AND (CASE WHEN sc.kyn = 2 THEN 'F' WHEN sc.kyn = 1 THEN 'M' ELSE '' END) = 'F' THEN 1
+           ELSE NULL END
+    ELSE
+      CASE WHEN sc.kynthroski > 1 THEN 2 WHEN sc.kynthroski = 1 THEN 1 ELSE NULL END
+    END AS maturity_stage,
+    0 AS age
+  FROM scaled sc
+  RIGHT JOIN stations st ON sc.tow = st.tow
+)
+"""
+
+
+@register(
+    "p2_ldist",
+    fx.with_clause(
+        "stodvar", "skipasaga", "gear_mapping", "reitmapping", "species_key", "lengdir", "numer"
+    )
+    + f""",
+vessel_map AS ({VESSEL_MAP_SQL}),
+stations AS ({STATIONS_SQL}),
+{LDIST_SQL.lstrip()}
+SELECT * FROM ldist
+""",
+)
+def p2_ldist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full length-distribution fact pipeline (reference
+    R/initdb.R:202-285 + skala_med_toldum2, R/shrimp_support_tables.R:
+    2137-2212): species whitelist → count scaling with zero-divisor
+    guards → right-join stations (zero-filled) → single-projection
+    recodes. The big stations⋈lengdir join is the one genuine
+    large-large shuffle of the reference (SURVEY §2.3)."""
+    st = _spark_fixture_stations(spark, sf_dir)
+    out = ldist_plan.build_ldist(
+        fx.lengdir(spark, sf_dir),
+        fx.species_key(spark, sf_dir),
+        st,
+        fx.numer(spark, sf_dir),
+    )
+    return out
+
+
+# ---------------------------------------------------------------- p3 aldist
+@register(
+    "p3_aldist",
+    fx.with_clause(
+        "stodvar", "skipasaga", "gear_mapping", "reitmapping", "species_key", "kvarnir"
+    )
+    + f""",
+vessel_map AS ({VESSEL_MAP_SQL}),
+stations AS ({STATIONS_SQL})
+SELECT st.tow, st.latitude, st.longitude, st.year, st.month, st.areacell,
+  st.gear, st.vessel, st.sampling_type,
+  1 AS "count",
+  k.species,
+  k.aldur AS age,
+  CASE WHEN k.kyn = 2 THEN 'F' WHEN k.kyn = 1 THEN 'M' ELSE NULL END AS sex,
+  CASE WHEN k.tegund = 9 THEN
+    CASE WHEN k.kynthroski > 2
+          AND (CASE WHEN k.kyn = 2 THEN 'F' WHEN k.kyn = 1 THEN 'M' ELSE NULL END) = 'F' THEN 2
+         WHEN k.kynthroski IN (1, 2)
+          AND (CASE WHEN k.kyn = 2 THEN 'F' WHEN k.kyn = 1 THEN 'M' ELSE NULL END) = 'F' THEN 1
+         ELSE NULL END
+  ELSE
+    CASE WHEN k.kynthroski > 1 THEN 2 WHEN k.kynthroski = 1 THEN 1 ELSE NULL END
+  END AS maturity_stage,
+  COALESCE(k.lengd, 0.0) AS length,
+  k.nr AS no, k.oslaegt AS weight, k.slaegt AS gutted,
+  k.lifur AS liver, k.kynfaeri AS gonad
+FROM (SELECT kv.*, sk.species FROM kvarnir kv JOIN species_key sk ON kv.tegund = sk.tegund) k
+RIGHT JOIN stations st ON k.synis_id = st.tow
+""",
+)
+def p3_aldist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Age-length fact pipeline (reference R/initdb.R:293-312):
+    kvarnir ⋈ whitelist, right-join stations, count=1, recodes,
+    weight-field renames."""
+    st = _spark_fixture_stations(spark, sf_dir)
+    return ldist_plan.build_aldist(
+        fx.kvarnir(spark, sf_dir), fx.species_key(spark, sf_dir), st
+    )
+
+
+# -------------------------------------------------------------- p4 landings
+
+BAD_VESSELS = ["5-1", "17-2"]
+
+LANDINGS_MAP_SQL = """
+SELECT DISTINCT l.skip_nr, r.saga_nr, l.komunr, l.hofn
+FROM lods l
+JOIN skipasaga r ON l.skip_nr = r.skip_nr
+WHERE l.l_dags < r.ur_gildi AND l.l_dags > r.i_gildi
+"""
+
+_LANDED_BODY = """
+cur AS (
+  SELECT l.veidarfaeri, l.skip_nr, l.fteg, l.ar, l.man, l.hofn,
+         l.magn_oslaegt, l.veidisvaedi, l.l_dags, lm.saga_nr
+  FROM lods l
+  LEFT JOIN landings_map lm
+    ON l.skip_nr = lm.skip_nr AND l.komunr = lm.komunr AND l.hofn = lm.hofn
+  WHERE l.ar > 1993
+),
+hist AS (
+  SELECT veidarfaeri, skip_nr, fteg, ar, man, hofn, magn_oslaegt, veidisvaedi,
+         CAST(strptime(CAST(ar AS VARCHAR) || lpad(CAST(man AS VARCHAR), 2, '0'), '%Y%m') AS DATE) AS l_dags,
+         0 AS saga_nr
+  FROM fiskifelag
+),
+unioned AS (
+  SELECT * FROM cur UNION ALL BY NAME SELECT * FROM hist
+),
+landed AS (
+  SELECT
+    u.magn_oslaegt AS weight_total,
+    '{sampling}'   AS sampling_type,
+    p.areacell,
+    CASE WHEN COALESCE(CAST(u.skip_nr AS VARCHAR), '') || '-'
+              || COALESCE(CAST(u.saga_nr AS VARCHAR), '0') = '-0' THEN NULL
+         ELSE COALESCE(CAST(u.skip_nr AS VARCHAR), '') || '-'
+              || COALESCE(CAST(u.saga_nr AS VARCHAR), '0') END AS vessel,
+    sk.species,
+    u.ar AS year, u.man AS month,
+    COALESCE(g.gear, 'LLN') AS gear
+  FROM unioned u
+  LEFT JOIN skipasaga r ON u.skip_nr = r.skip_nr AND u.saga_nr = r.saga_nr
+  LEFT JOIN gear_mapping g ON u.veidarfaeri = g.veidarfaeri
+  JOIN species_key sk ON u.fteg = sk.tegund
+  LEFT JOIN port2sr p ON u.hofn = p.hofn
+  WHERE u.veidisvaedi = 'I' AND COALESCE(r.flokkur, 0) {flokkur_pred}
+)
+"""
+
+_IMPORT_FILTER = """
+SELECT weight_total, sampling_type, areacell,
+  CASE WHEN vessel = '-0' THEN NULL ELSE vessel END AS vessel,
+  species, year, month, gear
+FROM landed
+WHERE COALESCE(CASE WHEN vessel = '-0' THEN NULL ELSE vessel END, '') NOT IN ({bad})
+  AND weight_total > 0 AND weight_total IS NOT NULL
+"""
+
+
+def _landings_ctes(foreign: bool) -> str:
+    """WITH-chain ending in ``filtered`` = the import-ready landings."""
+    return (
+        fx.with_clause(
+            "lods", "fiskifelag", "skipasaga", "gear_mapping", "species_key", "port2sr"
+        )
+        + f""",
+landings_map AS ({LANDINGS_MAP_SQL}),
+{_LANDED_BODY.format(sampling="FLND" if foreign else "LND", flokkur_pred="= -4" if foreign else "<> -4").lstrip()},
+filtered AS ({_IMPORT_FILTER.format(bad=", ".join(repr(v) for v in BAD_VESSELS))})"""
+    )
+
+
+def _landings_sql(foreign: bool) -> str:
+    return _landings_ctes(foreign) + "\nSELECT * FROM filtered"
+
+
+def _landings_spark(spark: SparkSession, sf_dir: str, foreign: bool) -> DataFrame:
+    lods = fx.lods(spark, sf_dir)
+    saga = fx.skipasaga(spark, sf_dir)
+    lmap = landings_plan.build_landings_map(lods, saga)
+    landed = landings_plan.build_landed_catch(
+        lods,
+        fx.fiskifelag(spark, sf_dir),
+        lmap,
+        saga,
+        fx.gear_mapping(spark, sf_dir),
+        fx.species_key(spark, sf_dir),
+        fx.port2sr(spark, sf_dir),
+        foreign=foreign,
+    )
+    return landings_plan.import_filter(landed, BAD_VESSELS)
+
+
+@register("p4_landings", _landings_sql(foreign=False))
+def p4_landings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domestic landed-catch pipeline (reference R/initdb.R:346-375,
+    485-495): current ∪ historical landings, open-bound temporal
+    vessel resolution, gear fallback, species whitelist, port →
+    areacell, import cleanup. Union stays a metadata op; every
+    dimension join is a broadcast."""
+    return _landings_spark(spark, sf_dir, foreign=False)
+
+
+@register("p5_landings_foreign", _landings_sql(foreign=True))
+def p5_landings_foreign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-vessel split of the landings pipeline (reference
+    R/initdb.R:379-397): flokkur == -4, sampling_type FLND."""
+    return _landings_spark(spark, sf_dir, foreign=True)
+
+
+# --------------------------------------------------------------- p6 rescale
+
+PUBLISHED_SQL = """
+SELECT sk.species, CAST(y AS INT) AS year,
+       CAST((sk.tegund * 37) % 100 + y % 7 + 1 AS DOUBLE) AS iceland
+FROM species_key sk, (SELECT unnest(generate_series(1995, 2001)) AS y)
+"""
+
+
+def published(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sk = fx.species_key(spark, sf_dir)
+    years = spark.range(1995, 2002).select(F.col("id").cast("int").alias("year"))
+    return sk.crossJoin(years).select(
+        "species",
+        "year",
+        ((F.col("tegund") * 37) % 100 + F.col("year") % 7 + 1).cast("double").alias("iceland"),
+    )
+
+
+@register(
+    "p6_landings_rescale",
+    _landings_ctes(foreign=False)
+    + f""",
+published AS ({PUBLISHED_SQL}),
+db AS (
+  SELECT species, year, SUM(weight_total) / 1000 AS catch
+  FROM filtered GROUP BY species, year
+),
+ratios AS (
+  SELECT p.species, p.year, p.iceland / d.catch AS r
+  FROM published p JOIN db d ON p.species = d.species AND p.year = d.year
+  WHERE p.year BETWEEN 1993 AND 2005
+),
+rescaled AS (
+  SELECT f.species, f.year,
+         CASE WHEN rt.r IS NULL THEN f.weight_total
+              ELSE rt.r * f.weight_total END AS weight_total
+  FROM filtered f
+  LEFT JOIN ratios rt ON f.species = rt.species AND f.year = rt.year
+)
+SELECT species, year,
+       ROUND(SUM(weight_total) / 1000, 3) AS catch_kt,
+       COUNT(*) AS n
+FROM rescaled GROUP BY species, year
+""",
+)
+def p6_landings_rescale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ling/tusk published-landings rescale (reference
+    R/initdb.R:469-483): per-(species, year) ratio r = published /
+    DB catch over 1993-2005, applied multiplicatively where a ratio
+    exists; verified on per-(species, year) rescaled totals. The
+    scalar table is tiny → broadcast back onto the fact rows; the
+    rescale costs one extra map stage, no new wide shuffle. Totals
+    re-rounded to 3 dp so cross-engine sum-order ulps can't flip the
+    hash."""
+    landings = _landings_spark(spark, sf_dir, foreign=False)
+    res = landings_plan.rescale_by_published(landings, published(spark, sf_dir))
+    return res.groupBy("species", "year").agg(
+        F.round(F.sum("weight_total") / 1000, 3).alias("catch_kt"),
+        F.count(F.lit(1)).alias("n"),
+    )
