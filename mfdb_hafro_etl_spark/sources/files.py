@@ -1,0 +1,132 @@
+"""Delimited-file ingestion.
+
+The reference reads four file families (SURVEY §2.1):
+
+- headered TSV/whitespace/CSV (S2/S3: ``read.table(header=TRUE)``,
+  ``read_delim``, ``read_csv`` — reference R/initdb.R:27-30,73,164)
+- headerless legacy globs with positional column names, two
+  separators and two column orders (S7: ``list.files(pattern=...)
+  %>% map(read.table(skip=2, sep=...)) %>% bind_rows`` + positional
+  rename — reference R/initdb_shrimp.R:526-544)
+- per-entity HTTP CSV fan-out with error tolerance (S6:
+  ``plyr::ldply(sp.it, function(x) tryCatch(read.csv(...),
+  error=...))`` — reference R/initdb.R:449-458)
+
+Engine stance (SURVEY §1.3): every reader takes an EXPLICIT schema —
+``inferSchema`` double-scans the data (a full extra pass over 100 TB)
+and guesses types per-file, so it never appears here. A glob read is
+a single distributed scan: Spark lists the files on the driver but
+reads them across executors, so a million-file legacy dump ingests in
+parallel, unlike the reference's sequential driver-side loop.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+from pyspark.sql import functions as F
+
+
+def read_delimited(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    *,
+    sep: str = ",",
+    header: bool = True,
+) -> DataFrame:
+    """S2/S3: headered delimited read with a declared schema. The
+    header row is used for nothing but skipping — column names and
+    types come from ``schema`` (positional), so a renamed header in a
+    delivered file can't silently retype a column."""
+    return (
+        spark.read.schema(schema)
+        .option("sep", sep)
+        .option("header", str(header).lower())
+        .option("enforceSchema", "true")
+        .csv(path)
+    )
+
+
+def read_legacy_family(
+    spark: SparkSession,
+    glob: str,
+    colnames: Sequence[str],
+    types: Sequence[str],
+    *,
+    sep: str = "\t",
+    skip_rows: int = 0,
+) -> DataFrame:
+    """S7: one headerless legacy family — positional rename, explicit
+    types (the reference's ``rename_(.dots=setNames(colnames(.),
+    c('vf','skip',...)))``, R/initdb_shrimp.R:527-540).
+
+    ``skip_rows`` drops leading junk lines per FILE (the reference's
+    ``skip=2``). Spark's csv reader has no per-file skip, so the
+    rows are read as strings and dropped by a monotonic index scoped
+    to each file via ``input_file_name`` — still one distributed
+    scan, no driver loop.
+    """
+    raw_schema = T.StructType(
+        [T.StructField(f"_c{i}", T.StringType()) for i in range(len(colnames))]
+    )
+    df = spark.read.schema(raw_schema).option("sep", sep).option("header", "false").csv(glob)
+    if skip_rows:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(F.input_file_name()).orderBy(F.monotonically_increasing_id())
+        df = (
+            df.withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") > skip_rows)
+            .drop("__rn__")
+        )
+    return df.select(
+        *[F.col(f"_c{i}").cast(t).alias(n) for i, (n, t) in enumerate(zip(colnames, types))]
+    )
+
+
+def union_families(frames: Sequence[DataFrame]) -> DataFrame:
+    """S7/U2: union heterogeneous families by NAME with missing
+    columns null-filled (the reference's ``bind_rows`` semantics —
+    mismatched CSVs are expected, SURVEY S6 note)."""
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    return out
+
+
+def fan_out_tolerant(
+    spark: SparkSession,
+    entities: Sequence[str],
+    path_for: "callable",
+    schema: T.StructType | str,
+    *,
+    sep: str = ",",
+    header: bool = True,
+    tag_col: str = "species",
+) -> DataFrame:
+    """S6: per-entity file fan-out with error tolerance — missing or
+    unreadable per-entity files contribute zero rows instead of
+    failing the batch (the reference's ``tryCatch(read.csv(...),
+    error=function(x) data.frame())``, R/initdb.R:452-453).
+
+    The driver only LISTS candidates (cheap); all reads stay one
+    distributed csv scan over the surviving paths, each row tagged
+    with its entity via the file path — no per-entity job.
+    """
+    import os
+
+    paths = {e: path_for(e) for e in entities}
+    alive = {e: p for e, p in paths.items() if os.path.exists(p)}
+    if not alive:
+        return spark.createDataFrame([], schema).withColumn(tag_col, F.lit(None).cast("string"))
+    by_path = {os.path.abspath(p): e for e, p in alive.items()}
+    df = read_delimited(spark, list(alive.values()), schema, sep=sep, header=header)
+    mapping = F.create_map(
+        *[x for p, e in sorted(by_path.items()) for x in (F.lit(f"file://{p}"), F.lit(e))]
+    )
+    # input_file_name() returns a URI (spaces become %20, etc.) —
+    # decode before the map lookup so on-disk names match
+    return df.withColumn(tag_col, mapping[F.url_decode(F.input_file_name())])

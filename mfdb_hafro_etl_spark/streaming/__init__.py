@@ -1,0 +1,25 @@
+"""Structured Streaming operators (driver extension scope — the
+reference is purely batch-relational, SURVEY §2.9).
+
+Each operator has a batch twin in operators/sessions.py or
+operators/dedup.py; the streaming variants add watermarks and state
+so the same semantics run incrementally. ``availableNow`` runs turn
+any of them into a verifiable batch job over the testdata."""
+
+from mfdb_hafro_etl_spark.streaming.jobs import (
+    finalize_session_updates,
+    read_events_stream,
+    run_available_now,
+    stream_dedup,
+    stream_sessionize,
+    stream_tumbling_agg,
+)
+
+__all__ = [
+    "finalize_session_updates",
+    "read_events_stream",
+    "run_available_now",
+    "stream_dedup",
+    "stream_sessionize",
+    "stream_tumbling_agg",
+]

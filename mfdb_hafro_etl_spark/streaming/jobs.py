@@ -1,0 +1,192 @@
+"""Streaming jobs over the events stream.
+
+Design notes (scale-first):
+
+- File-source streams share the batch reader's schema discipline: an
+  explicit schema, never inference (a streaming source can't afford
+  an inference pass, and silent type drift across files is worse).
+- Watermarks bound ALL state: the windowed agg and the
+  within-watermark dedup both purge state once event time passes the
+  lateness bound, so state size is O(active windows / in-flight
+  keys), not O(stream history) — the only formulation that survives
+  an unbounded stream on a real cluster.
+- ``availableNow`` + memory sink is the verification harness: the
+  same query graph that would run continuously is executed to
+  exhaustion over the finite testdata and compared with its batch
+  twin (tests/test_streaming.py). ``complete`` output mode is used
+  for the windowed agg in that harness because with a finite input
+  the watermark never advances past the trailing windows — in
+  ``append`` mode they would be withheld forever.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# events.parquet stores ts as TIMESTAMP(NANOS) (see catalog.load_table)
+EVENTS_STREAM_DDL = (
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, "
+    "event_type STRING, value DOUBLE, props STRING"
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events table (nanos → µs, same floor the
+    batch reader and DuckDB apply).
+
+    The file stream source wants a DIRECTORY it can monitor for new
+    files (that's the streaming contract — files arriving over time);
+    the testdata ships a single parquet file, so it is staged into a
+    scratch dir via symlink. In production this is the landing
+    directory new event files drop into."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
+    if os.path.isdir(src):
+        path = src
+    else:
+        tok = os.path.basename(sf_dir.rstrip("/"))
+        path = f"/tmp/mfdb_suite/events_stream_{tok}"
+        os.makedirs(path, exist_ok=True)
+        link = os.path.join(path, "events.parquet")
+        if not os.path.exists(link):
+            os.symlink(src, link)
+    raw = spark.readStream.schema(EVENTS_STREAM_DDL).parquet(path)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_available_now(sdf: DataFrame, name: str, output_mode: str = "append") -> DataFrame:
+    """Execute a streaming DataFrame to exhaustion (availableNow) into
+    a memory sink; returns the materialized result as a static
+    DataFrame. Verification harness only — production sinks are
+    kafka/parquet/delta writers with checkpointing."""
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)
+
+
+def stream_tumbling_agg(
+    events: DataFrame,
+    *,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Watermarked tumbling-window count+sum per key — the streaming
+    twin of operators/sessions.tumbling_window_agg (same output
+    schema, same rounding)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window(F.col("ts"), window).alias("win"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(value_col), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            key_col,
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def stream_dedup(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    *,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup on key columns with watermark-bounded
+    state (dropDuplicatesWithinWatermark): duplicates arriving within
+    the lateness bound are dropped, state for older keys is purged —
+    the scale-safe streaming analog of the batch dropDuplicates."""
+    keys = keys or ["user_id", "event_type", "ts"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+# ------------------------------------------------------------- sessions
+
+SESSION_STATE_DDL = "last_ts DOUBLE, session_no INT, start_ts DOUBLE, n_events INT"
+SESSION_OUT_DDL = "user_id BIGINT, session_no INT, n_events INT, duration_s DOUBLE"
+
+
+def _session_fn(
+    key: tuple,
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user incremental gap sessionizer. State carries the open
+    session; each batch emits the latest stats for every session it
+    touched (update semantics — later emits supersede earlier)."""
+    gap_s = 1800.0
+    if state.exists:
+        last_ts, session_no, start_ts, n_events = state.get
+    else:
+        last_ts, session_no, start_ts, n_events = None, 0, 0.0, 0
+    touched: dict[int, tuple[int, float]] = {}
+    (user_id,) = key
+    rows = pd.concat(list(batches), ignore_index=True)
+    rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+    for ts in rows["ts"]:
+        t = ts.timestamp()
+        if last_ts is None or (t - last_ts) > gap_s:
+            session_no += 1
+            start_ts = t
+            n_events = 0
+        n_events += 1
+        last_ts = t
+        touched[session_no] = (n_events, round(t - start_ts, 3))
+    state.update((last_ts, session_no, start_ts, n_events))
+    out = pd.DataFrame(
+        {
+            "user_id": [user_id] * len(touched),
+            "session_no": list(touched),
+            "n_events": [v[0] for v in touched.values()],
+            "duration_s": [v[1] for v in touched.values()],
+        }
+    )
+    yield out
+
+
+def stream_sessionize(events: DataFrame) -> DataFrame:
+    """Stateful gap-based sessionization (30-min gap) via
+    applyInPandasWithState — the streaming twin of
+    operators/sessions.session_stats.
+
+    Emits updated (user_id, session_no) stats per batch; the final
+    value per session is the row from the last batch that touched it
+    (n_events only grows, so max() collapses the update log — see
+    finalize_session_updates). Production deployments add an
+    event-time timeout to flush + purge closed sessions; the
+    verification harness keeps NoTimeout because a finite input's
+    watermark never fires the trailing timeout anyway."""
+    return events.select("user_id", "ts", "event_id").groupBy("user_id").applyInPandasWithState(
+        _session_fn,
+        outputStructType=SESSION_OUT_DDL,
+        stateStructType=SESSION_STATE_DDL,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def finalize_session_updates(updates: DataFrame) -> DataFrame:
+    """Collapse the update log from stream_sessionize to final
+    per-session stats (counts/durations only grow within a session,
+    so max = latest)."""
+    return updates.groupBy("user_id", "session_no").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("duration_s").alias("duration_s"),
+    )

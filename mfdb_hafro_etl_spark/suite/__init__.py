@@ -33,3 +33,4 @@ def register(name: str, sql: str | None = None):
 from mfdb_hafro_etl_spark.suite import relational  # noqa: E402,F401
 from mfdb_hafro_etl_spark.suite import extensions  # noqa: E402,F401
 from mfdb_hafro_etl_spark.suite import pipelines  # noqa: E402,F401
+from mfdb_hafro_etl_spark.suite import io_streaming  # noqa: E402,F401

@@ -1,0 +1,273 @@
+"""Suite queries for the sink, file-source, and streaming packages.
+
+These operators have side effects (writes, driver-visible files,
+streaming state), so each query is built to be IDEMPOTENT — repeated
+invocations (bench warm-up + timed run, driver retries) rewrite the
+same scratch state and return the same result. Scratch lives under
+/tmp/mfdb_suite/<query>_<sf>; the testdata itself is never touched.
+"""
+
+from __future__ import annotations
+
+import csv
+import itertools
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mfdb_hafro_etl_spark import streaming as st
+from mfdb_hafro_etl_spark.catalog import load_table
+from mfdb_hafro_etl_spark.session import ensure_package_shipped
+from mfdb_hafro_etl_spark.sinks import read_fact, replace_by_source
+from mfdb_hafro_etl_spark.sources import (
+    fan_out_tolerant,
+    read_legacy_family,
+    union_families,
+)
+from mfdb_hafro_etl_spark.suite import register
+
+SCRATCH = "/tmp/mfdb_suite"
+
+_mem_names = itertools.count()
+
+
+def _scratch(query: str, sf_dir: str) -> str:
+    tok = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(SCRATCH, f"{query}_{tok}")
+    return path
+
+
+def _mem(prefix: str) -> str:
+    return f"{prefix}_{next(_mem_names)}"
+
+
+# ------------------------------------------------- s15 replace-by-source
+@register(
+    "s15_replace_by_source",
+    """
+    SELECT CASE WHEN l_orderkey % 2 = 0 THEN 'even' ELSE 'odd' END AS data_source,
+           COUNT(*) AS n,
+           ROUND(SUM(l_quantity), 2) AS total_qty
+    FROM lineitem GROUP BY 1
+    """,
+)
+def s15_replace_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent fact import (reference mfdb_import_survey,
+    R/initdb.R:286-288): the fact table is partitioned by
+    data_source; importing a source is a dynamic-partition overwrite
+    that swaps exactly that source's partition. The query imports the
+    'even' source twice — first a garbage version, then the real one —
+    and the oracle only matches if the second import fully REPLACED
+    the first (no duplicate/stale rows) while 'odd' stayed intact."""
+    path = _scratch("s15_fact", sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    fact = li.select(
+        F.col("l_orderkey").alias("k"),
+        (F.col("l_orderkey") % 2 == 0).alias("is_even"),
+        F.col("l_quantity").alias("qty"),
+    )
+    odd = fact.filter(~F.col("is_even")).drop("is_even")
+    even = fact.filter(F.col("is_even")).drop("is_even")
+    replace_by_source(odd, path, "odd")
+    replace_by_source(even.withColumn("qty", F.col("qty") * 0), path, "even")  # stale v1
+    replace_by_source(even, path, "even")  # re-import replaces v1
+    return (
+        read_fact(spark, path)
+        .groupBy("data_source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("qty"), 2).alias("total_qty"),
+        )
+    )
+
+
+# ---------------------------------------------- s7 heterogeneous ingest
+
+_S7_JUNK = ["# legacy export\n", "# col header junk\n"]
+
+
+def _write_legacy_files(spark: SparkSession, sf_dir: str, base: str) -> None:
+    """Derive two legacy file families from the nation table (25 rows
+    — driver-side by design: the reference's legacy files ARE
+    external driver-visible inputs, SURVEY S7)."""
+    rows = sorted(
+        load_table(spark, sf_dir, "nation").collect(),
+        key=lambda r: r.n_nationkey,
+    )
+    fam_a = os.path.join(base, "fam_a")
+    fam_b = os.path.join(base, "fam_b")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(fam_a)
+    os.makedirs(fam_b)
+    # family A: tab-separated, 2 junk lines, order (key, name, region)
+    with open(os.path.join(fam_a, "afli.1990"), "w", newline="") as f:
+        f.writelines(_S7_JUNK)
+        w = csv.writer(f, delimiter="\t")
+        for r in rows:
+            if r.n_nationkey % 2 == 0:
+                w.writerow([r.n_nationkey, r.n_name, r.n_regionkey])
+    # family B: ';'-separated, no junk, order (name, region, key)
+    with open(os.path.join(fam_b, "ready.1"), "w", newline="") as f:
+        w = csv.writer(f, delimiter=";")
+        for r in rows:
+            if r.n_nationkey % 2 == 1:
+                w.writerow([r.n_name, r.n_regionkey, r.n_nationkey])
+
+
+@register(
+    "s7_glob_ingest",
+    """
+    SELECT n_regionkey AS region, COUNT(*) AS n, MIN(n_name) AS first_name
+    FROM nation GROUP BY 1
+    """,
+)
+def s7_glob_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-file heterogeneous legacy ingest (reference
+    R/initdb_shrimp.R:526-544): two file families with different
+    separators, column orders, and leading junk lines, read with
+    explicit positional schemas, unioned by name, aggregated. The
+    oracle over the source table only matches if no row was lost,
+    re-typed, or mis-renamed in the round trip."""
+    base = _scratch("s7_files", sf_dir)
+    _write_legacy_files(spark, sf_dir, base)
+    fam_a = read_legacy_family(
+        spark,
+        os.path.join(base, "fam_a", "afli.*"),
+        ["key", "name", "region"],
+        ["bigint", "string", "int"],
+        sep="\t",
+        skip_rows=len(_S7_JUNK),
+    )
+    fam_b = read_legacy_family(
+        spark,
+        os.path.join(base, "fam_b", "ready*"),
+        ["name", "region", "key"],
+        ["string", "int", "bigint"],
+        sep=";",
+    )
+    return (
+        union_families([fam_a, fam_b])
+        .groupBy(F.col("region"))
+        .agg(F.count(F.lit(1)).alias("n"), F.min("name").alias("first_name"))
+        .withColumnRenamed("region", "region")
+    )
+
+
+# --------------------------------------------------- s6 tolerant fan-out
+@register(
+    "s6_fanout_tolerant",
+    """
+    SELECT r.r_name AS species, COUNT(*) AS n
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1
+    """,
+)
+def s6_fanout_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity file fan-out with error tolerance (reference
+    R/initdb.R:449-458): one CSV per region entity (plus two entities
+    whose files don't exist — they must contribute zero rows, not
+    fail), every row tagged with its entity, single distributed scan."""
+    base = _scratch("s6_files", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    rows = nation.join(region, nation.n_regionkey == region.r_regionkey).select(
+        "r_name", "n_nationkey", "n_name"
+    ).collect()
+    by_region: dict[str, list] = {}
+    for r in rows:
+        by_region.setdefault(r.r_name, []).append(r)
+    for rname, rs in by_region.items():
+        with open(os.path.join(base, f"{rname}.csv"), "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["nationkey", "name"])
+            for r in sorted(rs, key=lambda x: x.n_nationkey):
+                w.writerow([r.n_nationkey, r.n_name])
+    entities = sorted(by_region) + ["ATLANTIS", "LEMURIA"]  # two missing
+    df = fan_out_tolerant(
+        spark,
+        entities,
+        lambda e: os.path.join(base, f"{e}.csv"),
+        "nationkey BIGINT, name STRING",
+        tag_col="species",
+    )
+    return df.groupBy("species").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------- streaming queries
+@register(
+    "x_stream_tumbling",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def x_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming watermarked tumbling-window aggregate,
+    run to exhaustion with availableNow and verified against the
+    batch oracle — same semantics as x_events_tumbling, incremental
+    execution."""
+    ev = st.read_events_stream(spark, sf_dir)
+    agg = st.stream_tumbling_agg(ev, window="1 hour", watermark="2 hours")
+    return st.run_available_now(agg, _mem("stream_tumbling"), output_mode="complete")
+
+
+@register(
+    "x_stream_dedup",
+    """
+    SELECT event_type, COUNT(*) AS n
+    FROM (SELECT DISTINCT user_id, event_type, ts FROM events)
+    GROUP BY 1
+    """,
+)
+def x_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup with watermark-bounded state
+    (dropDuplicatesWithinWatermark), verified against batch
+    DISTINCT."""
+    ev = st.read_events_stream(spark, sf_dir)
+    dd = st.stream_dedup(ev, ["user_id", "event_type", "ts"], watermark="2 hours")
+    out = st.run_available_now(dd, _mem("stream_dedup"))
+    return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "x_stream_sessionize",
+    """
+    WITH lagged AS (
+      SELECT user_id, ts, event_id,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    starts AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                       OR (epoch_us(ts) / 1000000.0 - epoch_us(prev_ts) / 1000000.0) > 1800.0
+                     THEN 1 ELSE 0 END AS is_start
+      FROM lagged
+    ),
+    sess AS (
+      SELECT *, SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM starts
+    )
+    SELECT user_id, CAST(session_no AS INT) AS session_no,
+           COUNT(*) AS n_events,
+           ROUND(MAX(epoch_us(ts) / 1000000.0) - MIN(epoch_us(ts) / 1000000.0), 3) AS duration_s
+    FROM sess GROUP BY 1, 2
+    """,
+)
+def x_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator: gap-based sessionization
+    via applyInPandasWithState (per-user open-session state carried
+    across micro-batches), finalized from the update log and verified
+    against the batch window-function sessionizer."""
+    ensure_package_shipped(spark)
+    ev = st.read_events_stream(spark, sf_dir)
+    updates = st.stream_sessionize(ev)
+    log = st.run_available_now(updates, _mem("stream_sessions"), output_mode="update")
+    return st.finalize_session_updates(log)

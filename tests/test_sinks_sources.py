@@ -1,0 +1,78 @@
+"""Behavioral tests for sinks/sources that the oracle-parity suite
+can't express: FK-gate failures, replace-by-source isolation, and
+file-reader edge cases."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mfdb_hafro_etl_spark.sinks import (
+    fk_violations,
+    materialize,
+    read_fact,
+    replace_by_source,
+    require_fk,
+)
+from mfdb_hafro_etl_spark.sources import read_legacy_family, union_families
+
+
+def test_require_fk_raises_on_unregistered_keys(spark):
+    fact = spark.createDataFrame(
+        [(1, "V1"), (2, "V2"), (3, None), (4, "V9")], "id INT, vessel STRING"
+    )
+    dim = spark.createDataFrame([("V1",), ("V2",)], "vessel STRING")
+    # NULL vessel is allowed (reference imports NULL vessel rows)
+    bad = fk_violations(fact, dim, ["vessel"]).collect()
+    assert [r.vessel for r in bad] == ["V9"]
+    with pytest.raises(ValueError, match="vessel"):
+        require_fk(fact, dim, ["vessel"], label="vessel")
+    clean = fact.filter(F.col("id") != 4)
+    assert require_fk(clean, dim, ["vessel"]).count() == 3
+
+
+def test_replace_by_source_isolates_partitions(spark, tmp_path):
+    path = str(tmp_path / "fact")
+    a1 = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k INT, v DOUBLE")
+    b = spark.createDataFrame([(3, 30.0)], "k INT, v DOUBLE")
+    replace_by_source(a1, path, "a")
+    replace_by_source(b, path, "b")
+    # re-import source a with different rows: must fully replace a,
+    # leave b untouched
+    a2 = spark.createDataFrame([(9, 90.0)], "k INT, v DOUBLE")
+    replace_by_source(a2, path, "a")
+    got = {
+        (r.data_source, r.k, r.v) for r in read_fact(spark, path).collect()
+    }
+    assert got == {("a", 9, 90.0), ("b", 3, 30.0)}
+
+
+def test_materialize_roundtrip_with_clustering(spark, tmp_path):
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 7).alias("tow"), F.col("id").alias("x")
+    )
+    out = materialize(df, str(tmp_path / "chk"), repartition_by=["tow"], n_files=4)
+    assert out.count() == 1000
+    assert {f for f in os.listdir(tmp_path / "chk") if f.endswith(".parquet")}
+
+
+def test_legacy_family_skip_rows_and_types(spark, tmp_path):
+    p = tmp_path / "fam"
+    p.mkdir()
+    (p / "afli.1").write_text("junk line\nmore junk\n5\tfoo\n6\tbar\n")
+    (p / "afli.2").write_text("junk line\nmore junk\n7\tbaz\n")
+    df = read_legacy_family(
+        spark, str(p / "afli.*"), ["n", "s"], ["int", "string"], sep="\t", skip_rows=2
+    )
+    got = {(r.n, r.s) for r in df.collect()}
+    assert got == {(5, "foo"), (6, "bar"), (7, "baz")}
+    assert dict(df.dtypes) == {"n": "int", "s": "string"}
+
+
+def test_union_families_fills_missing_columns(spark):
+    a = spark.createDataFrame([(1, "x")], "k INT, extra STRING")
+    b = spark.createDataFrame([(2,)], "k INT")
+    got = union_families([a, b]).orderBy("k").collect()
+    assert [(r.k, r.extra) for r in got] == [(1, "x"), (2, None)]
