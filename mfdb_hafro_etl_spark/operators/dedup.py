@@ -163,14 +163,18 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .dropDuplicates()
     )
-    # verify candidates with exact jaccard (reuses the cached shingles)
+    # verify candidates with exact jaccard (reuses the cached
+    # shingles). Intersection = candidate pairs fanned out over A's
+    # shingles, equi-joined against B's (id_b, shingle) — a hash join
+    # whose intermediate is |pairs|·|A| rows. (Joining a and b to the
+    # pair FIRST and filtering shingle equality afterwards would
+    # materialize |A|·|B| rows per pair — quadratic in doc length.)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
         candidates.join(a, "id_a")
-        .join(b.withColumnRenamed("shingle", "shingle_b"), "id_b")
-        .filter(F.col("shingle") == F.col("shingle_b"))
+        .join(b, on=["id_b", "shingle"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )

@@ -109,29 +109,43 @@ def skala_med_toldum2(
         .join(ratio, on=["synis_id", "tegund"], how="left")
     )
 
-    # stage 2: per-interval sums (one shuffle)
-    by_int = base.groupBy("synis_id", "tegund", "lengd_interval", "a", "b").agg(
-        F.sum("fjoldi").alias("fjoldi_by_int")
-    )
-    # stages 3-4: the reference's two aggregate→rejoin rounds as two
-    # window sums over the same partitioning (one shuffle)
-    w = Window.partitionBy("synis_id", "tegund")
+    # Stages 2-4 are pure window algebra over ONE partitioning: the
+    # ratio join above already hashes both sides by (synis_id, tegund),
+    # and every window below partitions by (synis_id, tegund[, interval])
+    # — a superset clustering that HashPartitioning(synis_id, tegund)
+    # satisfies — so the whole scaling transform runs with NO further
+    # shuffle and NO self-join (the naive translation is groupBy +
+    # join-back, which recomputes the upstream twice and adds a
+    # large-large sort-merge join; .explain shows a single Exchange).
+    w_grp = Window.partitionBy("synis_id", "tegund")
+    w_int = Window.partitionBy("synis_id", "tegund", "lengd_interval")
     null_d = F.lit(None).cast("double")
-    weighted = by_int.withColumn("fjoldi_sum", F.sum("fjoldi_by_int").over(w)).withColumn(
-        "fjoldi_prop_weighted",
-        F.when(
-            F.col("fjoldi_sum") * F.col("a") * F.pow("lengd_interval", F.col("b")) == 0,
-            null_d,
-        ).otherwise(
-            F.col("fjoldi_by_int")
-            / F.col("fjoldi_sum")
-            * F.col("a")
-            * F.pow("lengd_interval", F.col("b"))
-        ),
+
+    stage = base.withColumns(
+        {
+            "fjoldi_by_int": F.sum("fjoldi").over(w_int),
+            "fjoldi_sum": F.sum("fjoldi").over(w_grp),
+            # one-row-per-interval indicator so per-interval terms can
+            # be re-aggregated at group grain without a join
+            "__int_rn__": F.row_number().over(w_int.orderBy(F.lit(1))),
+        }
     )
-    weighted = weighted.withColumn(
-        "fjoldi_prop_weighted_sum", F.sum("fjoldi_prop_weighted").over(w)
-    ).withColumn(
+    fpw = F.when(
+        F.col("fjoldi_sum") * F.col("a") * F.pow("lengd_interval", F.col("b")) == 0,
+        null_d,
+    ).otherwise(
+        F.col("fjoldi_by_int")
+        / F.col("fjoldi_sum")
+        * F.col("a")
+        * F.pow("lengd_interval", F.col("b"))
+    )
+    stage = stage.withColumn("fjoldi_prop_weighted", fpw).withColumn(
+        "fjoldi_prop_weighted_sum",
+        F.sum(
+            F.when(F.col("__int_rn__") == 1, F.col("fjoldi_prop_weighted")).otherwise(F.lit(0.0))
+        ).over(w_grp),
+    )
+    stage = stage.withColumn(
         "biom_prop",
         F.when(F.col("fjoldi_prop_weighted_sum") == 0, null_d).otherwise(
             F.col("fjoldi_prop_weighted") / F.col("fjoldi_prop_weighted_sum")
@@ -140,14 +154,7 @@ def skala_med_toldum2(
 
     biom_spp = sorted(biom_teg)
     out = (
-        base.join(
-            weighted.select(
-                "synis_id", "tegund", "lengd_interval", "fjoldi_by_int", "biom_prop"
-            ),
-            on=["synis_id", "tegund", "lengd_interval"],
-            how="left",
-        )
-        .withColumn(
+        stage.withColumn(
             "mean_wt",
             F.col("biom_prop")
             * (
@@ -170,6 +177,10 @@ def skala_med_toldum2(
             "b",
             "s",
             "fjoldi_by_int",
+            "fjoldi_sum",
+            "__int_rn__",
+            "fjoldi_prop_weighted",
+            "fjoldi_prop_weighted_sum",
             "biom_prop",
         )
     )
