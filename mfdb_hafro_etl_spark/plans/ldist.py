@@ -187,6 +187,26 @@ def skala_med_toldum2(
     return out
 
 
+def shrimp_weight_for_index(
+    mean_wt: F.Column,
+    towlength: F.Column,
+    towcount: F.Column,
+    size: F.Column,
+) -> F.Column:
+    """Shrimp weight-for-index scaling (SURVEY §2.10.6, reference
+    R/initdb_add_shrimp.R:208-214):
+
+        weight = (mean_wt / nvl(towlength, 1)) / towcount * nvl(size, 1)
+
+    applied only for the index sampling types (the caller gates on
+    sampling_type ∈ {XS, XINS, SEA})."""
+    return (
+        (mean_wt / F.coalesce(towlength, F.lit(1.0)))
+        / towcount
+        * F.coalesce(size, F.lit(1.0))
+    )
+
+
 def maturity_recode_full(kynthroski: F.Column, tegund: F.Column, sex: F.Column) -> F.Column:
     """Maturity recode incl. the species-9 female-only rule
     (reference R/initdb.R:217-219,302-304):

@@ -825,3 +825,205 @@ def d5_count_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.round(F.sum(F.col("l_quantity") * ratio), 2).alias("scaled_count")
     )
+
+
+# ----------------------------------------------------------------------- W3
+@register(
+    "w3_alternating_dedupe",
+    """
+    WITH ranked AS (
+      SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber, l_partkey, l_suppkey) AS rn
+      FROM lineitem
+    )
+    SELECT l_returnflag, COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM ranked WHERE rn % 2 = 1 GROUP BY 1
+    """,
+)
+def w3_alternating_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: drop every 2nd occurrence within a key (reference
+    R/shrimp_support_tables.R:464-475 drops even-ranked repeats of
+    synis_id ordered by the explicit ``order`` column). The
+    reference's read-order dependence is replaced by an explicit
+    rank; one shuffle on the key. The order-by carries enough
+    tiebreak columns to be a total order — (orderkey, linenumber) is
+    NOT unique in this testdata, and an ambiguous rank is exactly the
+    nondeterminism SURVEY §4 calls out as a reference hazard."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey", "l_suppkey")
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") % 2 == 1)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+# ----------------------------------------------------------------------- A5
+@register(
+    "a5_id_offset",
+    """
+    SELECT r_name,
+           CAST((SELECT MAX(n_nationkey) FROM nation)
+                + ROW_NUMBER() OVER (ORDER BY r_name) AS INT) AS id
+    FROM region
+    """,
+)
+def a5_id_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: new dimension ids offset past the existing max (reference
+    R/initdb_add_shrimp.R:26 ``id = max(reitmapping$id) + 1:n()``).
+    The scalar max is fetched driver-side into a literal (SURVEY §4
+    constant folding); the id window is deterministic via explicit
+    order."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    mx = nation.agg(F.max("n_nationkey")).first()[0]
+    return agg_ops.scalar_max_offset_ids(
+        region.select("r_name"), int(mx), order_by=["r_name"]
+    )
+
+
+# ------------------------------------------------------------- §2.10.9 D9
+@register(
+    "d9_correction_overlay",
+    """
+    WITH corr AS (
+      SELECT o_orderkey, ROUND(o_totalprice * 2, 2) AS totalprice_fx
+      FROM orders WHERE o_orderkey % 10 = 3
+    ),
+    bad AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 97 = 0)
+    SELECT o.o_orderpriority, COUNT(*) AS n,
+           ROUND(SUM(CASE WHEN c.totalprice_fx IS NOT NULL
+                          THEN c.totalprice_fx ELSE o.o_totalprice END), 2) AS total_fixed
+    FROM orders o
+    LEFT JOIN corr c ON o.o_orderkey = c.o_orderkey
+    WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM bad)
+    GROUP BY 1
+    """,
+)
+def d9_correction_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correction overlay (SURVEY §2.10.9, reference
+    R/shrimp_support_tables.R:2100-2132): broadcast left-join a keyed
+    fix table, per-column nvl2(fix, fix, orig), plus the
+    bad_synis_id exclusion list as a broadcast anti-join — no shuffle
+    of the fact side."""
+    o = load_table(spark, sf_dir, "orders")
+    corr = o.filter(F.col("o_orderkey") % 10 == 3).select(
+        "o_orderkey", F.round(F.col("o_totalprice") * 2, 2).alias("totalprice_fx")
+    )
+    bad = o.filter(F.col("o_orderkey") % 97 == 0).select("o_orderkey")
+    fixed = corr_ops.apply_correction(
+        o.select("o_orderkey", "o_totalprice", "o_orderpriority"),
+        corr,
+        key=["o_orderkey"],
+        fixes={"o_totalprice": "totalprice_fx"},
+    )
+    fixed = corr_ops.drop_bad_keys(fixed, bad, ["o_orderkey"])
+    return fixed.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_fixed"),
+    )
+
+
+# ------------------------------------------------------------------- C5/C7
+@register(
+    "c5_geo_classify",
+    """
+    WITH pts AS (
+      SELECT o_orderkey,
+             CAST(300 + o_orderkey % 400 AS INT) AS sr,
+             CASE WHEN o_orderkey % 53 = 0 THEN NULL
+                  ELSE FLOOR((300 + o_orderkey % 400) / 100) + 60.25 END AS lat,
+             -((300 + o_orderkey % 400) % 100) - 0.5 AS lon
+      FROM orders
+    )
+    SELECT CASE WHEN lat IS NULL THEN NULL
+                WHEN lat BETWEEN 64.0 AND 66.0 AND lon BETWEEN -80.0 AND -20.0
+                THEN TRUE ELSE FALSE END AS inside,
+           COUNT(*) AS n,
+           ROUND(AVG(30.0 * 60.0 * COS(RADIANS(FLOOR(sr / 100) + 60.25))), 4) AS avg_cell_nm2,
+           ROUND(AVG(2 * 3437.74677078 * ASIN(SQRT(
+             POW(SIN(RADIANS(65.0 - lat) / 2), 2)
+             + COS(RADIANS(lat)) * COS(RADIANS(65.0))
+               * POW(SIN(RADIANS(-20.0 - lon) / 2), 2)))), 4) AS avg_dist_nm
+    FROM pts GROUP BY 1
+    """,
+)
+def c5_geo_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo kernel suite (SURVEY C5/C7): rectangle-code decode
+    (geo::sr2d closed form), cell area (geo::srA), haversine distance
+    (Oracle arcdist), and ray-casting point-in-polygon
+    (geo::geoinside) as a vectorized pandas_udf with NULL capture
+    (C7: errors → NULL, the reference's safely+otherwise=NA). The
+    polygon UDF runs distributed — the reference had to collect to R
+    for this (SURVEY §3 entry 2)."""
+    from mfdb_hafro_etl_spark.functions import geo
+
+    o = load_table(spark, sf_dir, "orders")
+    sr = (300 + F.col("o_orderkey") % 400).cast("int")
+    pts = o.select(
+        sr.alias("sr"),
+        F.when(F.col("o_orderkey") % 53 == 0, F.lit(None).cast("double"))
+        .otherwise(geo.sr2d_lat(sr))
+        .alias("lat"),
+        geo.sr2d_lon(sr).alias("lon"),
+    )
+    inside = geo.points_in_polygon([64.0, 66.0, 66.0, 64.0], [-80.0, -80.0, -20.0, -20.0])
+    return (
+        pts.withColumn("inside", inside(F.col("lat"), F.col("lon")))
+        .groupBy("inside")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(geo.sr_area_nm2(F.col("sr"))), 4).alias("avg_cell_nm2"),
+            F.round(
+                F.avg(
+                    geo.haversine_nm(
+                        F.col("lat"), F.col("lon"), F.lit(65.0), F.lit(-20.0)
+                    )
+                ),
+                4,
+            ).alias("avg_dist_nm"),
+        )
+    )
+
+
+# ------------------------------------------------------------- §2.10.6 D6
+@register(
+    "d6_weight_for_index",
+    """
+    WITH syn AS (
+      SELECT l_returnflag, l_quantity AS mean_wt,
+             CASE WHEN l_linenumber = 1 THEN NULL ELSE l_quantity * 0.5 END AS towlength,
+             CAST(l_linenumber + 1 AS DOUBLE) AS towcount,
+             CASE WHEN l_suppkey % 5 = 0 THEN NULL
+                  ELSE CAST(l_suppkey % 5 AS DOUBLE) END AS size
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           ROUND(SUM(CASE WHEN l_returnflag = 'R'
+             THEN (mean_wt / COALESCE(towlength, 1.0)) / towcount * COALESCE(size, 1.0)
+             ELSE mean_wt END), 2) AS weight
+    FROM syn GROUP BY 1
+    """,
+)
+def d6_weight_for_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shrimp weight-for-index scaling (SURVEY §2.10.6, reference
+    R/initdb_add_shrimp.R:208-214), gated by sampling type, with both
+    nvl-guard branches exercised."""
+    from mfdb_hafro_etl_spark.plans.ldist import shrimp_weight_for_index
+
+    li = load_table(spark, sf_dir, "lineitem")
+    towlength = F.when(F.col("l_linenumber") == 1, F.lit(None).cast("double")).otherwise(
+        F.col("l_quantity") * 0.5
+    )
+    size = F.when(F.col("l_suppkey") % 5 == 0, F.lit(None).cast("double")).otherwise(
+        (F.col("l_suppkey") % 5).cast("double")
+    )
+    weight = F.when(
+        F.col("l_returnflag") == "R",
+        shrimp_weight_for_index(
+            F.col("l_quantity"), towlength, (F.col("l_linenumber") + 1).cast("double"), size
+        ),
+    ).otherwise(F.col("l_quantity"))
+    return li.groupBy("l_returnflag").agg(F.round(F.sum(weight), 2).alias("weight"))
