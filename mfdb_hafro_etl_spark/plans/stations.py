@@ -57,7 +57,13 @@ def build_vessel_map(stodvar: DataFrame, skipasaga: DataFrame) -> DataFrame:
     (nvl(skip,-999)==-999) or an open-ended registry interval
     (nvl(i_gildi, sentinel)==sentinel) survive the filter — R's
     three-arm OR with nvl guards, restated as explicit Spark
-    predicates."""
+    predicates.
+
+    This standalone form mirrors the reference's materialized
+    vessel_map table; build_stations does NOT consume it — rejoining
+    a stodvar-derived frame back onto stodvar by synis_id is a
+    large-large shuffle join, and attach_saga_nr fuses the same
+    semantics into the broadcast registry join instead."""
     ev = stodvar.select("synis_id", "dags", "skip")
     reg = skipasaga.select(
         F.col("skip_nr").alias("skip"), "saga_nr", "i_gildi", "ur_gildi"
@@ -74,9 +80,30 @@ def build_vessel_map(stodvar: DataFrame, skipasaga: DataFrame) -> DataFrame:
     return j.filter(keep).select("synis_id", "saga_nr")
 
 
+def attach_saga_nr(stodvar: DataFrame, skipasaga: DataFrame) -> DataFrame:
+    """Fused vessel-history resolution: one broadcast left join whose
+    condition carries the temporal/sentinel arms, row-for-row
+    equivalent to build_vessel_map + rejoin-by-synis_id (events with
+    no vessel or no matching generation survive with NULL saga_nr;
+    multiple matching generations fan out identically) but with ZERO
+    shuffles — the reference's two-step shape only existed because
+    Oracle materialized vessel_map as a table (SURVEY §3)."""
+    reg = skipasaga.select(
+        F.col("skip_nr").alias("__skip__"), "saga_nr", "i_gildi", "ur_gildi"
+    )
+    sentinel = F.lit(SENTINEL_DATE).cast("date")
+    cond = (stodvar["skip"] == reg["__skip__"]) & (
+        ((stodvar["dags"] > reg["i_gildi"]) & (stodvar["dags"] <= reg["ur_gildi"]))
+        | (nvl(reg["i_gildi"], sentinel) == sentinel)
+    )
+    return stodvar.join(F.broadcast(reg), on=cond, how="left").drop(
+        "__skip__", "i_gildi", "ur_gildi"
+    )
+
+
 def build_stations(
     stodvar: DataFrame,
-    vessel_map: DataFrame,
+    skipasaga: DataFrame,
     gear_mapping: DataFrame,
     reitmapping: DataFrame,
 ) -> DataFrame:
@@ -92,9 +119,12 @@ def build_stations(
     - towlength = great-circle distance (C5; Oracle arcdist →
       Column-algebra haversine)
     - inner join reitmapping validates areacell (J3)
+
+    Every join in this plan is a broadcast (registry, gear, grid are
+    dimension-sized) — the whole spine is shuffle-free map-side work.
     """
     st = (
-        stodvar.join(vessel_map, on="synis_id", how="left")
+        attach_saga_nr(stodvar, skipasaga)
         .withColumn("saga_nr", nvl(F.col("saga_nr"), 0))
         .filter(F.col("synaflokkur").isin(STATION_CLASSES))
         .withColumn("sampling_type", sampling_type(F.col("synaflokkur")))

@@ -75,9 +75,11 @@ _STATION_COLS = (
 
 
 def _spark_fixture_stations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    vm = stations_plan.build_vessel_map(fx.stodvar(spark, sf_dir), fx.skipasaga(spark, sf_dir))
     return stations_plan.build_stations(
-        fx.stodvar(spark, sf_dir), vm, fx.gear_mapping(spark, sf_dir), fx.reitmapping(spark, sf_dir)
+        fx.stodvar(spark, sf_dir),
+        fx.skipasaga(spark, sf_dir),
+        fx.gear_mapping(spark, sf_dir),
+        fx.reitmapping(spark, sf_dir),
     )
 
 
