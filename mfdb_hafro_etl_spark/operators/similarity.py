@@ -175,3 +175,67 @@ def ann_lsh_topk(
     if exclude_id is not None:
         scored = scored.filter(F.col(id_col) != exclude_id)
     return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
+
+
+def ann_ivf_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the clustered scale
+    path beside LSH: vectors are assigned to their nearest centroid;
+    a query scores only the ``n_probe`` clusters nearest its vector,
+    scanning n_probe/n_centroids of the data.
+
+    Centroids are the ``n_centroids`` lowest-id vectors — a
+    deterministic "training sample" (no RNG, engine-reproducible; a
+    production build would k-means-refine them, which changes recall
+    but not the operator shape). Assignment is pure Column algebra:
+    argmax over the broadcast centroid array via array_sort on
+    (-cos, cid) structs — ties resolve to the smallest centroid id on
+    both engines. Cosines are rounded to 6 before comparison so
+    cross-engine ulp noise can't flip an assignment.
+
+    At scale the assignment is a narrow map; writing the result
+    partitioned by cluster id makes every later probe a partition-
+    pruned scan.
+    """
+    cents = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in emb.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
+    ]
+    structs = [
+        F.struct(
+            (-F.round(cosine(F.col(vec_col), F.array(*[F.lit(x) for x in cv])), 6)).alias(
+                "negcos"
+            ),
+            F.lit(cid).alias("cid"),
+        )
+        for cid, cv in cents
+    ]
+    assign = F.array_sort(F.array(*structs))[0]["cid"]
+
+    def _pycos(a: list[float], b: list[float]) -> float:
+        d = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return round(d / (na * nb), 6)
+
+    probes = [
+        cid
+        for cid, _ in sorted(cents, key=lambda c: (-_pycos(query_vec, c[1]), c[0]))[:n_probe]
+    ]
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    scored = (
+        emb.withColumn("__cid__", assign)
+        .filter(F.col("__cid__").isin(probes))
+        .select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"))
+    )
+    if exclude_id is not None:
+        scored = scored.filter(F.col(id_col) != exclude_id)
+    return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)

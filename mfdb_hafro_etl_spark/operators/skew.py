@@ -1,0 +1,63 @@
+"""Skew mitigation (SURVEY §2.3 broadcast-vs-shuffle note; brief's
+"salting for skew").
+
+AQE's skew-join splitting handles most sort-merge skew at runtime;
+explicit salting is for the cases AQE can't re-plan — skewed
+AGGREGATION keys, and skewed joins against a side small enough to
+replicate but too big to broadcast comfortably. Both transforms are
+deterministic (hash-derived salt, no RNG) so results are
+reproducible and oracle-comparable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    on: Sequence[str],
+    salt_from: Sequence[str],
+    buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with a salted key: the large side's hot keys are
+    spread over ``buckets`` partitions via a deterministic hash of
+    ``salt_from`` columns; the small side is exploded ×buckets so
+    every (key, salt) pair still matches. Output is row-identical to
+    the unsalted join; the shuffle's largest partition shrinks
+    ~buckets-fold."""
+    salt = F.pmod(F.hash(*[F.col(c) for c in salt_from]), F.lit(buckets))
+    l = large.withColumn("__salt__", salt)
+    s = small.withColumn(
+        "__salt__", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    )
+    return l.join(s, on=[*on, "__salt__"], how=how).drop("__salt__")
+
+
+def salted_group_sum(
+    df: DataFrame,
+    keys: Sequence[str],
+    value: str,
+    out: str,
+    salt_from: Sequence[str],
+    buckets: int = 16,
+) -> DataFrame:
+    """Two-stage aggregation for skewed group keys: partial sums per
+    (key, salt) — spreading a hot key over ``buckets`` reducers —
+    then the final sum per key over at most ``buckets`` rows each.
+    (Spark's partial aggregation already does this map-side when
+    upstream partitioning is random; explicit salting covers inputs
+    already clustered by the hot key, where map-side combine can't
+    help.)"""
+    salt = F.pmod(F.hash(*[F.col(c) for c in salt_from]), F.lit(buckets))
+    partial = (
+        df.withColumn("__salt__", salt)
+        .groupBy(*keys, "__salt__")
+        .agg(F.sum(value).alias("__part__"))
+    )
+    return partial.groupBy(*keys).agg(F.sum("__part__").alias(out))

@@ -386,3 +386,45 @@ def x_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = mm.attach_binary(docs, "doc_id", "text")
     return mm.extract_features(media, mode="fake")
+
+
+# ---------------------------------------------------------- IVF ANN top-k
+@register(
+    "x_ann_ivf_topk",
+    """
+    WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM emb WHERE vec_id = 0),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM emb ORDER BY vec_id LIMIT 16),
+    assign AS (
+      SELECT e.vec_id, e.v,
+        (SELECT c.cid FROM cent c
+         ORDER BY ROUND(list_dot_product(e.v, c.cv) /
+                        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+                  c.cid
+         LIMIT 1) AS cid
+      FROM emb e
+    ),
+    probes AS (
+      SELECT c.cid FROM cent c, q
+      ORDER BY ROUND(list_dot_product(q.qv, c.cv) /
+                     (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+               c.cid
+      LIMIT 4
+    )
+    SELECT a.vec_id,
+           ROUND(list_dot_product(a.v, q.qv) /
+                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+    FROM assign a, q
+    WHERE a.cid IN (SELECT cid FROM probes) AND a.vec_id <> 0
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+)
+def x_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10: nearest-centroid clustering (16
+    deterministic centroids), query probes its 4 nearest clusters —
+    the partition-pruned scale path beside the LSH variant."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return sim.ann_ivf_topk(
+        emb, [float(x) for x in qvec], k=10, n_centroids=16, n_probe=4, exclude_id=0
+    )

@@ -1027,3 +1027,55 @@ def d6_weight_for_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.col("l_quantity"))
     return li.groupBy("l_returnflag").agg(F.round(F.sum(weight), 2).alias("weight"))
+
+
+# ------------------------------------------------------------------ J11 skew
+@register(
+    "j11_salted_skew_join",
+    """
+    WITH skewed AS (
+      SELECT CASE WHEN l_orderkey % 10 < 8 THEN 0
+                  ELSE CAST(l_orderkey % 100 AS INT) END AS hot_key,
+             l_quantity
+      FROM lineitem
+    ),
+    dim AS (SELECT CAST(k AS INT) AS hot_key, 'L' || CAST(k % 7 AS VARCHAR) AS label
+            FROM (SELECT unnest(generate_series(0, 99)) AS k))
+    SELECT d.label, COUNT(*) AS n, ROUND(SUM(s.l_quantity), 2) AS sum_qty
+    FROM skewed s JOIN dim d ON s.hot_key = d.hot_key
+    GROUP BY 1
+    """,
+)
+def j11_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salting for skewed keys (SURVEY §2.3 note; 80% of rows share
+    one key here): the hot key is spread over 16 salt buckets, the
+    replicated side exploded to match — row-identical to the plain
+    join, with the largest shuffle partition shrunk ~16x. For joins
+    AQE can usually re-plan this at runtime; explicit salting is the
+    tool for skewed aggregations and pre-clustered inputs."""
+    from mfdb_hafro_etl_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    skewed = li.select(
+        F.when(F.col("l_orderkey") % 10 < 8, F.lit(0))
+        .otherwise((F.col("l_orderkey") % 100).cast("int"))
+        .alias("hot_key"),
+        "l_quantity",
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+    )
+    dim = spark.range(0, 100).select(
+        F.col("id").cast("int").alias("hot_key"),
+        F.concat(F.lit("L"), (F.col("id") % 7).cast("string")).alias("label"),
+    )
+    joined = salted_join(
+        skewed,
+        dim,
+        on=["hot_key"],
+        salt_from=["l_orderkey", "l_linenumber", "l_partkey"],
+        buckets=16,
+    )
+    return joined.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
+    )
