@@ -51,7 +51,13 @@ SELECT
   CAST(o_orderkey % 500 AS DOUBLE)             AS dypi_kastad,
   CAST(300 + o_orderkey % 400 AS INT)          AS reitur,
   CASE WHEN o_orderkey % 4 = 0 THEN NULL
-       ELSE CAST(o_orderkey % 4 AS INT) END    AS smareitur
+       ELSE CAST(o_orderkey % 4 AS INT) END    AS smareitur,
+  CAST(1 + o_orderkey % 8 AS INT)              AS skiki,
+  CASE WHEN o_orderkey % 6 = 0 THEN NULL
+       ELSE CAST(o_orderkey % 40 AS DOUBLE) END AS fjardarreitur,
+  CASE WHEN o_orderkey % 9 = 0 THEN NULL
+       ELSE ROUND(0.1 * (o_orderkey % 50), 1) END AS toglengd,
+  CAST(10 + o_orderkey % 80 AS DOUBLE)         AS togtimi
 FROM orders
 """.format(syn=str(SYNAFLOKKUR))
 
@@ -78,6 +84,10 @@ def stodvar(spark: SparkSession, sf_dir: str) -> DataFrame:
         (k % 500).cast("double").alias("dypi_kastad"),
         (300 + k % 400).cast("int").alias("reitur"),
         F.when(k % 4 == 0, F.lit(None)).otherwise((k % 4).cast("int")).alias("smareitur"),
+        (1 + k % 8).cast("int").alias("skiki"),
+        F.when(k % 6 == 0, F.lit(None)).otherwise((k % 40).cast("double")).alias("fjardarreitur"),
+        F.when(k % 9 == 0, F.lit(None)).otherwise(F.round(0.1 * (k % 50), 1)).alias("toglengd"),
+        (10 + k % 80).cast("double").alias("togtimi"),
     )
 
 
@@ -420,6 +430,51 @@ def port2sr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------- correction tables
+# keyed hard-coded fixes + exclusion list (reference
+# R/shrimp_support_tables.R:39-53 bad_synis_id, :375-479
+# corrected_togtimi, :483-1931 corrected_toglengd) — derived
+# deterministically instead of hard-coded, same shapes.
+
+CORRECTED_TOGTIMI_SQL = """
+SELECT o_orderkey AS synis_id, 60.0 AS togtimi_fx
+FROM orders WHERE o_orderkey % 13 = 5
+"""
+
+
+def corrected_togtimi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderkey") % 13 == 5).select(
+        F.col("o_orderkey").alias("synis_id"), F.lit(60.0).alias("togtimi_fx")
+    )
+
+
+CORRECTED_TOGLENGD_SQL = """
+SELECT o_orderkey AS synis_id, ROUND(2.5 + o_orderkey % 3, 1) AS toglengd_fx
+FROM orders WHERE o_orderkey % 17 = 2
+"""
+
+
+def corrected_toglengd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderkey") % 17 == 2).select(
+        F.col("o_orderkey").alias("synis_id"),
+        F.round(2.5 + F.col("o_orderkey") % 3, 1).alias("toglengd_fx"),
+    )
+
+
+BAD_SYNIS_ID_SQL = """
+SELECT o_orderkey AS synis_id FROM orders WHERE o_orderkey % 41 = 7
+"""
+
+
+def bad_synis_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderkey") % 41 == 7).select(
+        F.col("o_orderkey").alias("synis_id")
+    )
+
+
 # All fixture CTEs, ready to splice into a WITH clause.
 FIXTURE_CTES: dict[str, str] = {
     "stodvar": STODVAR_SQL,
@@ -433,6 +488,9 @@ FIXTURE_CTES: dict[str, str] = {
     "lods": LODS_SQL,
     "fiskifelag": FISKIFELAG_SQL,
     "port2sr": PORT2SR_SQL,
+    "corrected_togtimi": CORRECTED_TOGTIMI_SQL,
+    "corrected_toglengd": CORRECTED_TOGLENGD_SQL,
+    "bad_synis_id": BAD_SYNIS_ID_SQL,
 }
 
 

@@ -392,3 +392,61 @@ def p6_landings_rescale(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("weight_total") / 1000, 3).alias("catch_kt"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ------------------------------------------------------- p7 shrimp overlay
+
+_P7_SQL = (
+    fx.with_clause(
+        "stodvar", "corrected_togtimi", "corrected_toglengd", "bad_synis_id"
+    )
+    + """,
+fixed AS (
+  SELECT s.synis_id, s.ar, s.man,
+         CASE WHEN s.synaflokkur = 37 THEN 14 ELSE s.synaflokkur END AS synaflokkur,
+         s.skiki, s.fjardarreitur,
+         CASE WHEN ct.togtimi_fx IS NOT NULL THEN ct.togtimi_fx ELSE s.togtimi END AS togtimi,
+         CASE WHEN cl.toglengd_fx IS NOT NULL THEN cl.toglengd_fx ELSE s.toglengd END AS toglengd
+  FROM stodvar s
+  LEFT JOIN corrected_togtimi ct ON s.synis_id = ct.synis_id
+  LEFT JOIN corrected_toglengd cl ON s.synis_id = cl.synis_id
+  WHERE s.synis_id NOT IN (SELECT synis_id FROM bad_synis_id)
+),
+existing AS (SELECT o_orderkey AS synis_id FROM orders WHERE o_orderkey % 5 = 0),
+shr AS (
+  SELECT * FROM fixed
+  WHERE synaflokkur IN (14, 37)
+    AND synis_id NOT IN (SELECT synis_id FROM existing)
+)
+SELECT synis_id AS tow, ar AS year, man AS month,
+       concat_ws('_', CAST(skiki AS VARCHAR), CAST(fjardarreitur AS VARCHAR)) AS areacell,
+       skiki, fjardarreitur, togtimi, toglengd,
+       COUNT(*) OVER (PARTITION BY ar, fjardarreitur, skiki) AS towcount
+FROM shr
+"""
+)
+
+
+@register("p7_shrimp_overlay", _P7_SQL)
+def p7_shrimp_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shrimp incremental overlay (reference
+    R/initdb_add_shrimp.R:89-175 + shrimp_support_tables.R:2100-2132):
+    broadcast correction overlays (nvl2 per column), bad-sample drop,
+    37→14 reclassification, anti-join against already-imported tows,
+    fjord areacell paste, towcount window. The only shuffle is the
+    towcount window partitioning."""
+    from mfdb_hafro_etl_spark.catalog import load_table
+    from mfdb_hafro_etl_spark.plans import shrimp as shrimp_plan
+
+    existing = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 5 == 0)
+        .select(F.col("o_orderkey").alias("synis_id"))
+    )
+    return shrimp_plan.build_shrimp_stations(
+        fx.stodvar(spark, sf_dir),
+        fx.corrected_togtimi(spark, sf_dir),
+        fx.corrected_toglengd(spark, sf_dir),
+        fx.bad_synis_id(spark, sf_dir),
+        existing,
+    )
