@@ -41,6 +41,9 @@ def get_spark(
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # bucketed saveAsTable targets (in-memory catalog); keep the
+        # warehouse out of the repo tree
+        .config("spark.sql.warehouse.dir", "/tmp/mfdb_suite/warehouse")
     )
     return builder.getOrCreate()
 

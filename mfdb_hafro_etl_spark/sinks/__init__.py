@@ -5,6 +5,7 @@ from mfdb_hafro_etl_spark.sinks.tables import (
     fk_violations,
     import_fact,
     materialize,
+    materialize_bucketed,
     read_fact,
     replace_by_source,
     require_fk,
@@ -14,6 +15,7 @@ __all__ = [
     "fk_violations",
     "import_fact",
     "materialize",
+    "materialize_bucketed",
     "read_fact",
     "replace_by_source",
     "require_fk",

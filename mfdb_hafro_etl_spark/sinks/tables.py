@@ -61,6 +61,28 @@ def materialize(
     return df.sparkSession.read.parquet(path)
 
 
+def materialize_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: Sequence[str],
+    n_buckets: int = 32,
+    sort_by: Sequence[str] | None = None,
+) -> DataFrame:
+    """S11 with the "index" made physical: bucketed (and optionally
+    sorted) saveAsTable on the join key. Every downstream consumer
+    that joins or aggregates on ``bucket_by`` reads co-located,
+    pre-sorted buckets — the shuffle (and with sort_by, the sort)
+    disappears from THEIR plans, which is exactly what the
+    reference's ``indexes=list('tow')`` bought its four consumers
+    (reference R/initdb.R:151; SURVEY §4). Requires a catalog table
+    (bucket metadata lives in the catalog, not the parquet files)."""
+    w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, *bucket_by)
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    w.saveAsTable(table)
+    return df.sparkSession.table(table)
+
+
 def replace_by_source(
     df: DataFrame,
     path: str,

@@ -1,0 +1,98 @@
+"""Physical-plan regression tests: lock in the optimization work so a
+refactor can't silently reintroduce a shuffle, lose a broadcast, or
+stop pushing filters into the scan. These assert on plan SHAPE, not
+timings — stable across machines."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from mfdb_hafro_etl_spark.sinks import materialize_bucketed
+from mfdb_hafro_etl_spark.suite import QUERIES
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _count(pat: str, plan: str) -> int:
+    return len(re.findall(pat, plan))
+
+
+def test_stations_spine_is_broadcast_only(spark, sf_dir):
+    """The stations pipeline must stay a pure broadcast-join chain:
+    no sort-merge join, at most one exchange (AQE final coalesce)."""
+    plan = _plan(QUERIES["p1_stations"](spark, sf_dir))
+    assert _count(r"SortMergeJoin", plan) == 0, plan[:2000]
+    assert _count(r"Exchange hashpartitioning", plan) <= 1
+    assert _count(r"BroadcastHashJoin", plan) >= 3
+
+
+def test_count_scaling_is_single_partitioning(spark, sf_dir):
+    """skala_med_toldum2 must run as window algebra over the ratio
+    join's partitioning: exactly the two input exchanges, no
+    join-back of the scaled frame onto itself."""
+    from mfdb_hafro_etl_spark.plans import ldist as lp
+    from mfdb_hafro_etl_spark.suite import fixtures as fx
+
+    sc = lp.skala_med_toldum2(
+        fx.lengdir(spark, sf_dir).join(fx.species_key(spark, sf_dir), "tegund"),
+        fx.numer(spark, sf_dir),
+    )
+    plan = _plan(sc)
+    assert _count(r"Exchange hashpartitioning", plan) <= 2, plan[:2000]
+
+
+def test_filters_push_into_scan(spark, sf_dir):
+    """Scan-level predicate pushdown must survive: the IN/range
+    filters of f1 appear as PushedFilters on the parquet scan."""
+    plan = _plan(QUERIES["f1_in_filter"](spark, sf_dir))
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and m.group(1).strip(), "no pushed filters in scan"
+    assert "l_returnflag" in m.group(1) or "l_quantity" in m.group(1)
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    plan = _plan(QUERIES["j3_broadcast_inner"](spark, sf_dir))
+    assert _count(r"BroadcastHashJoin", plan) >= 1
+    assert _count(r"SortMergeJoin", plan) == 0
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    """A two-column projection must not read the whole lineitem
+    schema (ReadSchema carries only what's needed)."""
+    from mfdb_hafro_etl_spark.catalog import load_table
+
+    df = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", _plan(df))
+    assert m is not None
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"l_orderkey", "l_quantity"}, cols
+
+
+def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path):
+    """materialize_bucketed = the reference's indexed checkpoint:
+    two tables bucketed+sorted on the same key must join with NO
+    exchange and NO sort in the plan (bucket pruning of both)."""
+    base = spark.range(0, 10000).select(
+        (F.col("id") % 997).alias("tow"), F.col("id").alias("x")
+    )
+    other = spark.range(0, 5000).select(
+        (F.col("id") % 997).alias("tow"), (F.col("id") * 2).alias("y")
+    )
+    a = materialize_bucketed(base, "bq_a", ["tow"], n_buckets=8, sort_by=["tow"])
+    b = materialize_bucketed(other, "bq_b", ["tow"], n_buckets=8, sort_by=["tow"])
+    # disable broadcast so the join would otherwise be a shuffled SMJ
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(a.join(b, "tow"))
+        assert _count(r"Exchange hashpartitioning", plan) == 0, plan[:2000]
+        assert _count(r"SortMergeJoin", plan) == 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bq_a")
+        spark.sql("DROP TABLE IF EXISTS bq_b")
