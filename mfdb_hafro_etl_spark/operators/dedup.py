@@ -29,6 +29,21 @@ from pyspark.sql import functions as F
 from mfdb_hafro_etl_spark.operators.text import tokens
 
 
+def _spread_by_id(df: DataFrame, id_col: str, partitions: int | None = None) -> DataFrame:
+    """Hash-repartition compact doc rows by id BEFORE the shingle
+    explode. Two scale effects: (1) the shuffle moves the small
+    pre-explode rows, not the ~50× larger shingle table; (2) the
+    resulting HashPartitioning(id) satisfies every downstream
+    groupBy(id...) clustering requirement, so signature/size
+    aggregations run with no further exchange. Also fixes scan
+    parallelism when the input is a single parquet row-group (a
+    one-task scan would otherwise run the md5-heavy explode on one
+    core). Explicit partition count so AQE doesn't coalesce the
+    CPU-bound fan-out away."""
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, F.col(id_col))
+
+
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact duplicate removal: md5-bucket rows, keep the smallest id
     per bucket. Returns the surviving rows' (id, hash)."""
@@ -56,7 +71,7 @@ def shingles(col: Column | str, n: int = 3) -> Column:
 
 def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """(id, shingle) exploded, distinct per doc."""
-    return df.select(
+    return _spread_by_id(df.select(id_col, text_col), id_col).select(
         F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("shingle")
     )
 
@@ -205,7 +220,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
     both engines.
     """
     assert bits <= 28
-    tok = df.select(
+    tok = _spread_by_id(df.select(id_col, text_col), id_col).select(
         F.col(id_col), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok")
     ).withColumn("h", F.md5(F.col("tok")))
     # bit j of the hex string: hex digit at position floor(j/4),

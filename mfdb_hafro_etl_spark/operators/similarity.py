@@ -209,16 +209,46 @@ def ann_ivf_topk(
         (int(r[0]), [float(x) for x in r[1]])
         for r in emb.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
     ]
-    structs = [
-        F.struct(
-            (-F.round(cosine(F.col(vec_col), F.array(*[F.lit(x) for x in cv])), 6)).alias(
-                "negcos"
-            ),
-            F.lit(cid).alias("cid"),
+    # the assignment evaluates n_centroids array-cosines per row; a
+    # single-row-group parquet input would run that on one core, so
+    # fan the scan out first (explicit count — AQE must not coalesce
+    # a CPU-bound stage back down)
+    emb = emb.repartition(emb.sparkSession.sparkContext.defaultParallelism)
+    # Assignment built as ONE SQL expression with the centroid matrix
+    # inline: a per-centroid F.lit build costs n_centroids·dim py4j
+    # round-trips at plan time and explodes whole-stage codegen with
+    # n_centroids separate cosine trees; a single transform() over a
+    # literal struct array keeps the plan O(1) in n_centroids. Float
+    # semantics are unchanged: the same zip_with/aggregate left-fold
+    # per dot, the row norm evaluated once per row (__vnorm__), and
+    # centroid norms folded in Python with the identical sequential
+    # IEEE left-fold — bit-identical to the oracle's per-centroid
+    # cosine.
+    def _pynorm(v: list[float]) -> float:
+        acc = 0.0
+        for x in v:
+            acc += x * x
+        return acc ** 0.5
+
+    def _dlit(x: float) -> str:
+        return f"CAST('{x!r}' AS DOUBLE)"
+
+    row_norm = norm(F.col(vec_col))
+    cent_structs = ",".join(
+        "named_struct('cid', {cid}, 'nrm', {nrm}, 'vec', array({vec}))".format(
+            cid=cid, nrm=_dlit(_pynorm(cv)), vec=",".join(_dlit(x) for x in cv)
         )
         for cid, cv in cents
-    ]
-    assign = F.array_sort(F.array(*structs))[0]["cid"]
+    )
+    assign = F.expr(
+        f"""array_sort(transform(array({cent_structs}), c -> named_struct(
+          'negcos', -round(
+              aggregate(zip_with(cast(`{vec_col}` as array<double>), c.vec,
+                                 (x, y) -> x * y),
+                        cast(0.0 as double), (acc, x) -> acc + x)
+              / (`__vnorm__` * c.nrm), 6),
+          'cid', c.cid)))[0].cid"""
+    )
 
     def _pycos(a: list[float], b: list[float]) -> float:
         d = sum(x * y for x, y in zip(a, b))
@@ -232,7 +262,8 @@ def ann_ivf_topk(
     ]
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     scored = (
-        emb.withColumn("__cid__", assign)
+        emb.withColumn("__vnorm__", row_norm)
+        .withColumn("__cid__", assign)
         .filter(F.col("__cid__").isin(probes))
         .select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"))
     )

@@ -132,7 +132,14 @@ def rescale_by_published(
 
     ``published`` columns: species, year, iceland (tonnes·1000⁻¹
     comparable to the DB sum/1000).
+
+    The input is consumed twice (ratio aggregate + rescale join); in
+    the reference the ratio reads landings already materialized in
+    the DB (imported before the rescale, R/initdb.R:399 vs :461), so
+    cache() here reproduces that materialization barrier instead of
+    recomputing the whole landings DAG for each consumer.
     """
+    landings = landings.cache()
     db = landings.groupBy("species", "year").agg(
         (F.sum("weight_total") / 1000).alias("catch")
     )
