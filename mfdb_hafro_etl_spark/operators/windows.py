@@ -44,7 +44,13 @@ def keep_first_per_group(
     """A3/A6/W3/W4: deterministic ``distinct(keys, .keep_all=TRUE)`` /
     ``head(x,1)`` per group (reference R/initdb.R:338;
     R/initdb_add_shrimp.R:149; R/shrimp_support_tables.R:464-475).
-    One shuffle on the group keys."""
+    One shuffle on the group keys.
+
+    Deterministic iff ``order_by`` totally orders each group's rows
+    up to full-row equality — with a partial order, row_number
+    tie-breaks on physical row order, which shuffling changes
+    (exactly the reference hazard this operator exists to fix;
+    property-tested in tests/test_determinism.py)."""
     w = Window.partitionBy(*keys).orderBy(*[F.col(c) for c in order_by])
     return (
         df.withColumn("__rn__", F.row_number().over(w))

@@ -1079,3 +1079,88 @@ def j11_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("label").agg(
         F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
     )
+
+
+# ------------------------------------------------- A8/A9/A10 Catalyst extras
+# The reference has no grouping sets / cube / rollup and no distinct-
+# count aggregates (SURVEY §2.4: "engine can expose Spark's cube/
+# rollup/approx_count_distinct for free"). Exposed here as first-class
+# suite operators so the coverage claim is verified, not asserted.
+
+
+@register(
+    "a8_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag)  AS g_flag,
+           GROUPING(l_linestatus)  AS g_status,
+           ROUND(SUM(l_quantity), 2)      AS sum_qty,
+           COUNT(*)                       AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def a8_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotal rollup (SURVEY §2.4 engine extra).
+    GROUPING() markers disambiguate NULL-as-data from NULL-as-total
+    — the standard pitfall of rollup outputs. One shuffle: Spark
+    expands the grouping sets map-side, partial-aggregates, then
+    exchanges once on the expanded key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").alias("g_flag"),
+        F.grouping("l_linestatus").alias("g_status"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "a9_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus)   AS g_status,
+           GROUPING(o_orderpriority) AS g_prio,
+           ROUND(SUM(o_totalprice), 2) AS total,
+           COUNT(*)                    AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def a9_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cross-dimensional cube (SURVEY §2.4 engine extra): all
+    2^d grouping sets in one pass / one shuffle — the multi-
+    aggregation a dashboard layer would otherwise issue as 4
+    separate groupBys."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").alias("g_status"),
+        F.grouping("o_orderpriority").alias("g_prio"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "a10_distinct_agg",
+    """
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey)      AS n_customers,
+           COUNT(DISTINCT o_orderpriority) AS n_priorities,
+           COUNT(*)                        AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def a10_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count aggregates (SURVEY §2.4 engine extra).
+    Spark plans multi-distinct via expand + two-phase aggregation;
+    at 100 TB swap exact for approx_count_distinct (see
+    tests/test_determinism.py::test_approx_distinct_error_bound for
+    the accuracy contract) when the key cardinality is large."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count_distinct(F.col("o_custkey")).alias("n_customers"),
+        F.count_distinct(F.col("o_orderpriority")).alias("n_priorities"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
