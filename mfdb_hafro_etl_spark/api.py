@@ -75,6 +75,79 @@ def sample_totalweight(
     )
 
 
+def sample_meanweight(
+    fact: DataFrame,
+    group_by: Sequence[str],
+    filters: Mapping[str, object] | None = None,
+    count_col: str = "count",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """mfdb_sample_meanweight analog: count-weighted mean per-fish
+    weight per group (NULL on zero total count)."""
+    total = F.sum(count_col)
+    return _grouped(
+        fact,
+        group_by,
+        filters,
+        [
+            F.round(
+                F.when(total == 0, F.lit(None).cast("double")).otherwise(
+                    F.sum(F.col(count_col) * F.col(weight_col)) / total
+                ),
+                4,
+            ).alias("mean_weight")
+        ],
+    )
+
+
+def sample_meanlength_stddev(
+    fact: DataFrame,
+    group_by: Sequence[str],
+    filters: Mapping[str, object] | None = None,
+    count_col: str = "count",
+    length_col: str = "length",
+) -> DataFrame:
+    """mfdb_sample_meanlength_stddev analog: count-weighted mean AND
+    standard deviation of length per group, in ONE aggregation pass
+    via the closed form
+
+        var = (Σc·x² − (Σc·x)²/Σc) / (Σc − 1)
+
+    (frequency-weighted sample variance; c = measured count). Groups
+    with Σc ≤ 1 get NULL stddev. The closed form needs only three
+    partial sums, so the map-side combine stays a fixed-width row —
+    the two-pass mean-then-residual formulation would need a second
+    shuffle over the fact table."""
+    c, x = F.col(count_col), F.col(length_col)
+    total = F.sum(c)
+    sum_cx = F.sum(c * x)
+    sum_cx2 = F.sum(c * x * x)
+    mean = F.when(total == 0, F.lit(None).cast("double")).otherwise(sum_cx / total)
+    var = F.when(total <= 1, F.lit(None).cast("double")).otherwise(
+        (sum_cx2 - sum_cx * sum_cx / total) / (total - 1)
+    )
+    return _grouped(
+        fact,
+        group_by,
+        filters,
+        [
+            F.round(mean, 4).alias("mean_length"),
+            F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 4).alias("stddev_length"),
+        ],
+    )
+
+
+def sample_rawdata(
+    fact: DataFrame,
+    columns: Sequence[str],
+    filters: Mapping[str, object] | None = None,
+) -> DataFrame:
+    """mfdb_sample_rawdata analog: the filtered, projected fact rows
+    themselves (no aggregation) — filters and the projection both
+    push down to the scan."""
+    return _apply_filters(fact, filters).select(*columns)
+
+
 def sample_meanlength(
     fact: DataFrame,
     group_by: Sequence[str],

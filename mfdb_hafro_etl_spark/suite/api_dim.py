@@ -85,6 +85,55 @@ def m6_totalweight_meanlength(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tw.join(ml, on="species")
 
 
+# -------------------------------------------- m6 meanweight + stddev
+@register(
+    "m6_meanweight_stddev",
+    f"""
+    WITH fact AS ({_FACT_SQL})
+    SELECT species,
+           ROUND(SUM("count" * weight) / SUM("count"), 4) AS mean_weight,
+           ROUND(SQRT(GREATEST(
+             (SUM("count" * length * length)
+              - SUM("count" * length) * SUM("count" * length) / SUM("count"))
+             / (SUM("count") - 1), 0.0)), 4) AS stddev_length
+    FROM fact
+    WHERE year BETWEEN 1995 AND 1997
+    GROUP BY 1
+    """,
+)
+def m6_meanweight_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mfdb_sample_meanweight + mfdb_sample_meanlength_stddev analogs:
+    count-weighted mean weight and one-pass closed-form weighted
+    length stddev (three partial sums, single shuffle)."""
+    fact = _fact(spark, sf_dir)
+    mw = api.sample_meanweight(fact, ["species"], {"year": (1995, 1997)})
+    sd = api.sample_meanlength_stddev(fact, ["species"], {"year": (1995, 1997)}).select(
+        "species", "stddev_length"
+    )
+    return mw.join(sd, on="species")
+
+
+# --------------------------------------------------------- m6 rawdata
+@register(
+    "m6_rawdata",
+    f"""
+    WITH fact AS ({_FACT_SQL})
+    SELECT species, year, length, "count"
+    FROM fact
+    WHERE year BETWEEN 1996 AND 1996 AND species IN ('SP7', 'SP11')
+    """,
+)
+def m6_rawdata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mfdb_sample_rawdata analog: the filtered fact rows themselves.
+    The projection + filters reach the parquet scan (column pruning,
+    PushedFilters) — no shuffle at all."""
+    return api.sample_rawdata(
+        _fact(spark, sf_dir),
+        columns=["species", "year", "length", "count"],
+        filters={"year": (1996, 1996), "species": ["SP7", "SP11"]},
+    )
+
+
 # --------------------------------------------------- p8 vessel taxonomy
 VESSEL_TYPE_DECODE = [(-4, "FGN"), (0, "UNK"), (1, "COM"), (2, "FRZ"), (3, "SMB")]
 
