@@ -96,3 +96,37 @@ def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS bq_a")
         spark.sql("DROP TABLE IF EXISTS bq_b")
+
+
+def test_minhash_signature_reuses_spread_partitioning(spark, sf_dir):
+    """The dedup operators' pre-explode repartition(id) must be the
+    ONLY exchange: the signature groupBy(id) has to reuse that
+    HashPartitioning instead of re-shuffling the ~50x larger shingle
+    table."""
+    from mfdb_hafro_etl_spark.catalog import load_table
+    from mfdb_hafro_etl_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(dedup.minhash_signatures(docs, "doc_id", "text", n=3, k=8))
+    assert _count(r"Exchange", plan) == 1, plan[:2000]
+    assert _count(r"REPARTITION_BY_NUM", plan) == 1
+
+
+def test_rawdata_projection_prunes_scan(spark, sf_dir):
+    """m6_rawdata must read only the columns it projects (column
+    pruning into ReadSchema) and push its filters to the scan."""
+    plan = _plan(QUERIES["m6_rawdata"](spark, sf_dir))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan[:2000]
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols <= {"l_partkey", "l_shipdate", "l_quantity", "l_linenumber"}, cols
+    assert "PushedFilters: [" in plan
+    assert _count(r"Exchange", plan) == 0  # pure scan+project, no shuffle
+
+
+def test_rollup_is_single_shuffle(spark, sf_dir):
+    """Grouping-sets expansion happens map-side: Expand feeds one
+    partial aggregate and exactly one exchange."""
+    plan = _plan(QUERIES["a8_rollup"](spark, sf_dir))
+    assert _count(r"Expand", plan) >= 1
+    assert _count(r"Exchange hashpartitioning", plan) == 1, plan[:2000]
