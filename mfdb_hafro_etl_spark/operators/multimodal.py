@@ -105,6 +105,99 @@ def extract_features(media: DataFrame, mode: str = "fake", batch_hint: int | Non
     return media.mapInPandas(gen, schema=FEATURES_SCHEMA)
 
 
+DECODED_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+    ]
+)
+
+
+def decode_media_meta(media: DataFrame, mode: str = "fake") -> DataFrame:
+    """Decode image header metadata (width/height/channels) via
+    Arrow-batched mapInPandas.
+
+    mode='fake': dimensions derived deterministically from the
+    payload's sha256 (width = hex[0:4] % 1024 + 16, height =
+    hex[4:8] % 1024 + 16, channels = 3) — reproducible in ANSI SQL,
+    so this kernel IS oracle-verifiable despite being a Python path.
+    mode='real' raises NotImplementedError (no codecs here)."""
+    if mode not in ("fake", "real"):
+        raise ValueError(f"mode={mode!r}")
+
+    from mfdb_hafro_etl_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(media.sparkSession)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if mode == "real":
+                raise NotImplementedError("real image decode needs codecs")
+            hexes = [hashlib.sha256(bytes(b)).hexdigest() for b in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": [int(h[0:4], 16) % 1024 + 16 for h in hexes],
+                    "height": [int(h[4:8], 16) % 1024 + 16 for h in hexes],
+                    "channels": [3] * len(hexes),
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(gen, schema=DECODED_META_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def resize_media(
+    media: DataFrame, width: int, height: int, channels: int = 3, mode: str = "fake"
+) -> DataFrame:
+    """Resize kernel plumbing: every payload becomes a
+    width×height×channels buffer via Arrow-batched mapInPandas.
+
+    mode='fake': truncate-or-zero-pad the source bytes to the target
+    buffer size — a deterministic stand-in with the exact memory
+    profile of a real resize (output rows are fixed-size buffers).
+    mode='real' raises NotImplementedError. The output byte length is
+    an invariant (= width·height·channels) that tests assert."""
+    if mode not in ("fake", "real"):
+        raise ValueError(f"mode={mode!r}")
+    n_out = width * height * channels
+
+    from mfdb_hafro_etl_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(media.sparkSession)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if mode == "real":
+                raise NotImplementedError("real image resize needs codecs")
+            bufs = [
+                (bytes(b)[:n_out]).ljust(n_out, b"\0") for b in pdf["content"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": [width] * len(bufs),
+                    "height": [height] * len(bufs),
+                    "content": bufs,
+                    "n_bytes": [len(b) for b in bufs],
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(gen, schema=RESIZED_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
     """Video frame-sampling plumbing: emit (media_id, offset) rows for
     each sample point — the Spark-side planning of a frame extraction

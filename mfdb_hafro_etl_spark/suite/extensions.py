@@ -428,3 +428,37 @@ def x_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ann_ivf_topk(
         emb, [float(x) for x in qvec], k=10, n_centroids=16, n_probe=4, exclude_id=0
     )
+
+
+# ------------------------------------------- multimodal decode + resize
+@register(
+    "x_multimodal_decode_meta",
+    """
+    SELECT doc_id AS media_id,
+           CAST(CAST(concat('0x', substr(sha256(text), 1, 4)) AS INT) % 1024 + 16 AS INT) AS width,
+           CAST(CAST(concat('0x', substr(sha256(text), 5, 4)) AS INT) % 1024 + 16 AS INT) AS height,
+           3 AS channels
+    FROM documents
+    """,
+)
+def x_multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-header decode plumbing (Arrow mapInPandas). The fake
+    kernel derives dimensions from the payload sha256, which makes a
+    Python media kernel ORACLE-VERIFIABLE: DuckDB reproduces the
+    same hex arithmetic, so the hash gate covers the whole
+    attach→batch→decode path, not just the schema."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = mm.attach_binary(docs, "doc_id", "text")
+    return mm.decode_media_meta(media, mode="fake")
+
+
+@register("x_multimodal_resize")  # no oracle: binary buffer output is not SQL-comparable
+def x_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize-kernel plumbing: every payload becomes a fixed
+    16x16x3 buffer (truncate-or-pad stub with a real resize's memory
+    profile). Byte-length invariant asserted in
+    tests/test_multimodal.py; rows-only check here."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = mm.attach_binary(docs, "doc_id", "text")
+    out = mm.resize_media(media, width=16, height=16, mode="fake")
+    return out.select("media_id", "width", "height", "n_bytes", F.sha2("content", 256).alias("sha256"))

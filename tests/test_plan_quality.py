@@ -106,6 +106,10 @@ def test_minhash_signature_reuses_spread_partitioning(spark, sf_dir):
     from mfdb_hafro_etl_spark.catalog import load_table
     from mfdb_hafro_etl_spark.operators import dedup
 
+    # parity tests may have cached the shingle table (suite queries
+    # cache it); a cache hit would swap the exchange for an
+    # InMemoryTableScan and hide the property under test
+    spark.catalog.clearCache()
     docs = load_table(spark, sf_dir, "documents")
     plan = _plan(dedup.minhash_signatures(docs, "doc_id", "text", n=3, k=8))
     assert _count(r"Exchange", plan) == 1, plan[:2000]
