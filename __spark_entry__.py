@@ -26,7 +26,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(QUERIES)
+    # tune on first use: the driver runs these on ITS session, which
+    # needs the same UTC timezone / dynamic-overwrite / package-
+    # shipping setup entry() gets, or date semantics and UDF imports
+    # could diverge from the oracles
+    def _tuned(fn: Callable[[SparkSession, str], DataFrame]):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            tune_session(spark)
+            return fn(spark, sf_dir)
+
+        run.__doc__ = fn.__doc__
+        run.__name__ = getattr(fn, "__name__", "query")
+        return run
+
+    return {name: _tuned(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -50,6 +50,10 @@ def main() -> None:
         t0 = time.perf_counter()
         materialize(QUERIES[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
+        # isolate queries: a handful of operators cache intermediates
+        # (shingle tables, landings); dropping them between queries
+        # keeps storage memory flat across the 70+-query run
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

