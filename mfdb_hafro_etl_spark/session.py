@@ -36,6 +36,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # 64 MB broadcast ceiling (vs the 10 MB default): sized to the
+        # 128 GiB executors this engine targets. The decision stays
+        # RUNTIME size-based — AQE broadcasts a join side only when its
+        # actual size fits, so fact-fact joins still sort-merge at
+        # scale while mid-sized dimensions (the stations spine at test
+        # SF) skip the shuffle entirely.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -55,6 +62,7 @@ def tune_session(spark: SparkSession) -> SparkSession:
     try:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     except Exception:
         pass  # static confs on some builds; harmless
     ensure_package_shipped(spark)
