@@ -127,3 +127,114 @@ def semi_join(left: DataFrame, right: DataFrame, on: Sequence[str]) -> DataFrame
     """J10: whitelist filter — cleaner than the reference's
     inner-join-on-key-only-table idiom (reference R/initdb.R:204,296)."""
     return left.join(F.broadcast(right.select(*on).dropDuplicates(list(on))), on=list(on), how="left_semi")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    by: Sequence[str],
+    value_cols: Sequence[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward as-of join: for every left row, attach each
+    ``value_cols`` from the LATEST right row with
+    ``right.on <= left.on`` within the same ``by`` group (pandas
+    merge_asof / kdb aj semantics — the generic form of the SCD-2
+    lookup J7, for when the right side is NOT broadcastable).
+
+    Implementation is the scale-true union+window plan, NOT a join:
+    tag both inputs, union them, and carry the latest right values
+    forward with last(ignorenulls) over a (by)-partitioned window
+    ordered by (on, tag) — right rows sort before left rows at equal
+    timestamps, so the match is inclusive. ONE shuffle on the group
+    key, zero join fan-out, and no per-row range probe: a naive
+    non-equi join here is O(|L|·|R|) per group and a broadcast
+    requires the whole right side in memory; this is O((|L|+|R|)
+    log) with both sides streamed through the same sort.
+
+    Right rows that share an exact (by, on) timestamp are reduced to
+    their last value in (arbitrary but columnwise-consistent) order —
+    pre-aggregate the right side if ties must be resolved by a rule.
+    """
+    by = list(by)
+    tag = "__asof_src__"
+    l_payload = [c for c in left.columns if c not in by and c != on]
+    l = left.select(
+        *by,
+        F.col(on).alias("__asof_ts__"),
+        F.lit(1).alias(tag),
+        *[F.col(c) for c in l_payload],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}") for c in value_cols],
+    )
+    r = right.select(
+        *by,
+        F.col(on).alias("__asof_ts__"),
+        F.lit(0).alias(tag),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in l_payload],
+        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+    )
+    from pyspark.sql import Window
+
+    u = l.unionByName(r)
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("__asof_ts__"), F.col(tag))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.withColumns(
+        {f"{c}{suffix}": F.last(f"{c}{suffix}", ignorenulls=True).over(w) for c in value_cols}
+    )
+    return (
+        filled.filter(F.col(tag) == 1)
+        .drop(tag)
+        .withColumnRenamed("__asof_ts__", on)
+        .select(*by, on, *l_payload, *[f"{c}{suffix}" for c in value_cols])
+    )
+
+
+def range_join_binned(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    by: Sequence[str] = (),
+    bin_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval range join for a NON-broadcastable interval
+    table, via bin bucketing.
+
+    Spark plans a bare ``l.p BETWEEN r.lo AND r.hi`` (with no equi
+    key) as a nested-loop join — quadratic and usually a broadcast.
+    Binning restores an equi key: each point hashes to bin
+    floor(p/w); each interval explodes to the bins it overlaps.
+    The join is then a plain shuffled hash join on (by..., bin) with
+    the exact range predicate re-checked inside the join condition.
+    A point lies in exactly one bin, so no dedup pass is needed.
+
+    Cost model: interval fan-out = (hi-lo)/bin_width + 1 rows per
+    interval; pick bin_width near the typical interval length so
+    fan-out stays O(1) while each bin's candidate set stays small.
+    The reference's SCD-2 probes (J7) are the broadcast special case;
+    this operator is the fact-sized-registry path.
+    """
+    by = list(by)
+    p_bin = F.floor(F.col(point_col) / bin_width).cast("long")
+    i_bins = F.sequence(
+        F.floor(F.col(lo_col) / bin_width).cast("long"),
+        F.floor(F.col(hi_col) / bin_width).cast("long"),
+    )
+    p = points.withColumn("__bin__", p_bin).alias("p")
+    i = intervals.withColumn("__bin__", F.explode(i_bins)).alias("i")
+    cond = F.col("p.__bin__") == F.col("i.__bin__")
+    for c in by:
+        cond = cond & (F.col(f"p.{c}") == F.col(f"i.{c}"))
+    cond = cond & F.col(f"p.{point_col}").between(F.col(f"i.{lo_col}"), F.col(f"i.{hi_col}"))
+    out = p.join(i, on=cond, how=how)
+    sel = [F.col(f"p.{c}") for c in points.columns]
+    sel += [F.col(f"i.{c}") for c in intervals.columns if c not in by and c not in points.columns]
+    return out.select(*sel)

@@ -1164,3 +1164,107 @@ def a10_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct(F.col("o_orderpriority")).alias("n_priorities"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+# ---------------------------------------------- J11+ scale-join extras
+# The brief's "operators Spark lacks": as-of join and range join.
+# J7 covers the broadcastable SCD-2 case; these are the fact-sized
+# paths (union+window as-of, binned range join).
+
+
+@register(
+    "j12_asof_join",
+    """
+    WITH snaps AS (
+      SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+             CAST(o_orderdate AS DATE) AS snap_ts,
+             MAX(ROUND(o_totalprice, 2)) AS credit_limit
+      FROM orders WHERE o_orderkey % 7 = 0
+      GROUP BY 1, 2
+    ),
+    ords AS (
+      SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS o_custkey,
+             CAST(o_orderdate AS DATE) AS o_orderdate
+      FROM orders
+    )
+    SELECT l.o_custkey,
+           strftime(l.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           l.o_orderkey,
+           r.credit_limit AS credit_limit_asof
+    FROM ords l
+    ASOF LEFT JOIN snaps r
+      ON l.o_custkey = r.o_custkey AND l.o_orderdate >= r.snap_ts
+    """,
+)
+def j12_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (pandas merge_asof / kdb aj semantics):
+    every order picks the customer's LATEST credit snapshot at or
+    before the order date. Implemented as union + last(ignorenulls)
+    over one (customer)-partitioned window — one shuffle, no join
+    fan-out, right side NOT broadcast (the fact-sized-registry path
+    J7 can't take). Oracle: DuckDB's native ASOF JOIN."""
+    o = load_table(spark, sf_dir, "orders")
+    snaps = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .groupBy(
+            F.col("o_custkey").cast("bigint").alias("o_custkey"),
+            F.col("o_orderdate").cast("date").alias("snap_ts"),
+        )
+        .agg(F.max(F.round("o_totalprice", 2)).alias("credit_limit"))
+        .withColumnRenamed("snap_ts", "ts")
+    )
+    ords = o.select(
+        "o_orderkey",
+        F.col("o_custkey").cast("bigint").alias("o_custkey"),
+        F.col("o_orderdate").cast("date").alias("ts"),
+    )
+    out = join_ops.asof_join(
+        ords, snaps, on="ts", by=["o_custkey"], value_cols=["credit_limit"]
+    )
+    return out.select(
+        "o_custkey",
+        F.date_format("ts", "yyyy-MM-dd").alias("o_orderdate"),
+        "o_orderkey",
+        F.col("credit_limit_asof"),
+    )
+
+
+@register(
+    "j13_range_join_binned",
+    """
+    WITH bands AS (
+      SELECT CAST(p_partkey AS INT) AS band_id,
+             CAST((p_partkey * 7) % 40 AS DOUBLE) AS lo,
+             CAST((p_partkey * 7) % 40 + 8 AS DOUBLE) AS hi
+      FROM part WHERE p_partkey % 100 = 0
+    )
+    SELECT b.band_id, COUNT(*) AS n, ROUND(SUM(l.l_quantity), 2) AS sum_qty
+    FROM lineitem l JOIN bands b ON l.l_quantity BETWEEN b.lo AND b.hi
+    GROUP BY 1
+    """,
+)
+def j13_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join via bin bucketing: a bare BETWEEN
+    join with no equi key plans as a nested loop; binning restores an
+    equi key (floor(p/w) = exploded interval bins) so Catalyst plans
+    a plain shuffled hash join with the exact range re-checked in the
+    condition. bin_width=8 = the interval length → ≤2 bins per
+    interval."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    bands = pt.filter(F.col("p_partkey") % 100 == 0).select(
+        F.col("p_partkey").cast("int").alias("band_id"),
+        ((F.col("p_partkey") * 7) % 40).cast("double").alias("lo"),
+        ((F.col("p_partkey") * 7) % 40 + 8).cast("double").alias("hi"),
+    )
+    joined = join_ops.range_join_binned(
+        li.select("l_quantity"),
+        bands,
+        point_col="l_quantity",
+        lo_col="lo",
+        hi_col="hi",
+        bin_width=8.0,
+    )
+    return joined.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
+    )

@@ -122,3 +122,47 @@ def test_approx_distinct_error_bound(spark, sf_dir):
             continue
         rel_err = abs(r["approx"] - r["exact"]) / r["exact"]
         assert rel_err <= 0.15, (r["o_orderstatus"], r["exact"], r["approx"])
+
+
+def test_asof_join_invariant_under_repartition(spark, sf_dir):
+    from mfdb_hafro_etl_spark.operators import joins as join_ops
+
+    o = load_table(spark, sf_dir, "orders")
+    snaps = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .groupBy(
+            F.col("o_custkey").cast("bigint").alias("o_custkey"),
+            F.col("o_orderdate").cast("date").alias("ts"),
+        )
+        .agg(F.max(F.round("o_totalprice", 2)).alias("v"))
+    )
+    ords = o.select(
+        "o_orderkey",
+        F.col("o_custkey").cast("bigint").alias("o_custkey"),
+        F.col("o_orderdate").cast("date").alias("ts"),
+    )
+    expected = None
+    for ov, sv in [(ords, snaps), (ords.repartition(9), snaps.repartition(3)),
+                   (ords.orderBy(F.desc("o_orderkey")), snaps.orderBy("ts"))]:
+        got = _rows(join_ops.asof_join(ov, sv, on="ts", by=["o_custkey"], value_cols=["v"]))
+        expected = got if expected is None else expected
+        assert got == expected
+
+
+def test_asof_join_semantics_tiny(spark):
+    """Hand-checked: inclusive backward match, NULL before the first
+    snapshot, group isolation."""
+    from mfdb_hafro_etl_spark.operators import joins as join_ops
+
+    left = spark.createDataFrame(
+        [(1, 5, "a"), (1, 10, "b"), (1, 20, "c"), (2, 10, "d")],
+        "g INT, ts INT, tag STRING",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 15, 150.0), (2, 99, 990.0)], "g INT, ts INT, v DOUBLE"
+    )
+    got = {
+        (r.g, r.ts): r.v_asof
+        for r in join_ops.asof_join(left, right, on="ts", by=["g"], value_cols=["v"]).collect()
+    }
+    assert got == {(1, 5): None, (1, 10): 100.0, (1, 20): 150.0, (2, 10): None}

@@ -134,3 +134,20 @@ def test_rollup_is_single_shuffle(spark, sf_dir):
     plan = _plan(QUERIES["a8_rollup"](spark, sf_dir))
     assert _count(r"Expand", plan) >= 1
     assert _count(r"Exchange hashpartitioning", plan) == 1, plan[:2000]
+
+
+def test_asof_join_is_single_shuffle_no_join(spark, sf_dir):
+    """The as-of operator must plan as union + ONE window exchange —
+    no Join node at all (that's the point: no fan-out, no broadcast
+    of the right side)."""
+    plan = _plan(QUERIES["j12_asof_join"](spark, sf_dir))
+    assert _count(r"SortMergeJoin|BroadcastHashJoin|BroadcastNestedLoopJoin", plan) == 0, plan[:3000]
+    assert _count(r"Window", plan) >= 1
+
+
+def test_range_join_binned_is_hash_join(spark, sf_dir):
+    """Binning must turn the BETWEEN join into an equi hash/sort-merge
+    join — a BroadcastNestedLoopJoin here means the bin key was lost."""
+    plan = _plan(QUERIES["j13_range_join_binned"](spark, sf_dir))
+    assert _count(r"BroadcastNestedLoopJoin", plan) == 0, plan[:3000]
+    assert _count(r"SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin", plan) >= 1
