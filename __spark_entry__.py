@@ -20,9 +20,13 @@ from mfdb_hafro_etl_spark.suite import ORACLES, QUERIES
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query (TPC-H-Q1-shaped pricing summary) on sf0.001."""
+    """Flagship query on sf0.001: the full length-distribution fact
+    pipeline (reference R/initdb.R:202-285 + skala_med_toldum2) —
+    SCD-2 stations spine, species whitelist, zero-divisor-guarded
+    count scaling as shuffle-free window algebra, right-join fill,
+    recodes. The engine's signature end-to-end plan."""
     tune_session(spark)
-    return QUERIES["a1_pricing_summary"](spark, "/root/testdata/sf0.001")
+    return QUERIES["p2_ldist"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
