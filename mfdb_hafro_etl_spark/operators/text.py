@@ -100,3 +100,88 @@ def fingerprint(col: Column | str) -> Column:
     exactly reproducible in ANSI SQL for the oracle)."""
     toks = tokens(col)
     return F.md5(F.concat_ws("", F.transform(toks, F.md5)))
+
+
+# Char-trigram profiles for the n-gram language-ID heuristic (tiny,
+# hand-picked, public-knowledge marker sets; swap for trained
+# profiles in production).
+LANG_TRIGRAMS: dict[str, list[str]] = {
+    "en": ["the", " th", "ing", "and", " of"],
+    "es": [" de", "os ", " la", "ión", " el"],
+    "de": ["der", "sch", "ein", "und", "ich"],
+    "fr": [" le", "les", "ent", " de", "que"],
+}
+
+
+def _occurrences(c: Column, needle: str) -> Column:
+    """Occurrence count of a literal substring via the length/replace
+    identity — one JVM expression, reproducible in ANSI SQL."""
+    return (F.length(c) - F.length(F.replace(c, F.lit(needle), F.lit("")))) / len(needle)
+
+
+def lang_guess_ngram(col: Column | str) -> Column:
+    """Character-n-gram language ID: score = total occurrences of
+    each language's marker trigrams; argmax with deterministic
+    struct-ordering tie-break (score, then lang code — the greatest
+    code wins ties, mirrored in the SQL oracle). 'und' when no
+    marker fires."""
+    c = F.col(col) if isinstance(col, str) else col
+    pairs = F.array(
+        *[
+            F.struct(
+                sum((_occurrences(c, m) for m in markers), F.lit(0.0)).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, markers in sorted(LANG_TRIGRAMS.items())
+        ]
+    )
+    best = F.array_max(F.filter(pairs, lambda p: p["score"] > 0))
+    return F.coalesce(best["lang"], F.lit("und"))
+
+
+def winnow_fingerprints(
+    col: Column | str, k: int = 5, window: int = 4
+) -> Column:
+    """Winnowing document fingerprints (the MOSS algorithm): hash all
+    character k-grams, then keep the minimum hash of every
+    ``window``-length sliding window; return the sorted distinct
+    selected hashes.
+
+    Guarantees of the scheme: any shared substring of length
+    ≥ k+window-1 between two documents yields at least one common
+    fingerprint, and fingerprint density is ~2/(window+1) —
+    position-robust matching at a fraction of full-shingle cost.
+
+    Pure Column algebra (substr/md5/array ops) — JVM-side, and
+    mirrored exactly by the SQL oracle (hashes are the first 8 hex
+    digits of md5 as a bigint). Documents shorter than k+window-1
+    chars fingerprint to the min over whatever k-grams exist (empty
+    array when shorter than k)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_grams = F.length(c) - (k - 1)
+    # sequence(1, 0) generates a DESCENDING range in Spark — guard
+    # short documents to an empty gram list explicitly
+    grams = F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+            lambda i: c.substr(i, F.lit(k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    hashes = F.transform(
+        grams, lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("bigint")
+    )
+    n_windows = F.size(hashes) - (window - 1)
+    mins = F.when(
+        n_windows >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_windows, F.lit(1))),
+            lambda i: F.array_min(F.slice(hashes, i, window)),
+        ),
+    ).otherwise(
+        # shorter than a full window: keep the global min if any
+        F.when(F.size(hashes) > 0, F.array(F.array_min(hashes))).otherwise(
+            F.array().cast("array<bigint>")
+        )
+    )
+    return F.array_sort(F.array_distinct(mins))

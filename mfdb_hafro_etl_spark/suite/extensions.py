@@ -462,3 +462,90 @@ def x_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = mm.attach_binary(docs, "doc_id", "text")
     out = mm.resize_media(media, width=16, height=16, mode="fake")
     return out.select("media_id", "width", "height", "n_bytes", F.sha2("content", 256).alias("sha256"))
+
+
+# ------------------------------------------- ngram lang-ID + winnowing
+@register(
+    "x_text_langid_ngram",
+    """
+    WITH scored AS (
+      SELECT doc_id,
+        (length(text) - length(replace(text, 'the', ''))) / 3.0
+        + (length(text) - length(replace(text, ' th', ''))) / 3.0
+        + (length(text) - length(replace(text, 'ing', ''))) / 3.0
+        + (length(text) - length(replace(text, 'and', ''))) / 3.0
+        + (length(text) - length(replace(text, ' of', ''))) / 3.0 AS s_en,
+        (length(text) - length(replace(text, ' de', ''))) / 3.0
+        + (length(text) - length(replace(text, 'os ', ''))) / 3.0
+        + (length(text) - length(replace(text, ' la', ''))) / 3.0
+        + (length(text) - length(replace(text, 'ión', ''))) / 3.0
+        + (length(text) - length(replace(text, ' el', ''))) / 3.0 AS s_es,
+        (length(text) - length(replace(text, 'der', ''))) / 3.0
+        + (length(text) - length(replace(text, 'sch', ''))) / 3.0
+        + (length(text) - length(replace(text, 'ein', ''))) / 3.0
+        + (length(text) - length(replace(text, 'und', ''))) / 3.0
+        + (length(text) - length(replace(text, 'ich', ''))) / 3.0 AS s_de,
+        (length(text) - length(replace(text, ' le', ''))) / 3.0
+        + (length(text) - length(replace(text, 'les', ''))) / 3.0
+        + (length(text) - length(replace(text, 'ent', ''))) / 3.0
+        + (length(text) - length(replace(text, ' de', ''))) / 3.0
+        + (length(text) - length(replace(text, 'que', ''))) / 3.0 AS s_fr
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE
+             WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de AND s_fr > 0 THEN 'fr'
+             WHEN s_es >= s_en AND s_es >= s_de AND s_es > 0 THEN 'es'
+             WHEN s_en >= s_de AND s_en > 0 THEN 'en'
+             WHEN s_de > 0 THEN 'de'
+             ELSE 'und'
+           END AS lang_guess
+    FROM scored
+    """,
+)
+def x_text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-n-gram language ID (the brief's n-gram heuristic,
+    beside the stopword variant): marker-trigram occurrence counts
+    via the length/replace identity — one codegen'd projection, no
+    explode, no UDF. Ties resolve to the greatest language code on
+    both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", tx.lang_guess_ngram("text").alias("lang_guess"))
+
+
+@register(
+    "x_text_winnow",
+    """
+    WITH g AS (
+      SELECT doc_id, text, length(text) - 4 AS ng FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+        CASE WHEN ng >= 1 THEN
+          list_transform(generate_series(1, ng),
+            i -> CAST(concat('0x', substr(md5(substr(text, CAST(i AS INT), 5)), 1, 8)) AS BIGINT))
+        ELSE [] END AS hashes
+      FROM g
+    ),
+    m AS (
+      SELECT doc_id,
+        CASE WHEN len(hashes) - 3 >= 1 THEN
+          list_transform(generate_series(1, len(hashes) - 3),
+            i -> list_min(list_slice(hashes, CAST(i AS INT), CAST(i + 3 AS INT))))
+        WHEN len(hashes) > 0 THEN [list_min(hashes)]
+        ELSE [] END AS mins
+      FROM h
+    )
+    SELECT doc_id, UNNEST(list_sort(list_distinct(mins))) AS fp
+    FROM m
+    """,
+)
+def x_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (MOSS): min-hash of every 4-window over
+    char-5-gram hashes; any shared substring of length >= 8 between
+    two docs shares a fingerprint. Pure array algebra, exploded to
+    (doc_id, fp) rows for engine-portable hashing."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.explode(tx.winnow_fingerprints("text", k=5, window=4)).alias("fp")
+    )
