@@ -253,3 +253,56 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
         .alias("simhash")
     )
     return packed
+
+
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 3,
+    max_df: int = 20,
+) -> DataFrame:
+    """Near-duplicate pairs via winnowing fingerprints: docs sharing
+    ≥ ``min_shared`` selected hashes. The winnowing index is ~2/(w+1)
+    the size of a full k-gram index, so the candidate self-join
+    shuffles a fraction of the shingle-join's bytes — the scale path
+    when MinHash recall (whole-doc similarity) is the wrong tool and
+    substring-level overlap is wanted (MOSS semantics: any shared
+    run ≥ k+window-1 chars is caught).
+
+    Same join discipline as the shingle path: fingerprints are
+    exploded once (pre-spread by id), pairs form on the fp equi key,
+    id_a < id_b halves the matrix.
+
+    ``max_df`` is the stop-fingerprint gate: a fingerprint occurring
+    in more than max_df documents (boilerplate, shared templates) is
+    excluded from pair generation — without it one hot fingerprint
+    makes the self-join quadratic in its document frequency, which is
+    exactly the blowup that kills naive pair joins at corpus scale.
+    The doc-frequency count rides the same fp partitioning the
+    self-join needs, so the gate costs one window pass, not an extra
+    shuffle.
+    """
+    from pyspark.sql import Window
+
+    from mfdb_hafro_etl_spark.operators.text import winnow_fingerprint_table
+
+    fps = winnow_fingerprint_table(
+        _spread_by_id(df.select(id_col, text_col), id_col), id_col, text_col, k, window
+    )
+    fps = (
+        fps.withColumn("__df__", F.count(F.lit(1)).over(Window.partitionBy("fp")))
+        .filter(F.col("__df__") <= max_df)
+        .drop("__df__")
+    )
+    a = fps.select(F.col(id_col).alias("id_a"), "fp")
+    b = fps.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, on="fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -3,8 +3,10 @@
 No reference counterpart (the driver's extension scope): language-ID
 heuristic, quality scoring, token counting, document fingerprinting.
 Everything is pure Column algebra over token arrays — JVM-side,
-whole-stage codegen, no UDFs — so the operators scale linearly with
-partition count at 100 TB.
+whole-stage codegen — except the winnowing fingerprint table, where
+the measured cost of interpreted nested higher-order expressions
+justified an Arrow kernel (see winnow_fingerprint_table's docstring;
+a parity test pins it byte-identical to the Column formulation).
 """
 
 from __future__ import annotations
@@ -185,3 +187,50 @@ def winnow_fingerprints(
         )
     )
     return F.array_sort(F.array_distinct(mins))
+
+
+def winnow_fingerprint_table(
+    df, id_col: str, text_col: str, k: int = 5, window: int = 4
+):
+    """(id, fp) winnowing fingerprints via an Arrow mapInPandas
+    kernel — algorithmically IDENTICAL to winnow_fingerprints (same
+    md5-hex→int hash, same window mins, same short-doc guard), kept
+    as the execution path because nested higher-order Column
+    expressions (transform→md5→conv per gram, slice+array_min per
+    window) evaluate interpreted per element and measure ~15× slower
+    than hashlib in Arrow batches at 5k docs. The Column version
+    stays as the expression-level reference; a parity test pins the
+    two to byte-identical output.
+    """
+    import hashlib as _hl
+
+    import pandas as _pd
+
+    from mfdb_hafro_etl_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(df.sparkSession)
+
+    def gen(batches):
+        for pdf in batches:
+            out_ids, out_fps = [], []
+            for did, t in zip(pdf[id_col], pdf[text_col]):
+                t = t or ""
+                n = len(t) - k + 1
+                if n < 1:
+                    continue
+                hs = [
+                    int(_hl.md5(t[j : j + k].encode("utf-8")).hexdigest()[:8], 16)
+                    for j in range(n)
+                ]
+                if len(hs) >= window:
+                    mins = {min(hs[j : j + window]) for j in range(len(hs) - window + 1)}
+                else:
+                    mins = {min(hs)}
+                for v in sorted(mins):
+                    out_ids.append(did)
+                    out_fps.append(v)
+            yield _pd.DataFrame({id_col: out_ids, "fp": out_fps})
+
+    src = df.select(id_col, text_col)
+    id_type = src.schema[id_col].dataType.simpleString()
+    return src.mapInPandas(gen, schema=f"{id_col} {id_type}, fp bigint")

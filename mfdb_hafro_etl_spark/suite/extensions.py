@@ -546,6 +546,50 @@ def x_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     two docs shares a fingerprint. Pure array algebra, exploded to
     (doc_id, fp) rows for engine-portable hashing."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", F.explode(tx.winnow_fingerprints("text", k=5, window=4)).alias("fp")
+    return tx.winnow_fingerprint_table(
+        dd._spread_by_id(docs.select("doc_id", "text"), "doc_id"), "doc_id", "text", k=5, window=4
     )
+
+
+@register(
+    "x_dedup_winnow",
+    """
+    WITH g AS (
+      SELECT doc_id, text, length(text) - 4 AS ng FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+        CASE WHEN ng >= 1 THEN
+          list_transform(generate_series(1, ng),
+            i -> CAST(concat('0x', substr(md5(substr(text, CAST(i AS INT), 5)), 1, 8)) AS BIGINT))
+        ELSE [] END AS hashes
+      FROM g
+    ),
+    m AS (
+      SELECT doc_id,
+        CASE WHEN len(hashes) - 3 >= 1 THEN
+          list_transform(generate_series(1, len(hashes) - 3),
+            i -> list_min(list_slice(hashes, CAST(i AS INT), CAST(i + 3 AS INT))))
+        WHEN len(hashes) > 0 THEN [list_min(hashes)]
+        ELSE [] END AS mins
+      FROM h
+    ),
+    fps_all AS (SELECT doc_id, UNNEST(list_distinct(mins)) AS fp FROM m),
+    fps AS (
+      SELECT doc_id, fp FROM fps_all
+      QUALIFY COUNT(*) OVER (PARTITION BY fp) <= 20
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 3
+    """,
+)
+def x_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing near-dup pairs: substring-level overlap detection
+    on the ~2/(w+1)-density fingerprint index — the MOSS-semantics
+    complement to MinHash's whole-doc similarity. Stop-fingerprint
+    gate max_df=20 keeps boilerplate fingerprints out of the
+    self-join (the quadratic hot-key hazard)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.winnow_pairs(docs, "doc_id", "text", k=5, window=4, min_shared=3)

@@ -166,3 +166,20 @@ def test_asof_join_semantics_tiny(spark):
         for r in join_ops.asof_join(left, right, on="ts", by=["g"], value_cols=["v"]).collect()
     }
     assert got == {(1, 5): None, (1, 10): 100.0, (1, 20): 150.0, (2, 10): None}
+
+
+def test_winnow_kernel_matches_column_algebra(spark, sf_dir):
+    """The Arrow winnowing kernel must be byte-identical to the
+    expression-level reference formulation — same md5-hex→int hash,
+    same window mins, same short-doc guard."""
+    from mfdb_hafro_etl_spark.operators.text import (
+        winnow_fingerprint_table,
+        winnow_fingerprints,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    via_kernel = _rows(winnow_fingerprint_table(docs, "doc_id", "text", k=5, window=4))
+    via_columns = _rows(
+        docs.select("doc_id", F.explode(winnow_fingerprints("text", k=5, window=4)).alias("fp"))
+    )
+    assert via_kernel == via_columns
