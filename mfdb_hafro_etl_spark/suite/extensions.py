@@ -593,3 +593,42 @@ def x_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join (the quadratic hot-key hazard)."""
     docs = load_table(spark, sf_dir, "documents")
     return dd.winnow_pairs(docs, "doc_id", "text", k=5, window=4, min_shared=3)
+
+
+@register(
+    "x_text_quality",
+    """
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             regexp_split_to_array(trim(regexp_replace(text, '([^\\s A-Za-z0-9]+)', ' \\1 ', 'g')), '\\s+') AS bpe
+      FROM documents
+    ),
+    stats AS (
+      SELECT doc_id,
+        len(toks) AS n_tokens,
+        len(list_filter(bpe, p -> p <> '')) AS n_bpe,
+        CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+          / greatest(len(toks), 1) AS mlen,
+        CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','is','to','in'], t))) AS DOUBLE)
+          / greatest(len(toks), 1) AS sw
+      FROM tok
+    )
+    SELECT doc_id, n_tokens, n_bpe,
+      ROUND(LEAST(1.0,
+        (sw * 2
+         + (CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.5 END)
+         + (CASE WHEN mlen BETWEEN 3 AND 12 THEN 1.0 ELSE 0.5 END)) / 3), 6) AS quality
+    FROM stats
+    """,
+)
+def x_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score (C4/Gopher-shaped: stopword ratio +
+    length gates) and the BPE-ish sub-word token count, one codegen'd
+    projection per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.token_count("text").cast("long").alias("n_tokens"),
+        tx.token_count_bpe("text").cast("long").alias("n_bpe"),
+        tx.quality_score("text").alias("quality"),
+    )
