@@ -89,18 +89,25 @@ def replace_by_source(
     data_source: str,
     *,
     partition_col: str = PARTITION_COL,
+    sub_partition_cols: Sequence[str] = (),
 ) -> None:
     """S15: idempotent fact import — replace all rows of one
     ``data_source``, leave every other source intact (reference
     mfdb_import_survey semantics, R/initdb.R:286-288).
 
     Dynamic partition overwrite: only the partitions present in
-    ``df`` (exactly one — we stamp the constant) are swapped.
+    ``df`` (exactly one source — we stamp the constant) are swapped.
+
+    ``sub_partition_cols`` (e.g. ``["year"]``) adds the scale layout
+    SURVEY §4 calls for: data_source/year/... directories give
+    per-source replace AND dynamic partition pruning for the query
+    API's year-range filters — a year-bounded sample_count scans only
+    the matching year directories of each source.
     """
     spark = df.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     out = df.withColumn(partition_col, F.lit(data_source))
-    out.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    out.write.mode("overwrite").partitionBy(partition_col, *sub_partition_cols).parquet(path)
 
 
 def read_fact(spark: SparkSession, path: str) -> DataFrame:

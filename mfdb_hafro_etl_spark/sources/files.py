@@ -130,3 +130,53 @@ def fan_out_tolerant(
     # input_file_name() returns a URI (spaces become %20, etc.) —
     # decode before the map lookup so on-disk names match
     return df.withColumn(tag_col, mapping[F.url_decode(F.input_file_name())])
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    *,
+    schema_hint: str | None = None,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+    predicates: list[str] | None = None,
+    properties: dict[str, str] | None = None,
+) -> DataFrame:
+    """S1: lazy relational table scan over JDBC — the direct analog
+    of the reference's ``tbl(mar, 'schema.table')`` Oracle handles
+    (reference R/initdb.R:104,106; SURVEY §2.1 S1). The returned
+    DataFrame is lazy exactly like the dbplyr handle: filters and
+    projections composed on it compile into the generated SQL
+    (Spark's JDBC pushdown), so the warehouse does the scan-side
+    work just as Oracle did for dplyr.
+
+    Parallelism contract (the part a naive port misses): a bare JDBC
+    read is ONE connection — a single-task scan. Pass either
+    ``partition_column`` + bounds (numeric stride split) or explicit
+    ``predicates`` (one partition per predicate, e.g. per
+    data_source) so the cluster reads with num_partitions concurrent
+    cursors. This container ships no JDBC driver, so the function is
+    exercised against the parquet fixtures via the identical
+    catalog.load_table call shape; on a real deployment only the URL
+    changes.
+    """
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    if schema_hint:
+        reader = reader.option("customSchema", schema_hint)
+    if predicates:
+        # one partition per predicate — the per-data_source split
+        conn_props = dict(properties or {})
+        return spark.read.jdbc(url, table, predicates=predicates, properties=conn_props)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions or 32))
+        )
+    return reader.load()

@@ -151,3 +151,27 @@ def test_range_join_binned_is_hash_join(spark, sf_dir):
     plan = _plan(QUERIES["j13_range_join_binned"](spark, sf_dir))
     assert _count(r"BroadcastNestedLoopJoin", plan) == 0, plan[:3000]
     assert _count(r"SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin", plan) >= 1
+
+
+def test_fact_partition_pruning(spark, sf_dir, tmp_path):
+    """A data_source/year-partitioned fact must partition-prune: a
+    (source, year) filter shows PartitionFilters on the scan and no
+    full-table read."""
+    from mfdb_hafro_etl_spark.catalog import load_table
+    from mfdb_hafro_etl_spark.sinks import read_fact, replace_by_source
+
+    path = str(tmp_path / "fact")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"),
+        F.year("l_shipdate").alias("year"),
+        F.col("l_quantity").alias("qty"),
+    )
+    replace_by_source(li, path, "src_a", sub_partition_cols=["year"])
+    replace_by_source(li.withColumn("qty", F.col("qty") * 2), path, "src_b",
+                      sub_partition_cols=["year"])
+    fact = read_fact(spark, path).filter(
+        (F.col("data_source") == "src_a") & (F.col("year") == 1995)
+    )
+    plan = _plan(fact)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "data_source" in m.group(1) and "year" in m.group(1), plan[:2000]
