@@ -306,3 +306,53 @@ def winnow_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 15,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs → duplicate
+    clusters: every doc that appears in a pair gets
+    ``cluster_id`` = the smallest doc id reachable through the pair
+    graph (the canonical representative a dedup pipeline keeps).
+
+    Min-label propagation: each iteration joins the edge list
+    against current labels and takes the min label seen across
+    neighbors; converges to the unique fixpoint (min id per
+    component) in O(component diameter) rounds, independent of
+    partitioning — the iterative-algorithm pattern (driver-side
+    LOOP, never driver-side DATA). localCheckpoint truncates the
+    lineage each round so plans don't grow with iterations; the
+    convergence probe is a cheap limit(1) existence job. At corpus
+    scale swap max_iter for the alternating small-star/large-star
+    optimization if components run deep; near-dup graphs are
+    overwhelmingly shallow.
+    """
+    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).dropDuplicates()
+    edges = edges.localCheckpoint(eager=True)
+    labels = edges.select(F.col("a").alias("node")).dropDuplicates().withColumn(
+        "label", F.col("node")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        prop = (
+            edges.join(labels.withColumnRenamed("node", "a"), on="a")
+            .select(F.col("b").alias("node"), "label")
+        )
+        new_labels = (
+            labels.unionByName(prop).groupBy("node").agg(F.min("label").alias("label"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.withColumnRenamed("label", "new_label")
+            .join(labels, on="node")
+            .filter(F.col("new_label") != F.col("label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -70,7 +70,9 @@ def x_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------- minhash + LSH
-def _minhash_sql(k: int = 8, rows_per_band: int = 2, threshold: float = 0.6) -> str:
+def _minhash_ctes(k: int = 8, rows_per_band: int = 2, threshold: float = 0.6) -> str:
+    """CTE chain ending in ``pairs(id_a, id_b, jaccard)`` — shared by
+    the pair query and the clustering oracle."""
     sig_cols = ",\n           ".join(
         f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(k)
     )
@@ -82,8 +84,7 @@ def _minhash_sql(k: int = 8, rows_per_band: int = 2, threshold: float = 0.6) -> 
         )
         for b in range(n_bands)
     )
-    return f"""
-    WITH {_SH_SQL},
+    return f"""{_SH_SQL},
     sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
     bands AS ({band_selects}),
     cand AS (
@@ -97,12 +98,17 @@ def _minhash_sql(k: int = 8, rows_per_band: int = 2, threshold: float = 0.6) -> 
       JOIN sh sa ON sa.doc_id = c.id_a
       JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
       GROUP BY 1, 2
-    )
-    SELECT i.id_a, i.id_b,
-           ROUND(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 6) AS jaccard
-    FROM inter i JOIN sz sa ON i.id_a = sa.doc_id JOIN sz sb ON i.id_b = sb.doc_id
-    WHERE ROUND(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 6) >= {threshold}
-    """
+    ),
+    pairs AS (
+      SELECT i.id_a, i.id_b,
+             ROUND(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 6) AS jaccard
+      FROM inter i JOIN sz sa ON i.id_a = sa.doc_id JOIN sz sb ON i.id_b = sb.doc_id
+      WHERE ROUND(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 6) >= {threshold}
+    )"""
+
+
+def _minhash_sql(k: int = 8, rows_per_band: int = 2, threshold: float = 0.6) -> str:
+    return "WITH " + _minhash_ctes(k, rows_per_band, threshold) + "\n    SELECT id_a, id_b, jaccard FROM pairs"
 
 
 @register("x_dedup_minhash_lsh", _minhash_sql())
@@ -632,3 +638,35 @@ def x_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         tx.token_count_bpe("text").cast("long").alias("n_bpe"),
         tx.quality_score("text").alias("quality"),
     )
+
+
+# ------------------------------------------------- duplicate clusters
+@register(
+    "x_dedup_clusters",
+    "WITH RECURSIVE " + _minhash_ctes() + """,
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(node, lab) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+    )
+    SELECT node AS doc_id, MIN(lab) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+)
+def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters = connected components over the MinHash-LSH
+    pair graph (min-label propagation; cluster_id = smallest member
+    id, the canonical doc a dedup pipeline keeps). The oracle walks
+    the same graph with a recursive CTE — an iterative Spark
+    algorithm still hash-verified exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, k=8, rows_per_band=2, threshold=0.6
+    )
+    return dd.duplicate_clusters(pairs)

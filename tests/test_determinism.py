@@ -183,3 +183,15 @@ def test_winnow_kernel_matches_column_algebra(spark, sf_dir):
         docs.select("doc_id", F.explode(winnow_fingerprints("text", k=5, window=4)).alias("fp"))
     )
     assert via_kernel == via_columns
+
+
+def test_duplicate_clusters_semantics_and_determinism(spark):
+    """Hand-checked components (chain, singleton pair, isolated) and
+    partition invariance of the min-label fixpoint."""
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 9), (7, 8)], "id_a BIGINT, id_b BIGINT"
+    )
+    expect = {(1, 1), (2, 1), (3, 1), (9, 1), (7, 7), (8, 7)}
+    for p in [pairs, pairs.repartition(5), pairs.orderBy(F.desc("id_a"))]:
+        got = {(r.doc_id, r.cluster_id) for r in dedup_ops.duplicate_clusters(p).collect()}
+        assert got == expect
