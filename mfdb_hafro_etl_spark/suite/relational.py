@@ -1268,3 +1268,51 @@ def j13_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("band_id").agg(
         F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
     )
+
+
+# ------------------------------------------------------ SQL API surface
+@register(
+    "sql1_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           strftime(CAST(o.o_orderdate AS DATE), '%Y-%m-%d') AS order_date
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1995-03-15'
+      AND CAST(l.l_shipdate AS DATE) > DATE '1995-03-15'
+    GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE)
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def sql1_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped shipping-priority query driven through the
+    ENGINE'S SQL SURFACE: catalog.register_views + spark.sql — the
+    spark.sql(...) entry point of SURVEY §7's design stance,
+    exercised end to end (multi-join, selective filters on both fact
+    sides, top-k with deterministic tie-break). Catalyst plans it
+    identically to the DataFrame formulation: pushdown into all
+    three scans, broadcast for customer, TakeOrderedAndProject for
+    the top-k."""
+    from mfdb_hafro_etl_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l.l_orderkey,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               date_format(CAST(o.o_orderdate AS DATE), 'yyyy-MM-dd') AS order_date
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND CAST(o.o_orderdate AS DATE) < DATE '1995-03-15'
+          AND CAST(l.l_shipdate AS DATE) > DATE '1995-03-15'
+        GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE)
+        ORDER BY revenue DESC, l.l_orderkey
+        LIMIT 10
+        """
+    )
