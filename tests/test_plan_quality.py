@@ -175,3 +175,13 @@ def test_fact_partition_pruning(spark, sf_dir, tmp_path):
     plan = _plan(fact)
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "data_source" in m.group(1) and "year" in m.group(1), plan[:2000]
+
+
+def test_sql_surface_plans_like_dataframe(spark, sf_dir):
+    """The spark.sql path must get the same physical treatment as the
+    DataFrame path: top-k as TakeOrderedAndProject (no global sort),
+    customer dimension broadcast, filters pushed to the scans."""
+    plan = _plan(QUERIES["sql1_shipping_priority"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert _count(r"BroadcastHashJoin", plan) >= 1
+    assert "PushedFilters: [" in plan
