@@ -1,0 +1,69 @@
+"""Deterministic sampling / dataset-split operators (driver extension
+scope — the train/valid/test plumbing of a training-data pipeline).
+
+Everything is content-hash based, NOT RNG based: a row's split or
+sample membership is a pure function of its id, so results are
+reproducible across runs, engines, partitionings and cluster sizes —
+``df.sample()``'s seed is partition-dependent and resamples when the
+layout changes, which silently leaks test data across reruns at
+scale. md5-derived buckets are uniform to ~2^-64 and reproducible in
+ANSI SQL for the oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 16 hex chars = 64 bits; exact as double up to 2^53 is irrelevant
+# here because both engines do the same conv→double division.
+_BUCKET_HEX = 15  # 60 bits — fits exactly in a double-precision int
+_BUCKET_MAX = float(16 ** _BUCKET_HEX)
+
+
+def hash_unit(col: Column | str, salt: str = "") -> Column:
+    """Uniform [0,1) value derived from md5(salt || id) — the
+    deterministic replacement for rand(seed). 60 hash bits, so the
+    double division is exact and engine-portable."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.md5(F.concat(F.lit(salt), c.cast("string")))
+    return F.conv(F.substring(h, 1, _BUCKET_HEX), 16, 10).cast("double") / F.lit(_BUCKET_MAX)
+
+
+def deterministic_sample(
+    df: DataFrame, id_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Reproducible ~fraction sample: keeps rows whose hash_unit falls
+    below ``fraction``. Membership is stable under repartition,
+    re-run, and engine change; disjoint samples come from different
+    salts."""
+    return df.filter(hash_unit(id_col, salt) < fraction)
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    splits: Mapping[str, float] | None = None,
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/valid/test assignment: cumulative
+    hash_unit boundaries in the given order. Fractions must sum to
+    1.0; every row lands in exactly one split, forever — the property
+    that keeps held-out data held out across pipeline reruns."""
+    splits = dict(splits or {"train": 0.98, "valid": 0.01, "test": 0.01})
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions sum to {total}, expected 1.0")
+    u = hash_unit(id_col, salt)
+    expr: Column | None = None
+    acc = 0.0
+    names = list(splits)
+    for name in names[:-1]:
+        acc += splits[name]
+        expr = F.when(u < acc, F.lit(name)) if expr is None else expr.when(u < acc, F.lit(name))
+    last = F.lit(names[-1])
+    out = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, out)

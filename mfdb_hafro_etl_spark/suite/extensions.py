@@ -670,3 +670,43 @@ def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", n=3, k=8, rows_per_band=2, threshold=0.6
     )
     return dd.duplicate_clusters(pairs)
+
+
+# ------------------------------------------ deterministic split/sample
+@register(
+    "x_sample_hash_split",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5('v1' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               / CAST(16 ** 15 AS DOUBLE) AS unit
+      FROM documents
+    ),
+    assigned AS (
+      SELECT doc_id,
+             CASE WHEN unit < 0.8 THEN 'train'
+                  WHEN unit < 0.9 THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM u
+    )
+    SELECT split, COUNT(*) AS n, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM assigned GROUP BY split
+    """,
+)
+def x_sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test split: membership is a pure
+    function of md5(salt||id), so it is stable under repartition,
+    rerun, and engine change — unlike df.sample(seed), whose output
+    depends on the physical partitioning (the silent test-leak
+    hazard at scale). Oracle replicates the hash arithmetic."""
+    from mfdb_hafro_etl_spark.operators import sampling as sp
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = sp.hash_split(
+        docs, "doc_id", {"train": 0.8, "valid": 0.1, "test": 0.1}, salt="v1"
+    )
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )

@@ -195,3 +195,27 @@ def test_duplicate_clusters_semantics_and_determinism(spark):
     for p in [pairs, pairs.repartition(5), pairs.orderBy(F.desc("id_a"))]:
         got = {(r.doc_id, r.cluster_id) for r in dedup_ops.duplicate_clusters(p).collect()}
         assert got == expect
+
+
+def test_hash_split_stable_and_exhaustive(spark, sf_dir):
+    """Split membership is a pure function of the id: identical under
+    repartition, partitions exactly (every row in exactly one split),
+    and deterministic_sample(salt) ⊂ the same rows on every call."""
+    from mfdb_hafro_etl_spark.operators import sampling as sp
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    fr = {"train": 0.8, "valid": 0.1, "test": 0.1}
+    base = {(r.doc_id, r.split) for r in sp.hash_split(docs, "doc_id", fr).collect()}
+    again = {
+        (r.doc_id, r.split)
+        for r in sp.hash_split(docs.repartition(7), "doc_id", fr).collect()
+    }
+    assert base == again
+    assert len(base) == docs.count()  # exactly one split per row
+
+    s1 = {r.doc_id for r in sp.deterministic_sample(docs, "doc_id", 0.2).collect()}
+    s2 = {r.doc_id for r in sp.deterministic_sample(docs.repartition(3), "doc_id", 0.2).collect()}
+    assert s1 == s2
+    # different salt → (overwhelmingly) different membership
+    s3 = {r.doc_id for r in sp.deterministic_sample(docs, "doc_id", 0.2, salt="other").collect()}
+    assert s1 != s3
