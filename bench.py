@@ -57,12 +57,35 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(json.dumps({
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # full per-query detail goes to a file + one line per query on
+    # stdout; the FINAL stdout line is a compact summary small enough
+    # that a tail-capture window always contains the whole JSON
+    # object (a single 80-query line gets truncated mid-object and
+    # parses as nothing)
+    detail = {
         "metric": "suite_total_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
+    except OSError:
+        pass
+    for name in names:
+        print(json.dumps({"query": name, "sec": timings[name]}))
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:8])
+    print(json.dumps({
+        "metric": "suite_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": slowest,
+        "n_queries": len(timings),
+        "sf": sf_val,
     }))
     spark.stop()
 

@@ -157,23 +157,36 @@ def asof_join(
     Right rows that share an exact (by, on) timestamp are reduced to
     their last value in (arbitrary but columnwise-consistent) order —
     pre-aggregate the right side if ties must be resolved by a rule.
+
+    All ``value_cols`` are carried in ONE struct and filled with a
+    single last(ignorenulls) pass, so the matched right row supplies
+    every value column together and a legitimately-NULL field in the
+    latest right row SURVIVES as NULL (per-column fills would
+    back-fill it from an older snapshot, and different columns could
+    come from different right rows — both diverge from pandas
+    merge_asof / DuckDB ASOF semantics).
     """
     by = list(by)
     tag = "__asof_src__"
+    payload = "__asof_payload__"
     l_payload = [c for c in left.columns if c not in by and c != on]
+    r_struct = F.struct(*[F.col(c).alias(c) for c in value_cols])
+    null_struct = F.lit(None).cast(
+        "struct<" + ",".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in value_cols) + ">"
+    )
     l = left.select(
         *by,
         F.col(on).alias("__asof_ts__"),
         F.lit(1).alias(tag),
         *[F.col(c) for c in l_payload],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}") for c in value_cols],
+        null_struct.alias(payload),
     )
     r = right.select(
         *by,
         F.col(on).alias("__asof_ts__"),
         F.lit(0).alias(tag),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in l_payload],
-        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+        r_struct.alias(payload),
     )
     from pyspark.sql import Window
 
@@ -183,14 +196,17 @@ def asof_join(
         .orderBy(F.col("__asof_ts__"), F.col(tag))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = u.withColumns(
-        {f"{c}{suffix}": F.last(f"{c}{suffix}", ignorenulls=True).over(w) for c in value_cols}
-    )
+    filled = u.withColumn(payload, F.last(payload, ignorenulls=True).over(w))
     return (
         filled.filter(F.col(tag) == 1)
         .drop(tag)
         .withColumnRenamed("__asof_ts__", on)
-        .select(*by, on, *l_payload, *[f"{c}{suffix}" for c in value_cols])
+        .select(
+            *by,
+            on,
+            *l_payload,
+            *[F.col(f"{payload}.{c}").alias(f"{c}{suffix}") for c in value_cols],
+        )
     )
 
 
@@ -221,13 +237,29 @@ def range_join_binned(
     fan-out stays O(1) while each bin's candidate set stays small.
     The reference's SCD-2 probes (J7) are the broadcast special case;
     this operator is the fact-sized-registry path.
+
+    Only ``how`` in {'inner','left'} is supported: the interval side
+    is exploded one row per overlapped bin, so a right/full outer
+    join would emit an unmatched interval once PER BIN (duplicates).
+    Malformed intervals (lo > hi) produce no bins — without the
+    guard, Spark's sequence() would happily generate the DESCENDING
+    bin range and match the interval everywhere.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"range_join_binned supports how in ('inner','left'), got {how!r}: "
+            "the exploded interval side would duplicate unmatched intervals "
+            "once per bin under right/full outer"
+        )
     by = list(by)
     p_bin = F.floor(F.col(point_col) / bin_width).cast("long")
-    i_bins = F.sequence(
-        F.floor(F.col(lo_col) / bin_width).cast("long"),
-        F.floor(F.col(hi_col) / bin_width).cast("long"),
-    )
+    i_bins = F.when(
+        F.col(lo_col) <= F.col(hi_col),
+        F.sequence(
+            F.floor(F.col(lo_col) / bin_width).cast("long"),
+            F.floor(F.col(hi_col) / bin_width).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
     p = points.withColumn("__bin__", p_bin).alias("p")
     i = intervals.withColumn("__bin__", F.explode(i_bins)).alias("i")
     cond = F.col("p.__bin__") == F.col("i.__bin__")

@@ -17,16 +17,19 @@ from collections.abc import Mapping
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# 16 hex chars = 64 bits; exact as double up to 2^53 is irrelevant
-# here because both engines do the same conv→double division.
-_BUCKET_HEX = 15  # 60 bits — fits exactly in a double-precision int
+# 15 hex chars = 60 bits. A 60-bit integer is NOT exactly
+# representable in a double (exact only to 2^53) — portability comes
+# from both engines performing the SAME correctly-rounded int→double
+# conversion and IEEE division, not from exactness.
+_BUCKET_HEX = 15
 _BUCKET_MAX = float(16 ** _BUCKET_HEX)
 
 
 def hash_unit(col: Column | str, salt: str = "") -> Column:
     """Uniform [0,1) value derived from md5(salt || id) — the
-    deterministic replacement for rand(seed). 60 hash bits, so the
-    double division is exact and engine-portable."""
+    deterministic replacement for rand(seed). Engine-portable because
+    conv→double rounding and the division are identical
+    correctly-rounded IEEE operations in Spark and the SQL oracle."""
     c = F.col(col) if isinstance(col, str) else col
     h = F.md5(F.concat(F.lit(salt), c.cast("string")))
     return F.conv(F.substring(h, 1, _BUCKET_HEX), 16, 10).cast("double") / F.lit(_BUCKET_MAX)
@@ -59,10 +62,15 @@ def hash_split(
         raise ValueError(f"split fractions sum to {total}, expected 1.0")
     u = hash_unit(id_col, salt)
     expr: Column | None = None
-    acc = 0.0
     names = list(splits)
-    for name in names[:-1]:
-        acc += splits[name]
+    # cumulative boundaries via fsum of the prefix — repeated float
+    # adds drift (0.8 + 0.1 = 0.9000000000000001), which would open a
+    # ~1e-16 window where the engine boundary disagrees with the
+    # documented/oracle literal (e.g. 0.9)
+    import math
+
+    for i, name in enumerate(names[:-1]):
+        acc = math.fsum(splits[n] for n in names[: i + 1])
         expr = F.when(u < acc, F.lit(name)) if expr is None else expr.when(u < acc, F.lit(name))
     last = F.lit(names[-1])
     out = last if expr is None else expr.otherwise(last)

@@ -169,8 +169,13 @@ def read_jdbc(
     if schema_hint:
         reader = reader.option("customSchema", schema_hint)
     if predicates:
-        # one partition per predicate — the per-data_source split
+        # one partition per predicate — the per-data_source split.
+        # spark.read.jdbc bypasses the configured reader, so fold
+        # schema_hint into the connection properties (customSchema is
+        # honored there too) rather than silently dropping it
         conn_props = dict(properties or {})
+        if schema_hint:
+            conn_props["customSchema"] = schema_hint
         return spark.read.jdbc(url, table, predicates=predicates, properties=conn_props)
     if partition_column is not None:
         reader = (

@@ -13,7 +13,7 @@ Design notes (scale-first):
 - ``availableNow`` + memory sink is the verification harness: the
   same query graph that would run continuously is executed to
   exhaustion over the finite testdata and compared with its batch
-  twin (tests/test_streaming.py). ``complete`` output mode is used
+  twin (the x_stream_* suite queries). ``complete`` output mode is used
   for the windowed agg in that harness because with a finite input
   the watermark never advances past the trailing windows — in
   ``append`` mode they would be withheld forever.
