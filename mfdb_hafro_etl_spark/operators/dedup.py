@@ -77,16 +77,40 @@ def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.6
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.6,
+    max_df: int = 1000,
 ) -> DataFrame:
-    """Exact pairwise n-gram Jaccard via shingle equi-join
-    (brute-force baseline; use minhash_lsh_pairs at scale).
+    """Pairwise n-gram Jaccard via shingle equi-join (brute-force
+    baseline; use minhash_lsh_pairs at scale).
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded
-    to 6 for stable cross-engine comparison."""
+    to 6 for stable cross-engine comparison.
+
+    ``max_df`` is the stop-shingle gate (same discipline as
+    winnow_pairs): a shingle occurring in more than max_df documents
+    is excluded from PAIR GENERATION — one boilerplate shingle shared
+    by k docs otherwise fans the self-join out to k² rows, which is
+    the blowup that kills naive pair joins at corpus scale. Jaccard
+    denominators still count the full shingle sets, so when the gate
+    trips, affected pairs' jaccard is an underestimate (standard
+    stop-word tradeoff; the SQL oracle replicates the gate exactly).
+    The doc-frequency count is a window pass over the same shingle
+    partitioning the self-join shuffles on — no extra shuffle.
+    """
+    from pyspark.sql import Window
+
     sh = shingle_table(df, id_col, text_col, n).cache()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    gated = (
+        sh.withColumn("__df__", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
+        .filter(F.col("__df__") <= max_df)
+        .drop("__df__")
+    )
+    a = gated.select(F.col(id_col).alias("id_a"), "shingle")
+    b = gated.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
         a.join(b, on="shingle")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -337,6 +361,7 @@ def duplicate_clusters(
     labels = edges.select(F.col("a").alias("node")).dropDuplicates().withColumn(
         "label", F.col("node")
     ).localCheckpoint(eager=True)
+    changed = 0
     for _ in range(max_iter):
         prop = (
             edges.join(labels.withColumnRenamed("node", "a"), on="a")
@@ -355,4 +380,13 @@ def duplicate_clusters(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # a component deeper than max_iter would otherwise return
+        # silently-unconverged labels that disagree with the exact
+        # recursive-CTE oracle with no signal
+        raise RuntimeError(
+            f"duplicate_clusters did not converge within max_iter={max_iter} "
+            "rounds — a component's diameter exceeds the iteration budget; "
+            "raise max_iter (or switch to small-star/large-star) for deep graphs"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -71,20 +71,27 @@ def cosine_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int = 4,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: all (a,b), a<b, with cosine ≥
     threshold.
 
-    Implemented as a blocked matrix product: the normalized matrix is
-    broadcast once; each partition multiplies its row block against
-    it with numpy (BLAS) inside mapInPandas and emits only pairs over
-    the threshold. ~50× the throughput of the per-pair Column-algebra
-    fold (which re-evaluates two 64-element norms per pair).
+    Fully distributed blocked matrix product — NO driver collect, no
+    full-table broadcast. Rows are hashed into ``n_blocks`` blocks by
+    id; each row is shipped to every unordered block pair it
+    participates in ((min(b,o), max(b,o)) for o in range(n_blocks)),
+    and one applyInPandas group per block pair runs the A·Bᵀ BLAS
+    product and emits only pairs over the threshold. Every unordered
+    id pair lands in exactly one group, so coverage is exact with no
+    dedup pass.
 
-    Scale path: the broadcast side must fit executor memory (N×dim
-    float64). Beyond that, pre-bucket with lsh_bucket() and run this
-    within buckets, or block both sides (grid cross-join of row
-    ranges).
+    Scale model: all-pairs cosine is inherently O(N²) compute; the
+    grid makes the MEMORY per task O((N/n_blocks)·dim) — pick
+    n_blocks so a block fits an executor (e.g. 1e6 rows × 64 dims ×
+    8 B ≈ 0.5 GB → blocks of ≤ ~250k rows). Shuffle volume is
+    N·n_blocks rows — the price of exactness; when approximate recall
+    is acceptable, pre-bucket with lsh_bucket() and run the same
+    kernel within buckets instead.
     """
     import numpy as np
     import pandas as pd
@@ -93,37 +100,63 @@ def cosine_pairs(
 
     ensure_package_shipped(emb.sparkSession)
 
-    rows = emb.select(F.col(id_col), F.col(vec_col)).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    M = np.array([r[1] for r in rows], dtype=np.float64)
-    norms = np.linalg.norm(M, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    Mn = M / norms
-    spark = emb.sparkSession
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(Mn)
-
-    def gen(batches):
-        all_ids, mat = b_ids.value, b_mat.value
-        order = np.argsort(all_ids)
-        for pdf in batches:
-            chunk_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            pos = order[np.searchsorted(all_ids[order], chunk_ids)]
-            sims = mat[pos] @ mat.T  # (chunk, N) BLAS product
-            ia, ib = np.nonzero(
-                (np.round(sims, 6) >= threshold)
-                & (chunk_ids[:, None] < all_ids[None, :])
+    blk = F.pmod(F.col(id_col), F.lit(n_blocks)).cast("int")
+    pair_keys = F.array(
+        *[
+            F.struct(
+                F.least(F.col("__blk__"), F.lit(o)).alias("ba"),
+                F.greatest(F.col("__blk__"), F.lit(o)).alias("bb"),
             )
-            yield pd.DataFrame(
-                {
-                    "id_a": chunk_ids[ia],
-                    "id_b": all_ids[ib],
-                    "cos_sim": np.round(sims[ia, ib], 6),
-                }
-            )
+            for o in range(n_blocks)
+        ]
+    )
+    exploded = (
+        emb.select(F.col(id_col), F.col(vec_col), blk.alias("__blk__"))
+        .withColumn("__bp__", F.explode(pair_keys))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("__blk__"),
+            F.col("__bp__.ba").alias("__ba__"),
+            F.col("__bp__.bb").alias("__bb__"),
+        )
+    )
 
-    return emb.select(id_col).mapInPandas(
-        gen, schema="id_a bigint, id_b bigint, cos_sim double"
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        i, j = int(key[0]), int(key[1])
+
+        def block(b: int):
+            part = pdf[pdf["__blk__"] == b]
+            ids = part[id_col].to_numpy(dtype=np.int64)
+            if len(ids) == 0:
+                return ids, np.zeros((0, 1))
+            M = np.array([np.asarray(v, dtype=np.float64) for v in part[vec_col]])
+            nrm = np.linalg.norm(M, axis=1, keepdims=True)
+            nrm[nrm == 0] = 1.0
+            return ids, M / nrm
+
+        ids_a, Ma = block(i)
+        if i == j:
+            ids_b, Mb = ids_a, Ma
+        else:
+            ids_b, Mb = block(j)
+        if len(ids_a) == 0 or len(ids_b) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos_sim": "float64"}
+            )
+        sims = Ma @ Mb.T
+        mask = np.round(sims, 6) >= threshold
+        if i == j:
+            mask &= ids_a[:, None] < ids_b[None, :]
+        ia, ib = np.nonzero(mask)
+        lo = np.minimum(ids_a[ia], ids_b[ib])
+        hi = np.maximum(ids_a[ia], ids_b[ib])
+        return pd.DataFrame(
+            {"id_a": lo, "id_b": hi, "cos_sim": np.round(sims[ia, ib], 6)}
+        )
+
+    return exploded.groupBy("__ba__", "__bb__").applyInPandas(
+        kernel, schema="id_a bigint, id_b bigint, cos_sim double"
     )
 
 

@@ -51,9 +51,13 @@ def x_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH {_SH_SQL},
     sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    shd AS (
+      SELECT doc_id, shingle FROM sh
+      QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 1000
+    ),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM shd a JOIN shd b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT i.id_a, i.id_b,
@@ -63,10 +67,12 @@ def x_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def x_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact pairwise word-3-gram Jaccard ≥ 0.6 (brute-force
-    baseline; the LSH variant below is the scale path)."""
+    """Pairwise word-3-gram Jaccard ≥ 0.6 with the max_df stop-shingle
+    gate (brute-force baseline; the LSH variant below is the scale
+    path). The oracle replicates the gate (QUALIFY df <= 1000), so
+    the comparison stays exact even when the gate trips."""
     docs = load_table(spark, sf_dir, "documents")
-    return dd.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.6)
+    return dd.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.6, max_df=1000)
 
 
 # ------------------------------------------------------- minhash + LSH

@@ -177,6 +177,60 @@ def test_fact_partition_pruning(spark, sf_dir, tmp_path):
     assert m and "data_source" in m.group(1) and "year" in m.group(1), plan[:2000]
 
 
+def test_cosine_pairs_is_distributed(spark, sf_dir):
+    """cosine_pairs must never materialize the vector table on the
+    driver: no DataFrame.collect during plan build OR execution, the
+    kernel runs as grouped-map Pandas stages, and the result matches
+    a numpy brute-force reference exactly."""
+    import numpy as np
+    from unittest import mock
+
+    from pyspark.sql import DataFrame
+    from mfdb_hafro_etl_spark.catalog import load_table
+    from mfdb_hafro_etl_spark.operators import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with mock.patch.object(
+        DataFrame, "collect", side_effect=AssertionError("driver collect in cosine_pairs")
+    ):
+        pairs = sim.cosine_pairs(emb, threshold=0.45, n_blocks=3)
+        got = {
+            (r["id_a"], r["id_b"]): r["cos_sim"]
+            for r in pairs.toLocalIterator()  # not .collect — patched
+        }
+    plan = _plan(pairs)
+    assert "FlatMapGroupsInPandas" in plan, plan[:2000]
+
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    ids = pdf["vec_id"].to_numpy(np.int64)
+    M = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    nrm = np.linalg.norm(M, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1.0
+    S = (M / nrm) @ (M / nrm).T
+    want = {}
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if ids[i] < ids[j] and np.round(S[i, j], 6) >= 0.45:
+                want[(ids[i], ids[j])] = np.round(S[i, j], 6)
+    assert got == want
+
+
+def test_ngram_jaccard_hot_shingle_gate(spark):
+    """The max_df stop-shingle gate must bound pair fan-out: a corpus
+    where 10 docs share identical text produces 45 exact-dup pairs
+    ungated, and ZERO pairs once the hot shingles (df=10) exceed
+    max_df — the quadratic blowup never reaches the join."""
+    from mfdb_hafro_etl_spark.operators import dedup
+
+    rows = [(i, "alpha beta gamma delta epsilon") for i in range(10)]
+    rows += [(100 + i, f"unique{i} token{i} word{i} item{i} bit{i}") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ungated = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", max_df=1000)
+    assert ungated.count() == 45
+    gated = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", max_df=5)
+    assert gated.count() == 0
+
+
 def test_sql_surface_plans_like_dataframe(spark, sf_dir):
     """The spark.sql path must get the same physical treatment as the
     DataFrame path: top-k as TakeOrderedAndProject (no global sort),
