@@ -145,3 +145,37 @@ def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
     """Register every testdata table as a temp view for spark.sql use."""
     for name, df in load_tables(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+
+
+# ------------------------------------------------- packaged taxonomy dims
+# The reference ships its public taxonomy tables as data files
+# (reference inst/mapping.txt:1-58 gear map, inst/vessel_type.csv:1-9,
+# inst/veidarf.txt:1-102 gear names, inst/prey-names.txt:1-129); here
+# they are packaged as clean CSVs under mfdb_hafro_etl_spark/data/ and
+# loaded with explicit schemas like every other source.
+
+PACKAGED_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
+
+PACKAGED_DDL: dict[str, str] = {
+    "gear_mapping": "veidarfaeri INT, gear INT",
+    "vessel_type": "vessel_type STRING, description STRING",
+    "gear_names": "veidarfaeri INT, description_is STRING, lods_code STRING, description_en STRING",
+    "prey_names": "faeduhopur STRING, prey_id DOUBLE, name STRING, description STRING",
+}
+
+
+def packaged_dim_path(name: str) -> str:
+    if name not in PACKAGED_DDL:
+        raise KeyError(f"unknown packaged dim {name!r}")
+    return os.path.join(PACKAGED_DIR, f"{name}.csv")
+
+
+def load_packaged_dim(spark: SparkSession, name: str) -> DataFrame:
+    """Load one packaged taxonomy dimension (explicit schema, header
+    skipped, never inferred). All are broadcast-sized by construction
+    (≤ ~130 rows) — join them with F.broadcast."""
+    return (
+        spark.read.schema(T.StructType.fromDDL(PACKAGED_DDL[name]))
+        .option("header", "true")
+        .csv(packaged_dim_path(name))
+    )

@@ -138,32 +138,59 @@ def m6_rawdata(spark: SparkSession, sf_dir: str) -> DataFrame:
 VESSEL_TYPE_DECODE = [(-4, "FGN"), (0, "UNK"), (1, "COM"), (2, "FRZ"), (3, "SMB")]
 
 
+def _vessel_type_csv_sql() -> str:
+    from mfdb_hafro_etl_spark.catalog import packaged_dim_path
+
+    return (
+        f"read_csv('{packaged_dim_path('vessel_type')}', header=true, "
+        "columns={'vessel_type': 'VARCHAR', 'description': 'VARCHAR'})"
+    )
+
+
 @register(
     "p8_vessel_taxonomy",
     fx.with_clause("skipasaga")
-    + """
+    + f"""
     SELECT CASE WHEN COALESCE(CAST(skip_nr AS VARCHAR), '') || '-'
                      || CAST(COALESCE(saga_nr, 0) AS VARCHAR) = '-0' THEN NULL
                 ELSE COALESCE(CAST(skip_nr AS VARCHAR), '') || '-'
                      || CAST(COALESCE(saga_nr, 0) AS VARCHAR) END AS vessel,
            CASE flokkur WHEN -4 THEN 'FGN' WHEN 0 THEN 'UNK' WHEN 1 THEN 'COM'
                         WHEN 2 THEN 'FRZ' WHEN 3 THEN 'SMB' ELSE 'OTH' END AS vessel_type,
+           vt.description AS vessel_type_desc,
            heiti AS name, brl AS tonnage, lengd AS length_m
     FROM skipasaga
+    LEFT JOIN {_vessel_type_csv_sql()} vt
+      ON vt.vessel_type = CASE flokkur WHEN -4 THEN 'FGN' WHEN 0 THEN 'UNK'
+                               WHEN 1 THEN 'COM' WHEN 2 THEN 'FRZ'
+                               WHEN 3 THEN 'SMB' ELSE 'OTH' END
     """,
 )
 def p8_vessel_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vessel taxonomy dimension (SURVEY S14, reference
     R/initdb.R:163-198): registry rows → vessel identity + the
-    13-branch Oracle DECODE → typed dimension attributes. Dimension-
-    sized: built once, broadcast everywhere."""
+    13-branch Oracle DECODE → typed dimension attributes, decorated
+    with the PACKAGED vessel-type taxonomy (reference
+    inst/vessel_type.csv:1-9, shipped as
+    mfdb_hafro_etl_spark/data/vessel_type.csv) — codes missing from
+    the public table (UNK/SMB/OTH) keep a NULL description, which the
+    oracle reads from the same CSV. Dimension-sized: built once,
+    broadcast everywhere."""
+    from mfdb_hafro_etl_spark.catalog import load_packaged_dim
+
     saga = fx.skipasaga(spark, sf_dir)
-    return saga.select(
+    vt = load_packaged_dim(spark, "vessel_type").withColumnRenamed(
+        "description", "vessel_type_desc"
+    )
+    dim = saga.select(
         vessel_id(F.col("skip_nr"), F.col("saga_nr")).alias("vessel"),
         decode(F.col("flokkur"), VESSEL_TYPE_DECODE, default="OTH").alias("vessel_type"),
         F.col("heiti").alias("name"),
         F.col("brl").alias("tonnage"),
         F.col("lengd").alias("length_m"),
+    )
+    return dim.join(F.broadcast(vt), on="vessel_type", how="left").select(
+        "vessel", "vessel_type", "vessel_type_desc", "name", "tonnage", "length_m"
     )
 
 

@@ -468,6 +468,91 @@ SELECT o_orderkey AS synis_id FROM orders WHERE o_orderkey % 41 = 7
 """
 
 
+# ---------------------------------------------------- ices_landed_catch
+# Statlant/ICES landed-catch extract (reference R/initdb.R:552-576):
+# padded area/subarea strings exercise the trim + LIKE chain, Iceland
+# rows the country filter, NULL landings the na.omit, and the %3
+# species split the IN-list whitelist.
+
+ICES_LANDED_CATCH_SQL = """
+SELECT
+  (['LIN', 'USK', 'COD'])[1 + o_orderkey % 3]        AS species_code,
+  'Name-' || (['LIN', 'USK', 'COD'])[1 + o_orderkey % 3] AS species,
+  ([' 5', '5 ', '5', '27'])[1 + o_custkey % 4]       AS area,
+  (['Iceland', 'Norway', 'Faroe', 'UK', 'Greenland'])[1 + o_orderkey % 5] AS country,
+  (['a1', ' a2', 'a3 ', 'b1'])[1 + (o_orderkey + o_custkey) % 4] AS subarea,
+  CAST(1960 + o_orderkey % 60 AS INT)                AS year,
+  CASE WHEN o_orderkey % 23 = 0 THEN NULL
+       ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT) / 100000.0 END AS landings
+FROM orders
+"""
+
+
+def ices_landed_catch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    k, c = F.col("o_orderkey"), F.col("o_custkey")
+    spc = F.element_at(F.array(F.lit("LIN"), F.lit("USK"), F.lit("COD")), (1 + k % 3).cast("int"))
+    return o.select(
+        spc.alias("species_code"),
+        F.concat(F.lit("Name-"), spc).alias("species"),
+        F.element_at(
+            F.array(F.lit(" 5"), F.lit("5 "), F.lit("5"), F.lit("27")), (1 + c % 4).cast("int")
+        ).alias("area"),
+        F.element_at(
+            F.array(*[F.lit(x) for x in ["Iceland", "Norway", "Faroe", "UK", "Greenland"]]),
+            (1 + k % 5).cast("int"),
+        ).alias("country"),
+        F.element_at(
+            F.array(F.lit("a1"), F.lit(" a2"), F.lit("a3 "), F.lit("b1")),
+            (1 + (k + c) % 4).cast("int"),
+        ).alias("subarea"),
+        (1960 + k % 60).cast("int").alias("year"),
+        F.when(k % 23 == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(F.col("o_totalprice") * 100, 0).cast("bigint") / 100000.0)
+        .alias("landings"),
+    )
+
+
+# ------------------------------------------------------------ vigtarskra
+# Pre-1982 weighing-ledger landings (reference R/initdb.R:580-612
+# fiskifelagid.vigtarskra66_81): raw (artal, manudur) date parts,
+# reiknistudull conversion factors, NULL skip_nr rows, veidarfaeri
+# codes spanning the gear-map fallback.
+
+VIGTARSKRA_SQL = """
+SELECT
+  CASE WHEN o_orderkey % 19 = 0 THEN NULL
+       ELSE CAST(o_custkey % 200 AS INT) END         AS skip_nr,
+  CAST(o_custkey % 160 AS INT)                       AS vinnsluhofn,
+  CAST(o_orderkey % 10 AS INT)                       AS radlykill,
+  CAST(o_orderkey % 6 AS INT)                        AS skipsgerd,
+  CAST(1 + o_orderkey % 50 AS INT)                   AS fteg,
+  CAST(ROUND(o_totalprice * 100) AS BIGINT) / 500.0  AS magn,
+  1.0 + (o_orderkey % 5) * 0.1                       AS reiknistudull,
+  CAST(1966 + o_orderkey % 16 AS INT)                AS artal,
+  CAST(month(o_orderdate) AS INT)                    AS manudur,
+  CAST(o_orderkey % 100 AS INT)                      AS veidarfaeri
+FROM orders
+"""
+
+
+def vigtarskra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    k, c = F.col("o_orderkey"), F.col("o_custkey")
+    return o.select(
+        F.when(k % 19 == 0, F.lit(None)).otherwise((c % 200).cast("int")).alias("skip_nr"),
+        (c % 160).cast("int").alias("vinnsluhofn"),
+        (k % 10).cast("int").alias("radlykill"),
+        (k % 6).cast("int").alias("skipsgerd"),
+        (1 + k % 50).cast("int").alias("fteg"),
+        (F.round(F.col("o_totalprice") * 100, 0).cast("bigint") / 500.0).alias("magn"),
+        (1.0 + (k % 5) * 0.1).alias("reiknistudull"),
+        (1966 + k % 16).cast("int").alias("artal"),
+        F.month("o_orderdate").alias("manudur"),
+        (k % 100).cast("int").alias("veidarfaeri"),
+    )
+
+
 def bad_synis_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.filter(F.col("o_orderkey") % 41 == 7).select(
@@ -491,6 +576,8 @@ FIXTURE_CTES: dict[str, str] = {
     "corrected_togtimi": CORRECTED_TOGTIMI_SQL,
     "corrected_toglengd": CORRECTED_TOGLENGD_SQL,
     "bad_synis_id": BAD_SYNIS_ID_SQL,
+    "ices_landed_catch": ICES_LANDED_CATCH_SQL,
+    "vigtarskra": VIGTARSKRA_SQL,
 }
 
 

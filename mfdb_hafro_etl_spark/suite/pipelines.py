@@ -396,11 +396,8 @@ def p6_landings_rescale(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------- p7 shrimp overlay
 
-_P7_SQL = (
-    fx.with_clause(
-        "stodvar", "corrected_togtimi", "corrected_toglengd", "bad_synis_id"
-    )
-    + """,
+# shared by p7 (overlay only) and p9 (overlay → ldist → import)
+_SHRIMP_CTES = """
 fixed AS (
   SELECT s.synis_id, s.ar, s.man,
          CASE WHEN s.synaflokkur = 37 THEN 14 ELSE s.synaflokkur END AS synaflokkur,
@@ -417,7 +414,15 @@ shr AS (
   SELECT * FROM fixed
   WHERE synaflokkur IN (14, 37)
     AND synis_id NOT IN (SELECT synis_id FROM existing)
-)
+)"""
+
+_P7_SQL = (
+    fx.with_clause(
+        "stodvar", "corrected_togtimi", "corrected_toglengd", "bad_synis_id"
+    )
+    + ",\n"
+    + _SHRIMP_CTES.lstrip()
+    + """
 SELECT synis_id AS tow, ar AS year, man AS month,
        concat_ws('_', CAST(skiki AS VARCHAR), CAST(fjardarreitur AS VARCHAR)) AS areacell,
        skiki, fjardarreitur, togtimi, toglengd,
@@ -425,6 +430,393 @@ SELECT synis_id AS tow, ar AS year, man AS month,
 FROM shr
 """
 )
+
+
+# ------------------------------------------------ p9 shrimp ldist + import
+
+_P9_SQL = (
+    fx.with_clause(
+        "stodvar",
+        "corrected_togtimi",
+        "corrected_toglengd",
+        "bad_synis_id",
+        "species_key",
+        "lengdir",
+        "numer",
+    )
+    + ",\n"
+    + _SHRIMP_CTES.lstrip()
+    + """,
+stations_shr AS (
+  SELECT synis_id AS tow, ar AS year, man AS month,
+         concat_ws('_', CAST(skiki AS VARCHAR), CAST(fjardarreitur AS VARCHAR)) AS areacell,
+         skiki, fjardarreitur, togtimi, toglengd,
+         COUNT(*) OVER (PARTITION BY ar, fjardarreitur, skiki) AS towcount,
+         (['INS', 'XINS', 'XS', 'SEA'])[1 + CAST(synis_id % 4 AS INT)] AS sampling_type,
+         CAST(skiki * 100 + COALESCE(fjardarreitur, 0.0) AS DOUBLE) AS size
+  FROM shr
+),
+biom_mat AS (
+  SELECT 41 AS tegund, 0.000628641104521994 AS a, 2.84713109335131 AS b, 0.1 AS s
+),
+ratio AS (
+  SELECT synis_id, tegund,
+    CASE WHEN fj_talid = 0 THEN 1.0
+         ELSE fj_talid / (CASE WHEN fj_maelt = 0 THEN 1.0 ELSE fj_maelt END) END AS r,
+    CASE WHEN afli = 0 THEN NULL
+         ELSE afli / (CASE WHEN vigt_synis = 0 THEN NULL ELSE vigt_synis END) END AS biom_r,
+    vigt_synis
+  FROM numer
+),
+base AS (
+  SELECT l.synis_id, l.tegund, l.lengd, l.fjoldi, l.kyn, l.kynthroski, sk.species,
+         rt.r, rt.biom_r, rt.vigt_synis,
+         ROUND((CASE WHEN bm.s = 0 OR bm.s IS NULL THEN 1.0 ELSE 1.0 / bm.s END) * l.lengd, 0)
+           / (CASE WHEN bm.s = 0 OR bm.s IS NULL THEN 1.0 ELSE 1.0 / bm.s END) AS lengd_interval
+  FROM lengdir l
+  JOIN species_key sk ON l.tegund = sk.tegund
+  LEFT JOIN biom_mat bm ON l.tegund = bm.tegund
+  LEFT JOIN ratio rt ON l.synis_id = rt.synis_id AND l.tegund = rt.tegund
+),
+iv AS (
+  SELECT synis_id, tegund, lengd_interval, SUM(fjoldi) AS fjoldi_by_int
+  FROM base GROUP BY 1, 2, 3
+),
+grp AS (
+  SELECT synis_id, tegund, SUM(fjoldi) AS fjoldi_sum FROM base GROUP BY 1, 2
+),
+ivw AS (
+  SELECT i.synis_id, i.tegund, i.lengd_interval, i.fjoldi_by_int,
+         CASE WHEN g.fjoldi_sum * bm.a * POW(i.lengd_interval, bm.b) = 0 THEN NULL
+              ELSE i.fjoldi_by_int / g.fjoldi_sum * bm.a * POW(i.lengd_interval, bm.b)
+         END AS fpw
+  FROM iv i
+  JOIN grp g ON i.synis_id = g.synis_id AND i.tegund = g.tegund
+  LEFT JOIN biom_mat bm ON i.tegund = bm.tegund
+),
+grpw AS (
+  SELECT synis_id, tegund, SUM(fpw) AS fpw_sum FROM ivw GROUP BY 1, 2
+),
+mw AS (
+  SELECT i.synis_id, i.tegund, i.lengd_interval,
+         (CASE WHEN g.fpw_sum = 0 THEN NULL ELSE i.fpw / g.fpw_sum END)
+         * (CASE WHEN rt.vigt_synis = 0 THEN NULL ELSE rt.vigt_synis END
+            / CASE WHEN i.fjoldi_by_int = 0 THEN NULL ELSE i.fjoldi_by_int END) AS mean_wt
+  FROM ivw i
+  JOIN grpw g ON i.synis_id = g.synis_id AND i.tegund = g.tegund
+  LEFT JOIN ratio rt ON i.synis_id = rt.synis_id AND i.tegund = rt.tegund
+),
+scaled AS (
+  SELECT b.synis_id AS tow, b.tegund, b.lengd, b.kyn, b.kynthroski, b.species,
+         b.fjoldi * (CASE WHEN b.tegund IN (41) THEN b.biom_r ELSE b.r END) AS fjoldi,
+         m.mean_wt
+  FROM base b
+  JOIN mw m ON b.synis_id = m.synis_id AND b.tegund = m.tegund
+            AND b.lengd_interval = m.lengd_interval
+),
+joined AS (
+  SELECT st.tow, st.year, st.month, st.areacell, st.sampling_type, st.skiki,
+         st.fjardarreitur, st.togtimi, st.toglengd, st.towcount, st.size,
+         l.tegund, l.lengd, l.kyn, l.kynthroski, l.species, l.fjoldi, l.mean_wt
+  FROM scaled l RIGHT JOIN stations_shr st ON l.tow = st.tow
+)
+SELECT tow, year, month, areacell, sampling_type, skiki, fjardarreitur, togtimi, species,
+  CASE WHEN COALESCE(lengd, 0.0) > 4 AND tegund = 41 THEN COALESCE(lengd, 0.0) / 10
+       ELSE COALESCE(lengd, 0.0) END AS length,
+  COALESCE(fjoldi, 0.0) AS "count",
+  CASE WHEN kyn = 2 THEN 'F' WHEN kyn = 1 THEN 'M' ELSE '' END AS sex,
+  CASE WHEN kynthroski > 1 THEN 2 WHEN kynthroski = 1 THEN 1 ELSE NULL END AS maturity_stage,
+  0 AS age,
+  CASE WHEN mean_wt IS NULL OR towcount IS NULL THEN NULL
+       ELSE ROUND(
+         (mean_wt / COALESCE(CASE WHEN sampling_type IN ('XS', 'XINS', 'SEA')
+                                  THEN 1.0 ELSE toglengd END, 1.0))
+         / towcount
+         * COALESCE(CASE WHEN sampling_type IN ('XS', 'XINS', 'SEA')
+                         THEN 1.0 ELSE size END, 1.0), 6)
+  END AS weight,
+  'iceland-ldist-infjord' AS data_source
+FROM joined
+WHERE tow NOT IN (100000, 400000)
+"""
+)
+
+
+@register("p9_shrimp_ldist", _P9_SQL)
+def p9_shrimp_ldist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shrimp ldist end-to-end (reference R/initdb_add_shrimp.R:
+    187-267): the p7 stations overlay → skala_med_toldum2 with the
+    interval-allometric mean_wt chain → right-join onto the shrimp
+    stations → mm-entered-length fix (lengd/10 for shrimp > 4),
+    recodes, weight-for-index scaling ((mean_wt / towlength[=1 for
+    index types]) / towcount * size[=1 for index types], nvl-guarded
+    as in d6) → replace-by-source import under
+    'iceland-ldist-infjord' and read-back from the partitioned fact
+    store. The fact write is partitioned (data_source, year), so the
+    import swaps one source's partitions and year filters prune.
+    weight rounded to 6 dp on both sides (pow() ulp discipline)."""
+    import os
+
+    from mfdb_hafro_etl_spark.catalog import load_table
+    from mfdb_hafro_etl_spark.plans import shrimp as shrimp_plan
+    from mfdb_hafro_etl_spark.plans.ldist import (
+        shrimp_weight_for_index,
+        skala_med_toldum2,
+    )
+    from mfdb_hafro_etl_spark.sinks import read_fact, replace_by_source
+
+    existing = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 5 == 0)
+        .select(F.col("o_orderkey").alias("synis_id"))
+    )
+    st = shrimp_plan.build_shrimp_stations(
+        fx.stodvar(spark, sf_dir),
+        fx.corrected_togtimi(spark, sf_dir),
+        fx.corrected_toglengd(spark, sf_dir),
+        fx.bad_synis_id(spark, sf_dir),
+        existing,
+    )
+    # reference stations_shr carries sampling_type and area size;
+    # derive both deterministically from overlay columns
+    st = st.withColumn(
+        "sampling_type",
+        F.element_at(
+            F.array(F.lit("INS"), F.lit("XINS"), F.lit("XS"), F.lit("SEA")),
+            (F.col("tow") % 4 + 1).cast("int"),
+        ),
+    ).withColumn(
+        "size",
+        (F.col("skiki") * 100 + F.coalesce(F.col("fjardarreitur"), F.lit(0.0))).cast("double"),
+    )
+    scaled = skala_med_toldum2(
+        fx.lengdir(spark, sf_dir).join(
+            F.broadcast(fx.species_key(spark, sf_dir)), on="tegund", how="inner"
+        ),
+        fx.numer(spark, sf_dir),
+    ).withColumnRenamed("synis_id", "tow")
+    j = scaled.join(st, on="tow", how="right")
+
+    lengd0 = F.coalesce(F.col("lengd"), F.lit(0.0))
+    length = F.when((lengd0 > 4) & (F.col("tegund") == 41), lengd0 / 10).otherwise(lengd0)
+    sex = F.when(F.col("kyn") == 2, F.lit("F")).when(F.col("kyn") == 1, F.lit("M")).otherwise(F.lit(""))
+    mat = (
+        F.when(F.col("kynthroski") > 1, F.lit(2))
+        .when(F.col("kynthroski") == 1, F.lit(1))
+        .otherwise(F.lit(None).cast("int"))
+    )
+    is_index = F.col("sampling_type").isin("XS", "XINS", "SEA")
+    towlen_eff = F.when(is_index, F.lit(1.0)).otherwise(F.col("toglengd"))
+    size_eff = F.when(is_index, F.lit(1.0)).otherwise(F.col("size"))
+    weight = F.when(
+        F.col("mean_wt").isNull() | F.col("towcount").isNull(), F.lit(None).cast("double")
+    ).otherwise(
+        F.round(
+            shrimp_weight_for_index(F.col("mean_wt"), towlen_eff, F.col("towcount"), size_eff),
+            6,
+        )
+    )
+    out = (
+        j.filter(~F.col("tow").isin(100000, 400000))
+        .select(
+            "tow",
+            "year",
+            "month",
+            "areacell",
+            "sampling_type",
+            "skiki",
+            "fjardarreitur",
+            "togtimi",
+            "species",
+            length.alias("length"),
+            F.coalesce(F.col("fjoldi"), F.lit(0.0)).alias("count"),
+            sex.alias("sex"),
+            mat.alias("maturity_stage"),
+            F.lit(0).alias("age"),
+            weight.alias("weight"),
+        )
+    )
+    tok = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join("/tmp/mfdb_suite", f"p9_fact_{tok}")
+    replace_by_source(out, path, "iceland-ldist-infjord", sub_partition_cols=["year"])
+    return read_fact(spark, path).filter(F.col("data_source") == "iceland-ldist-infjord")
+
+
+# --------------------------------------------------------- p10 statlant
+
+_P10_SQL = (
+    fx.with_clause("ices_landed_catch")
+    + """,
+f AS (
+  SELECT DISTINCT species_code AS species, area, country, subarea, year, landings
+  FROM ices_landed_catch
+  WHERE species_code IN ('LIN', 'USK')
+    AND trim(area) = '5'
+    AND country <> 'Iceland'
+    AND trim(subarea) LIKE 'a%'
+    AND year BETWEEN 1966 AND 2013
+),
+spread AS (
+  SELECT f.*, CAST(m AS INT) AS month, landings * 1000.0 / 12 AS weight_total
+  FROM f, (SELECT unnest(generate_series(1, 12)) AS m)
+)
+SELECT year, month, species, weight_total, 'LLN' AS gear, '2741' AS areacell,
+       'FLND' AS sampling_type, 'statlant.foreign.landings' AS data_source
+FROM spread WHERE weight_total IS NOT NULL
+"""
+)
+
+
+@register("p10_statlant", _P10_SQL)
+def p10_statlant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statlant/ICES foreign-landings pipeline (reference
+    R/initdb.R:552-576): species IN-list + trim/LIKE chain over
+    padded area/subarea codes, country exclusion, year band, distinct
+    over the surviving extract, annual → monthly month-spread
+    (landings·1e3/12), constant decode columns, na.omit on the spread
+    value, replace-by-source import under
+    'statlant.foreign.landings'. The spread is explode(sequence) —
+    narrow, no grid join, no shuffle before the import."""
+    import os
+
+    from mfdb_hafro_etl_spark.operators.grids import month_spread
+    from mfdb_hafro_etl_spark.sinks import read_fact, replace_by_source
+
+    ices = fx.ices_landed_catch(spark, sf_dir)
+    f = (
+        ices.filter(
+            F.col("species_code").isin("LIN", "USK")
+            & (F.trim(F.col("area")) == "5")
+            & (F.col("country") != "Iceland")
+            & F.trim(F.col("subarea")).like("a%")
+            & F.col("year").between(1966, 2013)
+        )
+        .drop("species")
+        .withColumnRenamed("species_code", "species")
+        .dropDuplicates()
+    )
+    spread = month_spread(
+        f.withColumn("landings_k", F.col("landings") * 1000.0), "landings_k", "weight_total"
+    )
+    out = (
+        spread.filter(F.col("weight_total").isNotNull())
+        .select(
+            "year",
+            "month",
+            "species",
+            "weight_total",
+            F.lit("LLN").alias("gear"),
+            F.lit("2741").alias("areacell"),
+            F.lit("FLND").alias("sampling_type"),
+        )
+    )
+    tok = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join("/tmp/mfdb_suite", f"p10_fact_{tok}")
+    replace_by_source(out, path, "statlant.foreign.landings", sub_partition_cols=["year"])
+    return read_fact(spark, path).filter(F.col("data_source") == "statlant.foreign.landings")
+
+
+# ------------------------------------------------------ p11 old landings
+
+_P11_SQL = (
+    fx.with_clause(
+        "lods", "skipasaga", "gear_mapping", "species_key", "port2sr", "vigtarskra"
+    )
+    + f""",
+landings_map AS ({LANDINGS_MAP_SQL}),
+base AS (
+  SELECT skip_nr, vinnsluhofn AS hofn, radlykill AS komunr,
+         make_date(artal, manudur, 1) AS l_dags, skipsgerd AS gerd, fteg,
+         0 AS kfteg, reiknistudull * magn AS magn_oslaegt, veidarfaeri,
+         artal AS ar, manudur AS man,
+         CASE WHEN manudur < 9
+              THEN CAST(artal - 1 AS VARCHAR) || CAST(artal AS VARCHAR)
+              ELSE CAST(artal AS VARCHAR) || CAST(artal + 1 AS VARCHAR)
+         END AS timabil
+  FROM vigtarskra
+),
+j AS (
+  SELECT b.*, lm.saga_nr FROM base b
+  LEFT JOIN landings_map lm
+    ON b.skip_nr = lm.skip_nr AND b.komunr = lm.komunr AND b.hofn = lm.hofn
+),
+j2 AS (SELECT j.*, g.gear FROM j LEFT JOIN gear_mapping g ON j.veidarfaeri = g.veidarfaeri),
+j3 AS (SELECT j2.*, sk.species FROM j2 JOIN species_key sk ON j2.fteg = sk.tegund),
+j4 AS (SELECT j3.*, p.areacell FROM j3 LEFT JOIN port2sr p ON j3.hofn = p.hofn)
+SELECT magn_oslaegt AS weight_total, 'LND' AS sampling_type, areacell, species,
+       ar AS year, man AS month, COALESCE(gear, 'LLN') AS gear, timabil,
+       'fiskifelagid_pre82.landings' AS data_source
+FROM j4
+"""
+)
+
+
+@register("p11_old_landings", _P11_SQL)
+def p11_old_landings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-1982 weighing-ledger landings (reference R/initdb.R:
+    580-612 fiskifelagid.vigtarskra66_81): yyyy.mm → date synth,
+    reiknistudull × magn conversion to ungutted weight, fishing-season
+    label (year-1‖year before September, year‖year+1 after — kept in
+    the output so the season conditional is hash-verified), landings-
+    map + SCD-registry lookups, gear map with 'LLN' fallback, species
+    whitelist, port → areacell, replace-by-source import under
+    'fiskifelagid_pre82.landings'. The skipasaga attribute join is
+    key-unique (adds no rows, all attribute columns dropped by the
+    final projection — mirrored chain, Catalyst prunes it); the
+    oracle omits it."""
+    import os
+
+    from mfdb_hafro_etl_spark.sinks import read_fact, replace_by_source
+
+    v = fx.vigtarskra(spark, sf_dir)
+    saga = fx.skipasaga(spark, sf_dir)
+    lmap = landings_plan.build_landings_map(fx.lods(spark, sf_dir), saga)
+    timabil = F.when(
+        F.col("manudur") < 9,
+        F.concat((F.col("artal") - 1).cast("string"), F.col("artal").cast("string")),
+    ).otherwise(
+        F.concat(F.col("artal").cast("string"), (F.col("artal") + 1).cast("string"))
+    )
+    base = v.select(
+        "skip_nr",
+        F.col("vinnsluhofn").alias("hofn"),
+        F.col("radlykill").alias("komunr"),
+        F.make_date("artal", "manudur", F.lit(1)).alias("l_dags"),
+        F.col("skipsgerd").alias("gerd"),
+        "fteg",
+        F.lit(0).alias("kfteg"),
+        (F.col("reiknistudull") * F.col("magn")).alias("magn_oslaegt"),
+        "veidarfaeri",
+        F.col("artal").alias("ar"),
+        F.col("manudur").alias("man"),
+        timabil.alias("timabil"),
+    )
+    j = base.join(F.broadcast(lmap), on=["skip_nr", "komunr", "hofn"], how="left")
+    # reference also left-joins the kvoti.skipasaga attributes by
+    # (skip_nr, saga_nr); the key is unique so no fan-out, and every
+    # attribute column is dropped below
+    j = j.join(F.broadcast(saga), on=["skip_nr", "saga_nr"], how="left")
+    j = j.join(F.broadcast(fx.gear_mapping(spark, sf_dir)), on="veidarfaeri", how="left")
+    j = j.join(
+        F.broadcast(fx.species_key(spark, sf_dir).withColumnRenamed("tegund", "fteg")),
+        on="fteg",
+        how="inner",
+    )
+    j = j.join(F.broadcast(fx.port2sr(spark, sf_dir)), on="hofn", how="left")
+    out = j.select(
+        F.col("magn_oslaegt").alias("weight_total"),
+        F.lit("LND").alias("sampling_type"),
+        "areacell",
+        "species",
+        F.col("ar").alias("year"),
+        F.col("man").alias("month"),
+        F.coalesce(F.col("gear"), F.lit("LLN")).alias("gear"),
+        "timabil",
+    )
+    tok = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join("/tmp/mfdb_suite", f"p11_fact_{tok}")
+    replace_by_source(out, path, "fiskifelagid_pre82.landings", sub_partition_cols=["year"])
+    return read_fact(spark, path).filter(F.col("data_source") == "fiskifelagid_pre82.landings")
 
 
 @register("p7_shrimp_overlay", _P7_SQL)

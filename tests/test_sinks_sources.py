@@ -76,3 +76,29 @@ def test_union_families_fills_missing_columns(spark):
     b = spark.createDataFrame([(2,)], "k INT")
     got = union_families([a, b]).orderBy("k").collect()
     assert [(r.k, r.extra) for r in got] == [(1, "x"), (2, None)]
+
+
+def test_packaged_taxonomy_dims(spark):
+    """The packaged public taxonomy tables (reference inst/: gear map,
+    vessel types, gear names, prey names) load with their declared
+    schemas and plausible shapes."""
+    from mfdb_hafro_etl_spark.catalog import PACKAGED_DDL, load_packaged_dim
+
+    dims = {name: load_packaged_dim(spark, name) for name in PACKAGED_DDL}
+    counts = {name: df.count() for name, df in dims.items()}
+    assert counts == {
+        "gear_mapping": 57,
+        "vessel_type": 8,
+        "gear_names": 101,
+        "prey_names": 128,
+    }
+    gm = dims["gear_mapping"]
+    assert dict(gm.dtypes) == {"veidarfaeri": "int", "gear": "int"}
+    # every gear_mapping code resolves to a named gear
+    gn = dims["gear_names"].select("veidarfaeri").distinct()
+    unresolved = gm.join(gn, "veidarfaeri", "left_anti").count()
+    assert unresolved == 0
+    # vessel_type codes are unique (dimension key)
+    vt = dims["vessel_type"]
+    assert vt.select("vessel_type").distinct().count() == 8
+    assert dims["prey_names"].filter(F.col("name").isNull()).count() == 0
