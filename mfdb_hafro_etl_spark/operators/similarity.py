@@ -210,6 +210,134 @@ def ann_lsh_topk(
     return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
 
 
+def _pynorm(v: list[float]) -> float:
+    acc = 0.0
+    for x in v:
+        acc += x * x
+    return acc ** 0.5
+
+
+def _pycos(a: list[float], b: list[float]) -> float:
+    d = sum(x * y for x, y in zip(a, b))
+    return round(d / (_pynorm(a) * _pynorm(b)), 6)
+
+
+def _ivf_centroids(
+    emb: DataFrame, n_centroids: int, id_col: str, vec_col: str
+) -> list[tuple[int, list[float]]]:
+    """Deterministic 'training sample': the n_centroids lowest-id
+    vectors (no RNG; a production build would k-means-refine)."""
+    return [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in emb.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
+    ]
+
+
+def _ivf_assign_expr(cents: list[tuple[int, list[float]]], vec_col: str) -> Column:
+    """Nearest-centroid assignment as ONE SQL expression (see
+    ann_ivf_topk plan notes). Requires a ``__vnorm__`` column holding
+    norm(vec_col)."""
+
+    def _dlit(x: float) -> str:
+        return f"CAST('{x!r}' AS DOUBLE)"
+
+    cent_structs = ",".join(
+        "named_struct('cid', {cid}, 'nrm', {nrm}, 'vec', array({vec}))".format(
+            cid=cid, nrm=_dlit(_pynorm(cv)), vec=",".join(_dlit(x) for x in cv)
+        )
+        for cid, cv in cents
+    )
+    return F.expr(
+        f"""array_sort(transform(array({cent_structs}), c -> named_struct(
+          'negcos', -round(
+              aggregate(zip_with(cast(`{vec_col}` as array<double>), c.vec,
+                                 (x, y) -> x * y),
+                        cast(0.0 as double), (acc, x) -> acc + x)
+              / (`__vnorm__` * c.nrm), 6),
+          'cid', c.cid)))[0].cid"""
+    )
+
+
+def _ivf_probes(
+    cents: list[tuple[int, list[float]]], query_vec: list[float], n_probe: int
+) -> list[int]:
+    return [
+        cid
+        for cid, _ in sorted(cents, key=lambda c: (-_pycos(query_vec, c[1]), c[0]))[:n_probe]
+    ]
+
+
+def build_ivf_index(
+    emb: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Materialize the IVF index: assign every vector to its nearest
+    centroid and WRITE the table partitioned by ``__cid__``, plus the
+    centroid table alongside. Probes against the materialized index
+    are partition-pruned scans — a query touches n_probe/n_centroids
+    of the data ON DISK, not just in the plan. Build cost is one
+    narrow map + one partitioned write; at 100 TB this is the once-
+    per-corpus indexing job that amortizes over every query.
+
+    Returns the centroid list (also persisted under
+    ``<path>/centroids`` so later sessions can probe without the
+    source table).
+    """
+    import os
+
+    spark = emb.sparkSession
+    cents = _ivf_centroids(emb, n_centroids, id_col, vec_col)
+    fanned = emb.repartition(spark.sparkContext.defaultParallelism)
+    assigned = (
+        fanned.withColumn("__vnorm__", norm(F.col(vec_col)))
+        .withColumn("__cid__", _ivf_assign_expr(cents, vec_col))
+        .drop("__vnorm__")
+    )
+    assigned.write.mode("overwrite").partitionBy("__cid__").parquet(
+        os.path.join(path, "vectors")
+    )
+    spark.createDataFrame(
+        [(cid, cv) for cid, cv in cents], "cid INT, centroid ARRAY<DOUBLE>"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    return cents
+
+
+def ann_ivf_topk_indexed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Probe a materialized IVF index (build_ivf_index): pick the
+    n_probe nearest centroids driver-side (centroid table is
+    dimension-sized), then scan ONLY those clusters' partitions —
+    `.explain` shows PartitionFilters on ``__cid__`` and a
+    PartitionCount of n_probe, so the pruning is physical, not
+    logical."""
+    import os
+
+    cents = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in spark.read.parquet(os.path.join(path, "centroids")).collect()
+    ]
+    probes = _ivf_probes(cents, query_vec, n_probe)
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    idx = spark.read.parquet(os.path.join(path, "vectors"))
+    scored = idx.filter(F.col("__cid__").isin(probes)).select(
+        F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim")
+    )
+    if exclude_id is not None:
+        scored = scored.filter(F.col(id_col) != exclude_id)
+    return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
+
+
 def ann_ivf_topk(
     emb: DataFrame,
     query_vec: list[float],
@@ -234,69 +362,30 @@ def ann_ivf_topk(
     both engines. Cosines are rounded to 6 before comparison so
     cross-engine ulp noise can't flip an assignment.
 
-    At scale the assignment is a narrow map; writing the result
-    partitioned by cluster id makes every later probe a partition-
-    pruned scan.
+    At scale the assignment is a narrow map; build_ivf_index writes it
+    partitioned by cluster id so every later probe is a partition-
+    pruned scan (this function is the index-free one-shot variant).
     """
-    cents = [
-        (int(r[0]), [float(x) for x in r[1]])
-        for r in emb.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
-    ]
+    cents = _ivf_centroids(emb, n_centroids, id_col, vec_col)
     # the assignment evaluates n_centroids array-cosines per row; a
     # single-row-group parquet input would run that on one core, so
     # fan the scan out first (explicit count — AQE must not coalesce
     # a CPU-bound stage back down)
     emb = emb.repartition(emb.sparkSession.sparkContext.defaultParallelism)
     # Assignment built as ONE SQL expression with the centroid matrix
-    # inline: a per-centroid F.lit build costs n_centroids·dim py4j
-    # round-trips at plan time and explodes whole-stage codegen with
-    # n_centroids separate cosine trees; a single transform() over a
-    # literal struct array keeps the plan O(1) in n_centroids. Float
-    # semantics are unchanged: the same zip_with/aggregate left-fold
-    # per dot, the row norm evaluated once per row (__vnorm__), and
-    # centroid norms folded in Python with the identical sequential
-    # IEEE left-fold — bit-identical to the oracle's per-centroid
-    # cosine.
-    def _pynorm(v: list[float]) -> float:
-        acc = 0.0
-        for x in v:
-            acc += x * x
-        return acc ** 0.5
-
-    def _dlit(x: float) -> str:
-        return f"CAST('{x!r}' AS DOUBLE)"
-
-    row_norm = norm(F.col(vec_col))
-    cent_structs = ",".join(
-        "named_struct('cid', {cid}, 'nrm', {nrm}, 'vec', array({vec}))".format(
-            cid=cid, nrm=_dlit(_pynorm(cv)), vec=",".join(_dlit(x) for x in cv)
-        )
-        for cid, cv in cents
-    )
-    assign = F.expr(
-        f"""array_sort(transform(array({cent_structs}), c -> named_struct(
-          'negcos', -round(
-              aggregate(zip_with(cast(`{vec_col}` as array<double>), c.vec,
-                                 (x, y) -> x * y),
-                        cast(0.0 as double), (acc, x) -> acc + x)
-              / (`__vnorm__` * c.nrm), 6),
-          'cid', c.cid)))[0].cid"""
-    )
-
-    def _pycos(a: list[float], b: list[float]) -> float:
-        d = sum(x * y for x, y in zip(a, b))
-        na = sum(x * x for x in a) ** 0.5
-        nb = sum(x * x for x in b) ** 0.5
-        return round(d / (na * nb), 6)
-
-    probes = [
-        cid
-        for cid, _ in sorted(cents, key=lambda c: (-_pycos(query_vec, c[1]), c[0]))[:n_probe]
-    ]
+    # inline (_ivf_assign_expr): a per-centroid F.lit build costs
+    # n_centroids·dim py4j round-trips at plan time and explodes
+    # whole-stage codegen with n_centroids separate cosine trees; a
+    # single transform() over a literal struct array keeps the plan
+    # O(1) in n_centroids. Float semantics match the oracle: the same
+    # zip_with/aggregate left-fold per dot, the row norm evaluated
+    # once per row (__vnorm__), centroid norms folded in Python with
+    # the identical sequential IEEE left-fold.
+    probes = _ivf_probes(cents, query_vec, n_probe)
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     scored = (
-        emb.withColumn("__vnorm__", row_norm)
-        .withColumn("__cid__", assign)
+        emb.withColumn("__vnorm__", norm(F.col(vec_col)))
+        .withColumn("__cid__", _ivf_assign_expr(cents, vec_col))
         .filter(F.col("__cid__").isin(probes))
         .select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"))
     )

@@ -432,13 +432,21 @@ def x_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def x_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-10: nearest-centroid clustering (16
-    deterministic centroids), query probes its 4 nearest clusters —
-    the partition-pruned scale path beside the LSH variant."""
+    """IVF approximate top-10 against the MATERIALIZED index
+    (build_ivf_index): vectors written once partitioned by cluster
+    id, the query probes its 4 nearest clusters as a partition-pruned
+    scan (PartitionFilters on __cid__, 4 of 16 partitions read —
+    pinned by tests/test_plan_quality.py). Identical semantics to the
+    index-free one-shot variant, so the oracle is unchanged."""
+    import os
+
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    return sim.ann_ivf_topk(
-        emb, [float(x) for x in qvec], k=10, n_centroids=16, n_probe=4, exclude_id=0
+    tok = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join("/tmp/mfdb_suite", f"ivf_index_{tok}")
+    sim.build_ivf_index(emb, path, n_centroids=16)
+    return sim.ann_ivf_topk_indexed(
+        spark, path, [float(x) for x in qvec], k=10, n_probe=4, exclude_id=0
     )
 
 

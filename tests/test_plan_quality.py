@@ -231,6 +231,30 @@ def test_ngram_jaccard_hot_shingle_gate(spark):
     assert gated.count() == 0
 
 
+def test_ivf_index_probe_partition_prunes(spark, sf_dir, tmp_path):
+    """A probe against the materialized IVF index must be a
+    partition-pruned scan: PartitionFilters on __cid__ and at most
+    n_probe partitions read — physical pruning, not a post-scan
+    filter."""
+    from mfdb_hafro_etl_spark.catalog import load_table
+    from mfdb_hafro_etl_spark.operators import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf")
+    sim.build_ivf_index(emb, path, n_centroids=8)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    probe = sim.ann_ivf_topk_indexed(spark, path, qvec, k=5, n_probe=2)
+    plan = _plan(probe)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "__cid__" in m.group(1), plan[:2000]
+    # count the partition directories the scan actually reads
+    m2 = re.search(r"partition count: (\d+)|PartitionCount: (\d+)", plan)
+    if m2:
+        n_read = int(m2.group(1) or m2.group(2))
+        assert n_read <= 2, plan[:2000]
+    assert probe.count() == 5
+
+
 def test_sql_surface_plans_like_dataframe(spark, sf_dir):
     """The spark.sql path must get the same physical treatment as the
     DataFrame path: top-k as TakeOrderedAndProject (no global sort),
