@@ -296,9 +296,13 @@ def build_ivf_index(
         .withColumn("__cid__", _ivf_assign_expr(cents, vec_col))
         .drop("__vnorm__")
     )
-    assigned.write.mode("overwrite").partitionBy("__cid__").parquet(
-        os.path.join(path, "vectors")
-    )
+    # Shuffle to the cluster key before the partitioned write:
+    # without it every map task writes a file per cluster it saw
+    # (tasks × n_centroids small files); with it each partition
+    # directory gets files from only the tasks owning that key.
+    assigned.repartition(n_centroids, F.col("__cid__")).write.mode(
+        "overwrite"
+    ).partitionBy("__cid__").parquet(os.path.join(path, "vectors"))
     spark.createDataFrame(
         [(cid, cv) for cid, cv in cents], "cid INT, centroid ARRAY<DOUBLE>"
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
