@@ -24,7 +24,8 @@ if _HERE not in sys.path:
 from pyspark.sql import DataFrame, SparkSession
 
 from mfdb_hafro_etl_spark.session import tune_session
-from mfdb_hafro_etl_spark.suite import ORACLES, QUERIES
+from mfdb_hafro_etl_spark.suite import QUERIES
+from mfdb_hafro_etl_spark.suite.driver_view import DRIVER_ORACLES, DRIVER_QUERIES
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -38,6 +39,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Driver view (suite/driver_view.py): flagship pipelines first,
+    redundant micro-queries folded into tagged canonical-row combos,
+    so the driver's in-order correctness budget covers the whole
+    SURVEY §2 + extension surface."""
+
     # tune on first use: the driver runs these on ITS session, which
     # needs the same UTC timezone / dynamic-overwrite / package-
     # shipping setup entry() gets, or date semantics and UDF imports
@@ -51,8 +57,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         run.__name__ = getattr(fn, "__name__", "query")
         return run
 
-    return {name: _tuned(fn) for name, fn in QUERIES.items()}
+    return {name: _tuned(fn) for name, fn in DRIVER_QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLES)
+    return dict(DRIVER_ORACLES)

@@ -1,0 +1,310 @@
+"""Driver-facing suite view: the whole surface inside 50 oracle slots.
+
+The driver's correctness gate runs registered queries **in order** and
+round 1 showed it checks only the first ~50 — so 33 oracle-backed
+queries (all of p1-p8, m6_*, the io family, and most x_ extensions)
+never got a driver row despite passing local parity. This module fixes
+that structurally instead of hoping the cap grows:
+
+- **Explicit order**: the reference's flagship pipelines (p1-p11,
+  mirroring R/initdb.R:100-612 and R/initdb_add_shrimp.R:187-267),
+  the mfdb-style query API (m6_*), and the io/sink queries register
+  first; extension families follow; nothing load-bearing sits past
+  slot 50.
+- **Combos**: redundant micro-queries are folded into tagged-union
+  queries.  Each arm's result is canonicalised to one string per row
+  (columns in sorted-name order, engine-identical rendering) and
+  unioned with a ``facet`` tag, on BOTH the Spark side and the DuckDB
+  oracle side — so one driver slot hash-verifies every arm, with
+  exactly the same sensitivity as checking the arms individually
+  (any changed value changes its row string).
+
+Canonical rendering (verified byte-identical Spark 4 vs DuckDB):
+  int/bigint/tinyint -> CAST(x AS STRING)            '42'
+  double             -> CAST(CAST(x AS DECIMAL(38,6)) AS STRING)
+                        '123.450000' (suite floats are pre-rounded to
+                        <=6dp on both sides, so the decimal cast is a
+                        pure formatting step, never a tie-break)
+  string             -> as-is
+  NULL               -> '∅' sentinel via COALESCE
+
+The raw per-query registry (``QUERIES``/``ORACLES``) is unchanged and
+remains the surface for local tests and bench.py; this module only
+changes what the driver iterates.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mfdb_hafro_etl_spark.suite import ORACLES, QUERIES
+
+# --------------------------------------------------------------------
+# composition: which raw queries stand alone, and which fold together
+# --------------------------------------------------------------------
+
+#: Folded driver slots: combo name -> raw arm queries (every arm keeps
+#: its own facet tag, so a red combo pinpoints the failing arm by the
+#: facet values in the diff).
+COMBOS: dict[str, list[str]] = {
+    "s_ingest": ["s6_fanout_tolerant", "s7_glob_ingest"],
+    "f_filters": ["f1_in_filter", "f4_null_policy", "f5_like_regex"],
+    "j_core": [
+        "j2_left_join",
+        "j3_broadcast_inner",
+        "j4_right_join",
+        "j5_full_outer",
+        "j6_anti_join",
+        "j9_join_coalesce",
+        "j10_semi_join",
+    ],
+    "j_advanced": [
+        "j7_temporal_join",
+        "j8_month_spread",
+        "j11_salted_skew_join",
+        "j12_asof_join",
+        "j13_range_join_binned",
+    ],
+    "w_windows": [
+        "w1_sequential_id",
+        "w3_alternating_dedupe",
+        "a3_keep_first",
+        "a6_first_per_group",
+    ],
+    "a_shapes": [
+        "a2_proportions",
+        "a7_group_collect",
+        "a8_rollup",
+        "a9_cube",
+        "a10_distinct_agg",
+    ],
+    "ou_order_union": ["o1_topk", "u1_union_missing_cols"],
+    "c_scalars": ["c1_decode_chain", "c2_string_funcs", "c3_date_funcs"],
+    "c_domain": ["c4_binning_allometric", "c6_pivot", "c8_range_bucket"],
+    "d_transforms": [
+        "d3_timing_bump",
+        "d5_count_scaling",
+        "d6_weight_for_index",
+        "d9_correction_overlay",
+    ],
+    "x_dedup_exact_simhash": ["x_dedup_exact", "x_dedup_simhash"],
+    "x_fingerprints": ["x_text_fingerprint", "x_text_winnow"],
+    "x_knn_topk": ["x_embed_cosine_topk", "x_ann_lsh_topk"],
+    "x_text_quality_stats": ["x_text_stats", "x_text_quality"],
+    "x_text_langid_all": ["x_text_langid", "x_text_langid_ngram"],
+    "x_events_windows": ["x_events_tumbling", "x_events_props_json"],
+    "x_multimodal_meta_all": ["x_multimodal_meta", "x_multimodal_decode_meta"],
+    "x_stream_windows": ["x_stream_tumbling", "x_stream_sliding"],
+}
+
+#: Driver registration order.  Slots 1-50 are oracle-backed and cover
+#: the entire SURVEY §2 + extension surface; the two rows-only
+#: multimodal checks sit last so they never displace an oracle slot.
+ORDER: list[str] = [
+    # flagship pipelines — the reference itself (R/initdb.R:100-612,
+    # R/initdb_add_shrimp.R, statlant/old-landings entry points)
+    "p1_stations",
+    "p2_ldist",
+    "p3_aldist",
+    "p4_landings",
+    "p5_landings_foreign",
+    "p6_landings_rescale",
+    "p7_shrimp_overlay",
+    "p8_vessel_taxonomy",
+    "p9_shrimp_ldist",
+    "p10_statlant",
+    "p11_old_landings",
+    # query API (mfdb_sample_* shapes)
+    "m6_sample_count",
+    "m6_totalweight_meanlength",
+    "m6_meanweight_stddev",
+    "m6_rawdata",
+    # io / sinks / generators
+    "s15_replace_by_source",
+    "s_ingest",
+    "s10_grid_gen",
+    # relational core
+    "a1_pricing_summary",
+    "sql1_shipping_priority",
+    "f_filters",
+    "j_core",
+    "j_advanced",
+    "a4_window_count",
+    "a5_id_offset",
+    "w_windows",
+    "a_shapes",
+    "ou_order_union",
+    "c_scalars",
+    "c_domain",
+    "c5_geo_classify",
+    "d_transforms",
+    # LLM-pipeline extensions
+    "x_dedup_exact_simhash",
+    "x_dedup_minhash_lsh",
+    "x_dedup_ngram_jaccard",
+    "x_dedup_winnow",
+    "x_fingerprints",
+    "x_dedup_clusters",
+    "x_knn_topk",
+    "x_embed_neardup",
+    "x_ann_ivf_topk",
+    "x_text_quality_stats",
+    "x_text_langid_all",
+    "x_sample_hash_split",
+    "x_events_sessionize",
+    "x_events_windows",
+    "x_multimodal_meta_all",
+    "x_stream_windows",
+    "x_stream_dedup",
+    "x_stream_sessionize",
+    # rows-only checks (no oracle) — keep after every oracle slot
+    "x_multimodal_features",
+    "x_multimodal_resize",
+]
+
+# --------------------------------------------------------------------
+# canonical row rendering (engine-identical, see module docstring)
+# --------------------------------------------------------------------
+
+#: column kinds per combo arm ('s' string, 'i' integral, 'd' double),
+#: generated from live Spark schemas; tests/test_driver_view.py fails
+#: if an arm's schema drifts from this literal.
+_ARM_COLS: dict[str, list[tuple[str, str]]] = {
+    "s6_fanout_tolerant": [("species", "s"), ("n", "i")],
+    "s7_glob_ingest": [("region", "i"), ("n", "i"), ("first_name", "s")],
+    "f1_in_filter": [("l_orderkey", "i"), ("l_linenumber", "i"), ("l_quantity", "d"), ("l_returnflag", "s")],
+    "f4_null_policy": [("o_orderstatus", "s"), ("n", "i"), ("total_fixed", "d")],
+    "f5_like_regex": [("p_partkey", "i"), ("name_up", "s"), ("p_brand", "s")],
+    "j2_left_join": [("segment", "s"), ("n_orders", "i"), ("revenue", "d")],
+    "j3_broadcast_inner": [("p_brand", "s"), ("n_lines", "i"), ("sum_qty", "d")],
+    "j4_right_join": [("c_custkey", "i"), ("n_orders", "i"), ("revenue", "d")],
+    "j5_full_outer": [("nationkey", "i"), ("n_cust", "i"), ("n_supp", "i")],
+    "j6_anti_join": [("c_custkey", "i"), ("c_mktsegment", "s")],
+    "j9_join_coalesce": [("c_custkey", "i"), ("nation_name", "s")],
+    "j10_semi_join": [("p_brand", "s"), ("n_parts", "i")],
+    "j7_temporal_join": [("l_returnflag", "s"), ("n", "i"), ("sum_price", "d")],
+    "j8_month_spread": [("year", "i"), ("month", "i"), ("o_orderpriority", "s"), ("monthly", "d")],
+    "j11_salted_skew_join": [("label", "s"), ("n", "i"), ("sum_qty", "d")],
+    "j12_asof_join": [("o_custkey", "i"), ("o_orderdate", "s"), ("o_orderkey", "i"), ("credit_limit_asof", "d")],
+    "j13_range_join_binned": [("band_id", "i"), ("n", "i"), ("sum_qty", "d")],
+    "w1_sequential_id": [("id", "i"), ("n_name", "s")],
+    "w3_alternating_dedupe": [("l_returnflag", "s"), ("n", "i"), ("sum_qty", "d")],
+    "a3_keep_first": [("l_orderkey", "i"), ("l_linenumber", "i"), ("l_quantity", "d")],
+    "a6_first_per_group": [("o_custkey", "i"), ("o_orderkey", "i"), ("first_date", "s")],
+    "a2_proportions": [("l_returnflag", "s"), ("n", "i"), ("avg_share", "d")],
+    "a7_group_collect": [("s_nationkey", "i"), ("suppliers", "s")],
+    "a8_rollup": [("l_returnflag", "s"), ("l_linestatus", "s"), ("g_flag", "i"), ("g_status", "i"), ("sum_qty", "d"), ("n", "i")],
+    "a9_cube": [("o_orderstatus", "s"), ("o_orderpriority", "s"), ("g_status", "i"), ("g_prio", "i"), ("total", "d"), ("n", "i")],
+    "a10_distinct_agg": [("o_orderstatus", "s"), ("n_customers", "i"), ("n_priorities", "i"), ("n_orders", "i")],
+    "o1_topk": [("o_custkey", "i"), ("revenue", "d")],
+    "u1_union_missing_cols": [("priority", "s"), ("n", "i"), ("total", "d")],
+    "c1_decode_chain": [("vessel_type", "s"), ("n", "i")],
+    "c2_string_funcs": [("s_suppkey", "i"), ("vessel", "s"), ("name_fixed", "s"), ("name_prefix", "s")],
+    "c3_date_funcs": [("month_start", "s"), ("year", "i"), ("month", "i"), ("n", "i")],
+    "c4_binning_allometric": [("qty_bin", "d"), ("n", "i"), ("avg_weight", "d")],
+    "c6_pivot": [("year", "i"), ("F", "d"), ("O", "d"), ("P", "d")],
+    "c8_range_bucket": [("division", "i"), ("n", "i")],
+    "d3_timing_bump": [("month_adj", "i"), ("year_adj", "i"), ("n", "i")],
+    "d5_count_scaling": [("l_returnflag", "s"), ("scaled_count", "d")],
+    "d6_weight_for_index": [("l_returnflag", "s"), ("weight", "d")],
+    "d9_correction_overlay": [("o_orderpriority", "s"), ("n", "i"), ("total_fixed", "d")],
+    "x_dedup_exact": [("content_hash", "s"), ("doc_id", "i"), ("n_copies", "i")],
+    "x_dedup_simhash": [("doc_id", "i"), ("simhash", "i")],
+    "x_text_fingerprint": [("doc_id", "i"), ("fingerprint", "s")],
+    "x_text_winnow": [("doc_id", "i"), ("fp", "i")],
+    "x_embed_cosine_topk": [("vec_id", "i"), ("cos_sim", "d")],
+    "x_ann_lsh_topk": [("vec_id", "i"), ("cos_sim", "d")],
+    "x_text_stats": [("doc_id", "i"), ("n_tokens", "i"), ("mean_token_len", "d"), ("stop_ratio", "d")],
+    "x_text_quality": [("doc_id", "i"), ("n_tokens", "i"), ("n_bpe", "i"), ("quality", "d")],
+    "x_text_langid": [("doc_id", "i"), ("lang_guess", "s")],
+    "x_text_langid_ngram": [("doc_id", "i"), ("lang_guess", "s")],
+    "x_events_tumbling": [("window_start", "s"), ("event_type", "s"), ("n", "i"), ("sum_value", "d")],
+    "x_events_props_json": [("k_bucket", "i"), ("n", "i"), ("sum_value", "d")],
+    "x_multimodal_meta": [("media_id", "i"), ("mime", "s"), ("n_bytes", "i"), ("sha256", "s")],
+    "x_multimodal_decode_meta": [("media_id", "i"), ("width", "i"), ("height", "i"), ("channels", "i")],
+    "x_stream_tumbling": [("window_start", "s"), ("event_type", "s"), ("n", "i"), ("sum_value", "d")],
+    "x_stream_sliding": [("window_start", "s"), ("event_type", "s"), ("n", "i"), ("sum_value", "d")],
+}
+
+_NULL = "∅"
+
+
+def _sorted_cols(arm: str) -> list[tuple[str, str]]:
+    return sorted(_ARM_COLS[arm], key=lambda ck: ck[0])
+
+
+def _canon_spark(col: str, kind: str):
+    c = F.col(col)
+    if kind == "d":
+        c = c.cast("decimal(38,6)").cast("string")
+    else:
+        c = c.cast("string")
+    return F.coalesce(c, F.lit(_NULL))
+
+
+def _canon_sql(col: str, kind: str) -> str:
+    q = f'"{col}"'
+    if kind == "d":
+        expr = f"CAST(CAST({q} AS DECIMAL(38,6)) AS VARCHAR)"
+    else:
+        expr = f"CAST({q} AS VARCHAR)"
+    return f"COALESCE({expr}, '{_NULL}')"
+
+
+def _combo_query(arms: list[str]) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        parts = []
+        for arm in arms:
+            df = QUERIES[arm](spark, sf_dir)
+            canon = [_canon_spark(c, k) for c, k in _sorted_cols(arm)]
+            parts.append(
+                df.select(
+                    F.lit(arm).alias("facet"),
+                    F.concat_ws("|", *canon).alias("rowstr"),
+                )
+            )
+        return reduce(DataFrame.unionAll, parts)
+
+    run.__doc__ = "Tagged canonical-row union of: " + ", ".join(arms)
+    return run
+
+
+def _combo_sql(arms: list[str]) -> str:
+    parts = []
+    for arm in arms:
+        canon = ", ".join(_canon_sql(c, k) for c, k in _sorted_cols(arm))
+        parts.append(
+            f"SELECT '{arm}' AS facet, concat_ws('|', {canon}) AS rowstr\n"
+            f"FROM (\n{ORACLES[arm]}\n) AS _arm"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+def _build() -> tuple[dict[str, Callable], dict[str, str]]:
+    queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    oracles: dict[str, str] = {}
+    for name in ORDER:
+        if name in COMBOS:
+            queries[name] = _combo_query(COMBOS[name])
+            oracles[name] = _combo_sql(COMBOS[name])
+        else:
+            queries[name] = QUERIES[name]
+            if name in ORACLES:
+                oracles[name] = ORACLES[name]
+    return queries, oracles
+
+
+DRIVER_QUERIES, DRIVER_ORACLES = _build()
+
+# every raw query must be represented exactly once in the view
+_raw_seen = [a for arms in COMBOS.values() for a in arms] + [
+    n for n in ORDER if n not in COMBOS
+]
+assert sorted(_raw_seen) == sorted(QUERIES), (
+    sorted(set(QUERIES) - set(_raw_seen)),
+    sorted(set(_raw_seen) - set(QUERIES)),
+)
