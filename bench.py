@@ -45,15 +45,27 @@ def main() -> None:
     # not session startup
     materialize(QUERIES[names[0]](spark, sf_dir))
 
+    def release_storage() -> None:
+        # Isolate queries: clearCache drops SQL-cached plans, but
+        # localCheckpoint blocks (duplicate_clusters, edge tables) are
+        # RDD-level persists it never touches — over an 80+-query run
+        # they accumulate until storage squeezes execution memory and
+        # every later query pays in spills/GC. Sweep ALL persistent
+        # RDDs via the SparkContext and nudge the JVM GC so the
+        # ContextCleaner also drops orphaned shuffle/broadcast state.
+        spark.catalog.clearCache()
+        jsc = spark.sparkContext._jsc.sc()
+        it = jsc.getPersistentRDDs().values().iterator()
+        while it.hasNext():
+            it.next().unpersist(False)
+        spark.sparkContext._jvm.System.gc()
+
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
         materialize(QUERIES[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
-        # isolate queries: a handful of operators cache intermediates
-        # (shingle tables, landings); dropping them between queries
-        # keeps storage memory flat across the 70+-query run
-        spark.catalog.clearCache()
+        release_storage()
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

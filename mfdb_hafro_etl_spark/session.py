@@ -46,8 +46,21 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # the local[32] JVM is driver AND all 32 executor threads in
+        # one heap; 8g starved unified memory once a long session had
+        # accumulated checkpoint/broadcast state (measured: 2-10x
+        # per-query degradation across an 88-query bench run)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
+        # the status listener retains 1000 jobs/stages of metadata even
+        # with the UI off; long multi-query sessions don't need it
+        .config("spark.ui.retainedJobs", "100")
+        .config("spark.ui.retainedStages", "100")
+        .config("spark.sql.ui.retainedExecutions", "50")
+        # ContextCleaner only reclaims shuffle files / broadcasts on
+        # driver GC; with a big heap that can be never — force a sweep
+        # every 5 min so multi-hour sessions don't grow unbounded
+        .config("spark.cleaner.periodicGC.interval", "5min")
         # bucketed saveAsTable targets (in-memory catalog); keep the
         # warehouse out of the repo tree
         .config("spark.sql.warehouse.dir", "/tmp/mfdb_suite/warehouse")
