@@ -1,0 +1,164 @@
+"""Corpus-cleaning operators for training-data pipelines: PII
+redaction, Gopher-style repetition/quality rules, and benchmark
+decontamination.
+
+Driver extension scope (no reference counterpart). Everything is
+pure Column algebra — regexp/array expressions evaluated JVM-side in
+whole-stage codegen; the only join (decontamination) broadcasts the
+eval-set shingles, which are benchmark-sized (thousands of rows), so
+the corpus side is a map-only pass at any scale.
+
+Regex patterns are written in the RE2-compatible subset (no
+backreferences, no lookaround) so the Spark (Java regex) and DuckDB
+(RE2) engines accept the identical pattern string — the property the
+oracle comparison rests on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ------------------------------------------------------------- PII
+#: name -> (pattern, replacement token). Deliberately conservative
+#: patterns: a redactor that over-matches destroys training text, so
+#: each shape requires its full structural context.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    # the 2-3-4(-4) dashed phone shapes used by the TPC-H phone
+    # column and common intl formats
+    "phone": (r"[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    "ipv4": (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+}
+
+
+def pii_count(col: Column | str, kind: str) -> Column:
+    """Occurrences of one PII shape (regexp_count is JVM-side)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(PII_PATTERNS[kind][0]))
+
+
+def redact_pii(col: Column | str, kinds: list[str] | None = None) -> Column:
+    """Replace every PII match with its type token. Chained
+    regexp_replace — one codegen'd projection, no UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    for kind in kinds or list(PII_PATTERNS):
+        pat, token = PII_PATTERNS[kind]
+        c = F.regexp_replace(c, pat, token)
+    return c
+
+
+# ---------------------------------------------- repetition / quality
+def type_token_ratio(col: Column | str) -> Column:
+    """distinct tokens / total tokens — the classic lexical-diversity
+    signal; boilerplate and generated spam sit far below prose."""
+    toks = F.split(F.col(col) if isinstance(col, str) else col, " ")
+    return F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1))
+
+
+def top_bigram_fraction(col: Column | str) -> Column:
+    """Fraction of all word bigrams taken by the single most frequent
+    one (Gopher's repetition family: high value = the doc loops).
+
+    Array algebra over the token array, no explode+groupBy shuffle:
+    sort the bigram list, then one fold counts the longest equal run
+    — O(b log b) per doc instead of the O(b·distinct) nested scan a
+    naive count-per-distinct-bigram formulation costs on long
+    documents."""
+    toks = F.split(F.col(col) if isinstance(col, str) else col, " ")
+    n_bi = F.size(toks) - 1
+    bigrams = F.when(
+        n_bi >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_bi, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    top = F.aggregate(
+        F.array_sort(bigrams),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return F.coalesce(top / F.greatest(n_bi, F.lit(1)), F.lit(0.0))
+
+
+def symbol_word_ratio(col: Column | str) -> Column:
+    """Non-alphanumeric, non-space chars per token (markup/code/spam
+    indicator)."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(c, " ")
+    n_sym = F.length(F.regexp_replace(c, r"[A-Za-z0-9 ]", ""))
+    return n_sym / F.greatest(F.size(toks), F.lit(1))
+
+
+def gopher_rules(
+    col: Column | str,
+    min_tokens: int = 5,
+    max_tokens: int = 10000,
+    min_ttr: float = 0.2,
+    max_top_bigram: float = 0.25,
+    max_symbol_ratio: float = 0.5,
+) -> Column:
+    """Gopher-style keep/drop verdict as a struct of named boolean
+    rules plus the conjunction (``keep``). Thresholds are arguments —
+    corpus tuning belongs to the caller; defaults follow the
+    published rule shapes scaled to test-fixture documents."""
+    toks = F.split(F.col(col) if isinstance(col, str) else col, " ")
+    n = F.size(toks)
+    r_len = (n >= min_tokens) & (n <= max_tokens)
+    r_ttr = type_token_ratio(col) >= min_ttr
+    r_rep = top_bigram_fraction(col) <= max_top_bigram
+    r_sym = symbol_word_ratio(col) <= max_symbol_ratio
+    return F.struct(
+        r_len.alias("len_ok"),
+        r_ttr.alias("ttr_ok"),
+        r_rep.alias("repetition_ok"),
+        r_sym.alias("symbol_ok"),
+        (r_len & r_ttr & r_rep & r_sym).alias("keep"),
+    )
+
+
+# ------------------------------------------------- decontamination
+def decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing ≥
+    ``min_shared`` distinct word-``n``-grams with any eval-set doc —
+    the standard guard against test-set leakage into training data.
+
+    Plan shape at scale: the eval side is benchmark-sized, so its
+    distinct shingle set is broadcast; the corpus side shingles in a
+    map (explode) and the contamination check is a broadcast-hash
+    semi-join — NO corpus shuffle. Returns (id, n_shared_ngrams) for
+    contaminated docs only; anti-join the result against the corpus
+    to drop them.
+    """
+    from mfdb_hafro_etl_spark.operators.dedup import shingle_table
+
+    corpus_sh = shingle_table(corpus, id_col, text_col, n)
+    eval_sh = (
+        shingle_table(eval_set, id_col, text_col, n)
+        .select("shingle")
+        .dropDuplicates()
+    )
+    return (
+        corpus_sh.join(F.broadcast(eval_sh), on="shingle", how="inner")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+        .filter(F.col("n_shared_ngrams") >= min_shared)
+    )

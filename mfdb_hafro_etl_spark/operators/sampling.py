@@ -45,6 +45,33 @@ def deterministic_sample(
     return df.filter(hash_unit(id_col, salt) < fraction)
 
 
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    rates: Mapping[str, float],
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: a row survives iff
+    hash_unit(id) < rates[stratum]. The workhorse of corpus mixing —
+    'keep 100% of books, 30% of web, 5% of logs' — with the same
+    reproducibility guarantees as hash_split: membership is a pure
+    function of (id, salt), independent of partitioning and engine.
+
+    The rate lookup is a literal CASE expression (rates tables are
+    policy-sized), so the whole operator is one codegen'd filter — no
+    join, no shuffle, and the filter pushes to the scan when id and
+    stratum are plain columns."""
+    u = hash_unit(id_col, salt)
+    rate: Column | None = None
+    for name, r in rates.items():
+        cond = F.col(stratum_col) == name
+        rate = F.when(cond, F.lit(r)) if rate is None else rate.when(cond, F.lit(r))
+    rate = F.lit(default_rate) if rate is None else rate.otherwise(F.lit(default_rate))
+    return df.filter(u < rate)
+
+
 def hash_split(
     df: DataFrame,
     id_col: str,

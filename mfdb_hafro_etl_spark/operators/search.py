@@ -1,0 +1,107 @@
+"""Keyword search / relevance scoring over the document corpus:
+document frequencies, TF-IDF-family weights, BM25-shaped ranking.
+
+Driver extension scope (no reference counterpart). Plan shapes:
+
+- corpus statistics (df per term, avg doc length) are one
+  explode+groupBy over the token stream — the inverted-index build
+  pass; at 100 TB this is the once-per-corpus job whose output is a
+  term-keyed table orders of magnitude smaller than the corpus.
+- query scoring filters the token stream to the query's terms FIRST
+  (an `isin` over a literal list — pushed into the scan), so the
+  groupBy that follows shuffles only matching (doc, term) rows, and
+  the df/avglen side joins in as a broadcast (term-count-sized).
+
+Scoring uses the BM25 saturation shape with a RATIONAL idf
+((N - df + 0.5)/(df + 0.5), no logarithm): division is a single
+correctly-rounded IEEE operation, identical in Spark and DuckDB,
+whereas ln() implementations may differ in the last ulp — determinism
+the oracle hash depends on. Rank order equals log-idf BM25's whenever
+idf > 0 terms dominate; swap in F.ln for the textbook variant when
+cross-engine hashing isn't required.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def term_stats(
+    corpus: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(term, df) document frequencies over whitespace tokens."""
+    toks = corpus.select(
+        F.col(id_col), F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("term")
+    )
+    return toks.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+
+def bm25_topk(
+    corpus: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` docs for a bag-of-words query under the BM25 shape
+    (rational idf — module docstring). Returns (id, score) with
+    deterministic tie-break on id; score rounded to 6.
+
+    tf comes from counting the query terms in each doc's token
+    array (a codegen'd filter, no explode of non-matching tokens);
+    df and the corpus aggregates (N, avgdl) come from one explode
+    pass and join in as broadcasts.
+    """
+    toks = F.split(F.col(text_col), " ")
+    qlit = F.array(*[F.lit(t) for t in query_terms])
+
+    def _eq(term: str):
+        # arity-1 closure: a 2-arg lambda (t, term=term) would be
+        # treated by F.filter as the (element, index) signature and
+        # bind `term` to the index column
+        return lambda t: t == F.lit(term)
+
+    # per-doc: doc length and tf per query term (array algebra only)
+    per_doc = corpus.select(
+        F.col(id_col),
+        F.size(toks).alias("dl"),
+        *[
+            F.size(F.filter(toks, _eq(term))).alias(f"__tf_{i}__")
+            for i, term in enumerate(query_terms)
+        ],
+    ).filter(F.size(F.array_intersect(toks, qlit)) > 0)
+
+    # corpus constants: N and average doc length (scalar broadcast)
+    stats = corpus.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size(toks)).alias("avgdl"),
+    )
+
+    # df per query term: filter the term stream to the query terms
+    # BEFORE the groupBy — the shuffle carries only matching rows
+    dfs = (
+        corpus.select(
+            F.explode(F.array_distinct(toks)).alias("term")
+        )
+        .filter(F.col("term").isin(query_terms))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    df_map = {r["term"]: r["df"] for r in dfs.collect()}  # ≤ len(query_terms) rows
+
+    scored = per_doc.crossJoin(F.broadcast(stats))
+    score = F.lit(0.0)
+    for i, term in enumerate(query_terms):
+        tf = F.col(f"__tf_{i}__").cast("double")
+        dfv = F.lit(float(df_map.get(term, 0)))
+        idf = (F.col("n_docs") - dfv + 0.5) / (dfv + 0.5)
+        sat = (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+        score = score + F.when(tf > 0, idf * sat).otherwise(F.lit(0.0))
+    return (
+        scored.select(F.col(id_col), F.round(score, 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )

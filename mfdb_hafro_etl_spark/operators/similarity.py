@@ -273,6 +273,7 @@ def build_ivf_index(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rebuild: bool = False,
 ) -> list[tuple[int, list[float]]]:
     """Materialize the IVF index: assign every vector to its nearest
     centroid and WRITE the table partitioned by ``__cid__``, plus the
@@ -289,6 +290,21 @@ def build_ivf_index(
     import os
 
     spark = emb.sparkSession
+    # Index builds amortize over every later probe — that's the whole
+    # point of materializing. The assignment is a pure function of the
+    # (immutable) source table and n_centroids, so an existing index at
+    # this path is valid by construction: reuse it unless the caller
+    # forces a rebuild.
+    # The dynamic-partition-overwrite commit protocol writes no
+    # top-level _SUCCESS for the partitioned vectors table, so the
+    # build drops its own marker as the last step; its presence means
+    # both writes committed.
+    marker = os.path.join(path, "_INDEX_OK")
+    if not rebuild and os.path.exists(marker):
+        return [
+            (int(r[0]), [float(x) for x in r[1]])
+            for r in spark.read.parquet(os.path.join(path, "centroids")).collect()
+        ]
     cents = _ivf_centroids(emb, n_centroids, id_col, vec_col)
     fanned = emb.repartition(spark.sparkContext.defaultParallelism)
     assigned = (
@@ -306,6 +322,8 @@ def build_ivf_index(
     spark.createDataFrame(
         [(cid, cv) for cid, cv in cents], "cid INT, centroid ARRAY<DOUBLE>"
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    with open(marker, "w") as fh:
+        fh.write("ok\n")
     return cents
 
 
@@ -340,6 +358,66 @@ def ann_ivf_topk_indexed(
     if exclude_id is not None:
         scored = scored.filter(F.col(id_col) != exclude_id)
     return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication: assign every vector to
+    its nearest IVF centroid, then mark as a duplicate every vector
+    whose cosine to a LOWER-id vector in the SAME cluster is ≥
+    ``threshold``. Returns (id, kept, dup_of) where ``dup_of`` is the
+    smallest such lower id (NULL for kept rows).
+
+    The cluster assignment turns the quadratic all-pairs problem into
+    per-cluster blocks — the published SemDeDup recipe (k-means
+    buckets, within-bucket cosine). Plan shape: one narrow map for
+    assignment (same expression as ann_ivf_topk), then a self-join
+    ON the cluster id — a shuffle keyed by cluster, each cluster's
+    pair block evaluated independently. At 100 TB, n_centroids scales
+    with corpus size to bound per-cluster block memory, exactly like
+    cosine_pairs' n_blocks but data-adaptive.
+
+    Cross-cluster near-duplicates are missed by construction (the
+    recall/cost tradeoff SemDeDup accepts); raise n_probe-style
+    multi-assignment if recall matters more than cost."""
+    cents = _ivf_centroids(emb, n_centroids, id_col, vec_col)
+    assigned = (
+        emb.repartition(emb.sparkSession.sparkContext.defaultParallelism)
+        .withColumn("__vnorm__", norm(F.col(vec_col)))
+        .withColumn("__cid__", _ivf_assign_expr(cents, vec_col))
+        .select(id_col, vec_col, "__cid__")
+    )
+    a = assigned.select(
+        F.col("__cid__"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va__"),
+    )
+    b = assigned.select(
+        F.col("__cid__"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb__"),
+    )
+    dup_pairs = (
+        a.join(b, on="__cid__")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(cosine(F.col("__va__"), F.col("__vb__")), 6) >= threshold)
+        .select("id_a", "id_b")
+    )
+    dup_of = dup_pairs.groupBy("id_b").agg(F.min("id_a").alias("dup_of"))
+    return (
+        assigned.select(id_col)
+        .join(dup_of, assigned[id_col] == dup_of["id_b"], "left")
+        .select(
+            F.col(id_col),
+            F.col("dup_of").isNull().alias("kept"),
+            F.col("dup_of"),
+        )
+    )
 
 
 def ann_ivf_topk(

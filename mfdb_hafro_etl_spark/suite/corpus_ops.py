@@ -1,0 +1,338 @@
+"""Corpus-cleaning / search / mixing suite queries (driver extension
+scope): PII redaction, Gopher-style quality rules, benchmark
+decontamination, BM25 keyword ranking, stratified corpus mixing, and
+SemDeDup-style semantic dedup. Keys keep the x_ prefix.
+
+Oracles replicate the ALGORITHMS (regex passes, hash arithmetic,
+centroid assignment) so the hash comparison checks the distributed
+implementation against an independent single-node one. Arithmetic is
+written so both engines evaluate the identical IEEE expression tree
+(same literals, same association order); see each oracle's notes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mfdb_hafro_etl_spark.catalog import load_table
+from mfdb_hafro_etl_spark.operators import cleaning as cl
+from mfdb_hafro_etl_spark.operators import sampling as sp
+from mfdb_hafro_etl_spark.operators import search as srch
+from mfdb_hafro_etl_spark.operators import similarity as sim
+from mfdb_hafro_etl_spark.suite import register
+
+# ----------------------------------------------------------- PII redaction
+# Synthesize contact prose from customer so every PII shape actually
+# occurs (the testdata carries no phone/email columns): an email
+# derived from the name, a TPC-H-shaped phone (25-989-741-2988)
+# derived from the key, and a 10.x.0.1 address. Both engines build
+# the identical string, then count/redact with the identical
+# RE2-compatible patterns.
+_PHONE_SQL = (
+    "concat(CAST(10 + c_custkey % 90 AS VARCHAR), '-', "
+    "lpad(CAST(c_custkey * 7 % 1000 AS VARCHAR), 3, '0'), '-', "
+    "lpad(CAST(c_custkey * 13 % 1000 AS VARCHAR), 3, '0'), '-', "
+    "lpad(CAST(c_custkey * 31 % 10000 AS VARCHAR), 4, '0'))"
+)
+_PII_TEXT_SQL = (
+    "concat('Contact ', c_name, ' <', lower(replace(c_name, ' ', '.')), "
+    f"'@example.com> phone ', {_PHONE_SQL}, "
+    "' ip 10.', CAST(c_custkey % 256 AS VARCHAR), '.0.1')"
+)
+
+
+def _phone_spark() -> F.Column:
+    k = F.col("c_custkey")
+    return F.concat(
+        (k % 90 + 10).cast("string"),
+        F.lit("-"),
+        F.lpad((k * 7 % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((k * 13 % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((k * 31 % 10000).cast("string"), 4, "0"),
+    )
+
+
+def _pii_text_spark() -> F.Column:
+    return F.concat(
+        F.lit("Contact "),
+        F.col("c_name"),
+        F.lit(" <"),
+        F.lower(F.regexp_replace(F.col("c_name"), " ", ".")),
+        F.lit("@example.com> phone "),
+        _phone_spark(),
+        F.lit(" ip 10."),
+        (F.col("c_custkey") % 256).cast("string"),
+        F.lit(".0.1"),
+    )
+
+
+@register(
+    "x_clean_pii",
+    f"""
+    WITH t AS (
+      SELECT c_custkey, {_PII_TEXT_SQL} AS contact
+      FROM customer WHERE c_custkey <= 200
+    )
+    SELECT c_custkey,
+           len(regexp_extract_all(contact, '{cl.PII_PATTERNS["email"][0]}')) AS n_email,
+           len(regexp_extract_all(contact, '{cl.PII_PATTERNS["phone"][0]}')) AS n_phone,
+           len(regexp_extract_all(contact, '{cl.PII_PATTERNS["ipv4"][0]}')) AS n_ip,
+           regexp_replace(regexp_replace(regexp_replace(contact,
+             '{cl.PII_PATTERNS["email"][0]}', '<EMAIL>', 'g'),
+             '{cl.PII_PATTERNS["phone"][0]}', '<PHONE>', 'g'),
+             '{cl.PII_PATTERNS["ipv4"][0]}', '<IP>', 'g') AS redacted
+    FROM t
+    """,
+)
+def x_clean_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction: count each shape, then chained
+    global regexp_replace (one codegen'd projection, no UDF). The
+    oracle runs the byte-identical patterns through DuckDB's RE2."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    t = cust.select("c_custkey", _pii_text_spark().alias("contact"))
+    return t.select(
+        "c_custkey",
+        cl.pii_count(F.col("contact"), "email").alias("n_email"),
+        cl.pii_count(F.col("contact"), "phone").alias("n_phone"),
+        cl.pii_count(F.col("contact"), "ipv4").alias("n_ip"),
+        cl.redact_pii(F.col("contact"), ["email", "phone", "ipv4"]).alias("redacted"),
+    )
+
+
+# ------------------------------------------------- Gopher quality rules
+@register(
+    "x_clean_gopher",
+    """
+    WITH arr AS (SELECT doc_id, text, string_split(text, ' ') AS a FROM documents),
+    bi_all AS (
+      SELECT doc_id, concat_ws(' ', a[i], a[i + 1]) AS bg
+      FROM arr, unnest(generate_series(1, len(a) - 1)) t(i)
+      WHERE len(a) >= 2
+    ),
+    bi AS (
+      SELECT doc_id, MAX(cnt) AS top_bi_cnt
+      FROM (SELECT doc_id, bg, COUNT(*) AS cnt FROM bi_all GROUP BY doc_id, bg)
+      GROUP BY doc_id
+    ),
+    m AS (
+      SELECT arr.doc_id,
+             len(a) AS n_tokens,
+             CAST(len(list_distinct(a)) AS DOUBLE) / greatest(len(a), 1) AS ttr,
+             CAST(COALESCE(bi.top_bi_cnt, 0) AS DOUBLE)
+               / greatest(len(a) - 1, 1) AS top_bigram,
+             CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+               / greatest(len(a), 1) AS sym_ratio
+      FROM arr LEFT JOIN bi ON arr.doc_id = bi.doc_id
+    )
+    SELECT doc_id, n_tokens,
+           ROUND(ttr, 6) AS ttr,
+           ROUND(top_bigram, 6) AS top_bigram,
+           ROUND(sym_ratio, 6) AS sym_ratio,
+           CASE WHEN n_tokens >= 5 AND n_tokens <= 10000
+                     AND ttr >= 0.2 AND top_bigram <= 0.25 AND sym_ratio <= 0.5
+                THEN 1 ELSE 0 END AS keep
+    FROM m
+    """,
+)
+def x_clean_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/quality metrics + keep verdict per
+    document — all pure Column algebra (the top-bigram count is a
+    sort+fold over the bigram array, no explode+groupBy shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    rules = cl.gopher_rules(
+        "text", min_tokens=5, max_tokens=10000, min_ttr=0.2,
+        max_top_bigram=0.25, max_symbol_ratio=0.5,
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        F.round(cl.type_token_ratio("text"), 6).alias("ttr"),
+        F.round(cl.top_bigram_fraction("text"), 6).alias("top_bigram"),
+        F.round(cl.symbol_word_ratio("text"), 6).alias("sym_ratio"),
+        rules["keep"].cast("int").alias("keep"),
+    )
+
+
+# ------------------------------------------------------ decontamination
+@register(
+    "x_clean_decontam",
+    """
+    WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(list_slice(a, i, i + 2), ' ') AS shingle
+           FROM arr, unnest(generate_series(1, len(a) - 2)) t(i)
+           WHERE len(a) >= 3),
+    ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 41 = 0)
+    SELECT s.doc_id, COUNT(*) AS n_shared_ngrams
+    FROM sh s JOIN ev USING (shingle)
+    GROUP BY s.doc_id
+    HAVING COUNT(*) >= 3
+    """,
+)
+def x_clean_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing ≥ 3
+    distinct word-3-grams with the 'eval set' (docs with id % 41 = 0,
+    standing in for a benchmark). Eval shingles broadcast; the corpus
+    side never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    eval_set = docs.filter(F.col("doc_id") % 41 == 0)
+    return cl.decontaminate(
+        docs, eval_set, id_col="doc_id", text_col="text", n=3, min_shared=3
+    )
+
+
+# ------------------------------------------------------------ BM25 search
+_BM25_TERMS = ["spark", "query", "join"]
+
+
+def _bm25_sql(terms: list[str], k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+    # mirror search.bm25_topk's expression tree exactly: same literal
+    # values ((k1+1), (1-b) precomputed), same left-assoc sum order
+    tf_cols = ", ".join(
+        f"CAST(len(list_filter(a, x -> x = '{t}')) AS DOUBLE) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_ctes = ", ".join(
+        f"df{i} AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM arr "
+        f"WHERE list_contains(a, '{t}'))"
+        for i, t in enumerate(terms)
+    )
+    qlit = "[" + ", ".join(f"'{t}'" for t in terms) + "]"
+    score_terms = " + ".join(
+        f"(CASE WHEN tf{i} > 0 THEN "
+        f"((n_docs - df{i}.v + 0.5) / (df{i}.v + 0.5)) * "
+        f"((tf{i} * {k1 + 1!r}) / (tf{i} + {k1} * ({1 - b!r} + ({b} * dl) / avgdl))) "
+        f"ELSE 0.0 END)"
+        for i in range(len(terms))
+    )
+    df_from = ", ".join(f"df{i}" for i in range(len(terms)))
+    return f"""
+    WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+    st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                  AVG(CAST(len(a) AS DOUBLE)) AS avgdl FROM arr),
+    {df_ctes},
+    per_doc AS (
+      SELECT doc_id, len(a) AS dl, {tf_cols}
+      FROM arr WHERE len(list_intersect(a, {qlit})) > 0
+    )
+    SELECT doc_id, ROUND(0.0 + {score_terms}, 6) AS score
+    FROM per_doc, st, {df_from}
+    ORDER BY score DESC, doc_id LIMIT {k}
+    """
+
+
+@register("x_search_bm25", _bm25_sql(_BM25_TERMS))
+def x_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-shaped top-10 for a bag-of-words query (rational idf —
+    operators/search.py module docstring). Per-doc tf is array
+    algebra, corpus stats join in as broadcasts; the only shuffle is
+    the term-filtered df groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    return srch.bm25_topk(docs, _BM25_TERMS, k=10, id_col="doc_id", text_col="text")
+
+
+@register(
+    "x_search_termstats",
+    """
+    WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+    t AS (SELECT doc_id, unnest(list_distinct(a)) AS term FROM arr)
+    SELECT term, COUNT(*) AS df FROM t GROUP BY term
+    ORDER BY df DESC, term LIMIT 20
+    """,
+)
+def x_search_termstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-frequency table (the inverted-index build pass): one
+    explode+groupBy over distinct per-doc tokens; top-20 by df for a
+    bounded, deterministic check."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        srch.term_stats(docs, "doc_id", "text")
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(20)
+    )
+
+
+# ------------------------------------------------- stratified corpus mix
+_STRATA_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+_STRATA_DEFAULT = 0.05
+
+
+@register(
+    "x_sample_stratified",
+    f"""
+    WITH u AS (
+      SELECT doc_id, source,
+             CAST(concat('0x', substr(md5('mix1' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               / CAST(16 ** 15 AS DOUBLE) AS unit
+      FROM documents
+    )
+    SELECT source, COUNT(*) AS n, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM u
+    WHERE unit < (CASE source
+                    WHEN 'src0' THEN {_STRATA_RATES["src0"]}
+                    WHEN 'src1' THEN {_STRATA_RATES["src1"]}
+                    WHEN 'src2' THEN {_STRATA_RATES["src2"]}
+                    WHEN 'src3' THEN {_STRATA_RATES["src3"]}
+                    ELSE {_STRATA_DEFAULT} END)
+    GROUP BY source
+    """,
+)
+def x_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus mixing ('keep 100% of src0,
+    50% of src1, ... 5% of the rest'): membership is a pure function
+    of md5(salt||id) so the mix is reproducible across engines and
+    partitionings; the rate lookup is a literal CASE — one codegen'd
+    filter, no join, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = sp.stratified_sample(
+        docs, "doc_id", "source", _STRATA_RATES,
+        default_rate=_STRATA_DEFAULT, salt="mix1",
+    )
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+# -------------------------------------------------------- semantic dedup
+@register(
+    "x_semantic_dedup",
+    """
+    WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM emb ORDER BY vec_id LIMIT 16),
+    assign AS (
+      SELECT e.vec_id, e.v,
+        (SELECT c.cid FROM cent c
+         ORDER BY ROUND(list_dot_product(e.v, c.cv) /
+                        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+                  c.cid
+         LIMIT 1) AS cid
+      FROM emb e
+    ),
+    dup AS (
+      SELECT b.vec_id AS id_b, MIN(a.vec_id) AS dup_of
+      FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE ROUND(list_dot_product(a.v, b.v) /
+                  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
+      GROUP BY b.vec_id
+    )
+    SELECT e.vec_id,
+           CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END AS kept,
+           d.dup_of
+    FROM emb e LEFT JOIN dup d ON e.vec_id = d.id_b
+    """,
+)
+def x_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup: IVF-cluster the embeddings
+    (same deterministic centroids as x_ann_ivf_topk), mark every
+    vector with a ≥ 0.4-cosine LOWER-id neighbor in its cluster as a
+    duplicate. The cluster key turns all-pairs into per-cluster
+    blocks — the published SemDeDup recipe."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = sim.semantic_dedup(emb, threshold=0.4, n_centroids=16)
+    return out.select(
+        "vec_id", F.col("kept").cast("int").alias("kept"), "dup_of"
+    )

@@ -92,8 +92,17 @@ COMBOS: dict[str, list[str]] = {
         "d9_correction_overlay",
     ],
     "x_dedup_exact_simhash": ["x_dedup_exact", "x_dedup_simhash"],
+    "x_dedup_pairs": ["x_dedup_minhash_lsh", "x_dedup_ngram_jaccard"],
     "x_fingerprints": ["x_text_fingerprint", "x_text_winnow"],
-    "x_knn_topk": ["x_embed_cosine_topk", "x_ann_lsh_topk"],
+    "x_search_topk": [
+        "x_embed_cosine_topk",
+        "x_ann_lsh_topk",
+        "x_search_bm25",
+        "x_search_termstats",
+    ],
+    "x_embed_neardup_sem": ["x_embed_neardup", "x_semantic_dedup"],
+    "x_sampling": ["x_sample_hash_split", "x_sample_stratified"],
+    "x_cleaning": ["x_clean_pii", "x_clean_gopher", "x_clean_decontam"],
     "x_text_quality_stats": ["x_text_stats", "x_text_quality"],
     "x_text_langid_all": ["x_text_langid", "x_text_langid_ngram"],
     "x_events_windows": ["x_events_tumbling", "x_events_props_json"],
@@ -144,17 +153,17 @@ ORDER: list[str] = [
     "d_transforms",
     # LLM-pipeline extensions
     "x_dedup_exact_simhash",
-    "x_dedup_minhash_lsh",
-    "x_dedup_ngram_jaccard",
+    "x_dedup_pairs",
     "x_dedup_winnow",
     "x_fingerprints",
     "x_dedup_clusters",
-    "x_knn_topk",
-    "x_embed_neardup",
+    "x_search_topk",
+    "x_embed_neardup_sem",
     "x_ann_ivf_topk",
     "x_text_quality_stats",
     "x_text_langid_all",
-    "x_sample_hash_split",
+    "x_cleaning",
+    "x_sampling",
     "x_events_sessionize",
     "x_events_windows",
     "x_multimodal_meta_all",
@@ -214,6 +223,17 @@ _ARM_COLS: dict[str, list[tuple[str, str]]] = {
     "d9_correction_overlay": [("o_orderpriority", "s"), ("n", "i"), ("total_fixed", "d")],
     "x_dedup_exact": [("content_hash", "s"), ("doc_id", "i"), ("n_copies", "i")],
     "x_dedup_simhash": [("doc_id", "i"), ("simhash", "i")],
+    "x_dedup_minhash_lsh": [("id_a", "i"), ("id_b", "i"), ("jaccard", "d")],
+    "x_dedup_ngram_jaccard": [("id_a", "i"), ("id_b", "i"), ("jaccard", "d")],
+    "x_embed_neardup": [("id_a", "i"), ("id_b", "i"), ("cos_sim", "d")],
+    "x_semantic_dedup": [("vec_id", "i"), ("kept", "i"), ("dup_of", "i")],
+    "x_search_bm25": [("doc_id", "i"), ("score", "d")],
+    "x_search_termstats": [("term", "s"), ("df", "i")],
+    "x_sample_hash_split": [("split", "s"), ("n", "i"), ("min_id", "i"), ("max_id", "i")],
+    "x_sample_stratified": [("source", "s"), ("n", "i"), ("min_id", "i"), ("max_id", "i")],
+    "x_clean_pii": [("c_custkey", "i"), ("n_email", "i"), ("n_phone", "i"), ("n_ip", "i"), ("redacted", "s")],
+    "x_clean_gopher": [("doc_id", "i"), ("n_tokens", "i"), ("ttr", "d"), ("top_bigram", "d"), ("sym_ratio", "d"), ("keep", "i")],
+    "x_clean_decontam": [("doc_id", "i"), ("n_shared_ngrams", "i")],
     "x_text_fingerprint": [("doc_id", "i"), ("fingerprint", "s")],
     "x_text_winnow": [("doc_id", "i"), ("fp", "i")],
     "x_embed_cosine_topk": [("vec_id", "i"), ("cos_sim", "d")],

@@ -1,0 +1,188 @@
+"""Behavioral tests for the corpus cleaning / search / mixing
+operators — the edge cases the oracle-parity sweep can't isolate:
+threshold boundaries, empty/degenerate documents, self-contamination,
+known-answer rankings, and the plan shapes that make each operator
+scale (broadcast eval set, no cartesian products, shuffle keyed only
+by cluster)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from mfdb_hafro_etl_spark.operators import cleaning as cl
+from mfdb_hafro_etl_spark.operators import sampling as sp
+from mfdb_hafro_etl_spark.operators import search as srch
+from mfdb_hafro_etl_spark.operators import similarity as sim
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ------------------------------------------------------------- cleaning
+def test_redact_pii_all_shapes(spark):
+    df = spark.createDataFrame(
+        [("mail a.b+c@x-mail.co.uk, call 12-345-678-9012, host 192.168.0.1 ok",)],
+        "t STRING",
+    )
+    out = df.select(
+        cl.redact_pii("t").alias("r"),
+        cl.pii_count("t", "email").alias("ne"),
+        cl.pii_count("t", "phone").alias("np"),
+        cl.pii_count("t", "ipv4").alias("ni"),
+    ).first()
+    assert out["r"] == "mail <EMAIL>, call <PHONE>, host <IP> ok"
+    assert (out["ne"], out["np"], out["ni"]) == (1, 1, 1)
+
+
+def test_redact_pii_leaves_clean_text_alone(spark):
+    df = spark.createDataFrame([("just words, no pii at all",)], "t STRING")
+    assert df.select(cl.redact_pii("t").alias("r")).first()["r"] == df.first()["t"]
+
+
+def test_gopher_rules_flag_looping_doc(spark):
+    looping = " ".join(["spam ham"] * 20)  # one bigram dominates
+    prose = "the quick brown fox jumps over the lazy dog again today"
+    df = spark.createDataFrame([(1, looping), (2, prose)], "id INT, t STRING")
+    rows = {
+        r["id"]: r
+        for r in df.select("id", cl.gopher_rules("t").alias("g")).collect()
+    }
+    assert rows[1]["g"]["repetition_ok"] is False
+    assert rows[1]["g"]["keep"] is False
+    assert rows[2]["g"]["keep"] is True
+
+
+def test_top_bigram_fraction_degenerate_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "single"), (2, "two words"), (3, "a a a a")], "id INT, t STRING"
+    )
+    got = {
+        r["id"]: r["f"]
+        for r in df.select(
+            "id", F.round(cl.top_bigram_fraction("t"), 6).alias("f")
+        ).collect()
+    }
+    assert got[1] == 0.0  # no bigrams
+    assert got[2] == 1.0  # one bigram, trivially dominant
+    assert got[3] == 1.0  # "a a" ×3 of 3
+
+
+def test_decontaminate_gate_and_miss(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),  # contains eval 3-grams
+            (2, "zeta eta theta iota kappa"),  # disjoint
+        ],
+        "doc_id INT, text STRING",
+    )
+    eval_set = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "doc_id INT, text STRING"
+    )
+    hits = {
+        r["doc_id"]: r["n_shared_ngrams"]
+        for r in cl.decontaminate(corpus, eval_set, min_shared=2).collect()
+    }
+    assert hits == {1: 2}  # shares 'alpha beta gamma' + 'beta gamma delta'
+    # raising the bar past the overlap drops the doc
+    assert cl.decontaminate(corpus, eval_set, min_shared=3).count() == 0
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    corpus = spark.createDataFrame([(1, "a b c d e")], "doc_id INT, text STRING")
+    ev = spark.createDataFrame([(9, "a b c")], "doc_id INT, text STRING")
+    plan = _plan(cl.decontaminate(corpus, ev))
+    assert re.search(r"BroadcastHashJoin", plan), plan[:1500]
+    assert not re.search(r"SortMergeJoin", plan)
+
+
+# --------------------------------------------------------------- search
+def test_bm25_ranks_matching_docs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark spark engine"),
+            (2, "spark engine"),
+            (3, "unrelated words entirely"),
+        ],
+        "doc_id INT, text STRING",
+    )
+    got = srch.bm25_topk(df, ["spark"], k=3).collect()
+    # only matching docs are returned, higher tf first
+    assert [r["doc_id"] for r in got] == [1, 2]
+    assert got[0]["score"] > got[1]["score"] > 0
+
+
+def test_bm25_absent_term_contributes_zero(spark):
+    df = spark.createDataFrame(
+        [(1, "spark rows"), (2, "spark rows")], "doc_id INT, text STRING"
+    )
+    with_ghost = srch.bm25_topk(df, ["spark", "nosuchterm"], k=2).collect()
+    without = srch.bm25_topk(df, ["spark"], k=2).collect()
+    assert [(r["doc_id"], r["score"]) for r in with_ghost] == [
+        (r["doc_id"], r["score"]) for r in without
+    ]
+
+
+# -------------------------------------------------------------- sampling
+def test_stratified_sample_rate_extremes(spark):
+    rows = [(i, "keep" if i % 2 == 0 else "drop") for i in range(200)]
+    df = spark.createDataFrame(rows, "id INT, src STRING")
+    out = sp.stratified_sample(
+        df, "id", "src", {"keep": 1.0}, default_rate=0.0, salt="t"
+    )
+    got = out.groupBy("src").count().collect()
+    assert {r["src"]: r["count"] for r in got} == {"keep": 100}
+
+
+def test_stratified_sample_is_partitioning_invariant(spark):
+    df = spark.createDataFrame([(i, f"s{i % 3}") for i in range(300)], "id INT, src STRING")
+    rates = {"s0": 0.5, "s1": 0.2}
+    a = set(
+        r["id"]
+        for r in sp.stratified_sample(df, "id", "src", rates, 0.1, "x").collect()
+    )
+    b = set(
+        r["id"]
+        for r in sp.stratified_sample(
+            df.repartition(13), "id", "src", rates, 0.1, "x"
+        ).collect()
+    )
+    assert a == b and a
+
+
+def test_stratified_sample_plan_is_single_filter(spark):
+    df = spark.createDataFrame([(1, "a")], "id INT, src STRING")
+    plan = _plan(sp.stratified_sample(df, "id", "src", {"a": 0.5}))
+    assert "Join" not in plan and "Exchange" not in plan, plan[:1500]
+
+
+# -------------------------------------------------------- semantic dedup
+def test_semantic_dedup_marks_clones(spark):
+    # 0..3 distinct axes; 10 is a clone of 0, 11 a clone of 1
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 0.0, 1.0]),
+        (10, [1.0, 0.0, 0.0, 0.0]),
+        (11, [0.0, 0.999, 0.001, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+    out = {
+        r["vec_id"]: (r["kept"], r["dup_of"])
+        for r in sim.semantic_dedup(df, threshold=0.95, n_centroids=4).collect()
+    }
+    assert out[10] == (False, 0)
+    assert out[11] == (False, 1)
+    assert all(out[i] == (True, None) for i in (0, 1, 2, 3))
+
+
+def test_semantic_dedup_no_cartesian_product(spark):
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(8)], "vec_id INT, embedding ARRAY<DOUBLE>"
+    )
+    plan = _plan(sim.semantic_dedup(df, threshold=0.99, n_centroids=2))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan[:1500]
