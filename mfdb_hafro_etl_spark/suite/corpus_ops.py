@@ -139,20 +139,26 @@ def x_clean_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x_clean_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition/quality metrics + keep verdict per
-    document — all pure Column algebra (the top-bigram count is a
-    sort+fold over the bigram array, no explode+groupBy shuffle)."""
+    document, via the Arrow gopher_metrics_table kernel (map-only,
+    no shuffle; byte-identical to the Column formulation — pinned by
+    tests/test_corpus_ops.py). The keep verdict applies the rule
+    thresholds to the UNROUNDED metrics, as gopher_rules does."""
     docs = load_table(spark, sf_dir, "documents")
-    rules = cl.gopher_rules(
-        "text", min_tokens=5, max_tokens=10000, min_ttr=0.2,
-        max_top_bigram=0.25, max_symbol_ratio=0.5,
+    m = cl.gopher_metrics_table(docs, "doc_id", "text")
+    keep = (
+        (F.col("n_tokens") >= 5)
+        & (F.col("n_tokens") <= 10000)
+        & (F.col("ttr") >= 0.2)
+        & (F.col("top_bigram") <= 0.25)
+        & (F.col("sym_ratio") <= 0.5)
     )
-    return docs.select(
+    return m.select(
         "doc_id",
-        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
-        F.round(cl.type_token_ratio("text"), 6).alias("ttr"),
-        F.round(cl.top_bigram_fraction("text"), 6).alias("top_bigram"),
-        F.round(cl.symbol_word_ratio("text"), 6).alias("sym_ratio"),
-        rules["keep"].cast("int").alias("keep"),
+        "n_tokens",
+        F.round("ttr", 6).alias("ttr"),
+        F.round("top_bigram", 6).alias("top_bigram"),
+        F.round("sym_ratio", 6).alias("sym_ratio"),
+        keep.cast("int").alias("keep"),
     )
 
 

@@ -71,6 +71,45 @@ def test_top_bigram_fraction_degenerate_docs(spark):
     assert got[3] == 1.0  # "a a" ×3 of 3
 
 
+def test_gopher_kernel_matches_column_formulation(spark, sf_dir):
+    """The Arrow kernel must be byte-identical to the Column algebra
+    it replaces (the winnow precedent): same splits, same guards,
+    same int/int→double divisions — exact equality, no tolerance."""
+    from mfdb_hafro_etl_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    col_side = {
+        r["doc_id"]: (r["n"], r["ttr"], r["tb"], r["sy"])
+        for r in docs.select(
+            "doc_id",
+            F.size(F.split(F.col("text"), " ")).alias("n"),
+            cl.type_token_ratio("text").alias("ttr"),
+            cl.top_bigram_fraction("text").alias("tb"),
+            cl.symbol_word_ratio("text").alias("sy"),
+        ).collect()
+    }
+    kernel_side = {
+        r["doc_id"]: (r["n_tokens"], r["ttr"], r["top_bigram"], r["sym_ratio"])
+        for r in cl.gopher_metrics_table(docs, "doc_id", "text").collect()
+    }
+    assert kernel_side == col_side
+
+
+def test_gopher_kernel_degenerate_inputs(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "a a a a"), (4, "!@# $%^")],
+        "doc_id INT, text STRING",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in cl.gopher_metrics_table(df, "doc_id", "text").collect()
+    }
+    assert got[1]["n_tokens"] == 1 and got[1]["top_bigram"] == 0.0
+    assert got[2]["ttr"] == 1.0
+    assert got[3]["top_bigram"] == 1.0
+    assert got[4]["sym_ratio"] == 3.0  # 6 symbol chars / 2 tokens
+
+
 def test_decontaminate_gate_and_miss(spark):
     corpus = spark.createDataFrame(
         [

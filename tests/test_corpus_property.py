@@ -1,0 +1,86 @@
+"""Hypothesis property tests for the corpus operators: the Arrow
+gopher kernel must track the Column formulation byte-for-byte over
+adversarial text (unicode, repeated/empty/multi-space tokens), and
+hash-based sampling must be a pure function of (id, salt) with exact
+per-stratum boundaries."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from mfdb_hafro_etl_spark.operators import cleaning as cl
+from mfdb_hafro_etl_spark.operators import sampling as sp
+
+_SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# words heavy on repetition + symbols + CJK so split/regex/length
+# semantics get exercised across the ascii boundary
+_word = st.sampled_from(["a", "bb", "a", "x!y", "@", "数据", "", "spark"])
+_text = st.lists(_word, min_size=0, max_size=30).map(" ".join)
+
+
+@given(texts=st.lists(_text, min_size=1, max_size=25))
+@settings(**_SETTINGS)
+def test_gopher_kernel_equals_column_everywhere(spark, texts):
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id INT, text STRING")
+    col_side = {
+        r["doc_id"]: (r["n"], r["ttr"], r["tb"], r["sy"])
+        for r in df.select(
+            "doc_id",
+            F.size(F.split(F.col("text"), " ")).alias("n"),
+            cl.type_token_ratio("text").alias("ttr"),
+            cl.top_bigram_fraction("text").alias("tb"),
+            cl.symbol_word_ratio("text").alias("sy"),
+        ).collect()
+    }
+    kernel_side = {
+        r["doc_id"]: (r["n_tokens"], r["ttr"], r["top_bigram"], r["sym_ratio"])
+        for r in cl.gopher_metrics_table(df, "doc_id", "text").collect()
+    }
+    assert kernel_side == col_side
+
+
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=40, unique=True),
+    rate=st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+    salt=st.sampled_from(["", "v1", "mix"]),
+)
+@settings(**_SETTINGS)
+def test_stratified_matches_python_hash_reference(spark, ids, rate, salt):
+    """Membership must equal the documented md5 arithmetic exactly —
+    the property the DuckDB oracle (and any other engine) relies on."""
+    import hashlib
+
+    def ref_unit(i: int) -> float:
+        h = hashlib.md5((salt + str(i)).encode()).hexdigest()
+        return int(h[:15], 16) / float(16**15)
+
+    df = spark.createDataFrame([(i, "s") for i in ids], "id LONG, src STRING")
+    got = {
+        r["id"]
+        for r in sp.stratified_sample(df, "id", "src", {"s": rate}, salt=salt).collect()
+    }
+    want = {i for i in ids if ref_unit(i) < rate}
+    assert got == want
+
+
+@given(texts=st.lists(_text, min_size=1, max_size=15))
+@settings(**_SETTINGS)
+def test_redact_pii_is_idempotent(spark, texts):
+    """Redacting already-redacted text must be a no-op (tokens don't
+    match any PII pattern) — the safety property for re-run jobs."""
+    df = spark.createDataFrame(
+        [(i, t + " a@b.co 12-345-678-9012 1.2.3.4") for i, t in enumerate(texts)],
+        "id INT, text STRING",
+    )
+    once = df.select("id", cl.redact_pii("text").alias("r"))
+    twice = once.select("id", cl.redact_pii("r").alias("r"))
+    assert {(r["id"], r["r"]) for r in once.collect()} == {
+        (r["id"], r["r"]) for r in twice.collect()
+    }
