@@ -219,6 +219,28 @@ def test_semantic_dedup_marks_clones(spark):
     assert all(out[i] == (True, None) for i in (0, 1, 2, 3))
 
 
+def test_ivf_kernel_assignment_matches_expression(spark, sf_dir):
+    """The numpy assignment kernel must agree with the SQL-expression
+    reference on every fixture vector (same round-6 cosine, same
+    lowest-cid tie-break)."""
+    from mfdb_hafro_etl_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = sim._ivf_centroids(emb, 16, "vec_id", "embedding")
+    expr_side = {
+        r["vec_id"]: r["cid"]
+        for r in emb.withColumn("__vnorm__", sim.norm(F.col("embedding")))
+        .withColumn("cid", sim._ivf_assign_expr(cents, "embedding"))
+        .select("vec_id", "cid")
+        .collect()
+    }
+    kernel_side = {
+        r["vec_id"]: r["__cid__"]
+        for r in sim._ivf_assign_table(emb, cents, "vec_id", "embedding").collect()
+    }
+    assert kernel_side == expr_side
+
+
 def test_semantic_dedup_no_cartesian_product(spark):
     df = spark.createDataFrame(
         [(i, [float(i), 1.0]) for i in range(8)], "vec_id INT, embedding ARRAY<DOUBLE>"
