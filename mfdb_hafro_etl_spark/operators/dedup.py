@@ -361,23 +361,28 @@ def duplicate_clusters(
     labels = edges.select(F.col("a").alias("node")).dropDuplicates().withColumn(
         "label", F.col("node")
     ).localCheckpoint(eager=True)
+    label_t = labels.schema["label"].dataType.simpleString()
     changed = 0
     for _ in range(max_iter):
         prop = (
             edges.join(labels.withColumnRenamed("node", "a"), on="a")
             .select(F.col("b").alias("node"), "label")
         )
-        new_labels = (
-            labels.unionByName(prop).groupBy("node").agg(F.min("label").alias("label"))
+        # fuse the convergence probe into the propagation aggregation:
+        # the labels branch carries its own label as __old__, so after
+        # the min-groupBy "did anything change" is a filter over the
+        # checkpointed result — no second join, one shuffle per round
+        merged = (
+            labels.withColumn("__old__", F.col("label"))
+            .unionByName(prop.withColumn("__old__", F.lit(None).cast(label_t)))
+            .groupBy("node")
+            .agg(
+                F.min("label").alias("label"),
+                F.min("__old__").alias("__old__"),
+            )
         ).localCheckpoint(eager=True)
-        changed = (
-            new_labels.withColumnRenamed("label", "new_label")
-            .join(labels, on="node")
-            .filter(F.col("new_label") != F.col("label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = merged.filter(F.col("label") < F.col("__old__")).limit(1).count()
+        labels = merged.drop("__old__")
         if changed == 0:
             break
     if changed != 0:
