@@ -120,10 +120,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver testdata table (Parquet keeps its own schema —
     columnar scan + pushdown come for free).
 
-    events.ts is written as TIMESTAMP(NANOS), which Spark's vectorized
-    parquet reader rejects; we read nanos as long and truncate to
-    microseconds — the same ns→µs floor DuckDB applies, so oracle
-    comparisons stay exact.
+    events.ts has shipped as either TIMESTAMP(NANOS) (older driver
+    generations — Spark's vectorized reader rejects it, so read nanos
+    as long and floor to microseconds, the same ns→µs floor DuckDB
+    applies) or plain TIMESTAMP(MICROS) without UTC adjustment (reads
+    as TIMESTAMP_NTZ). Normalize both to session-local TimestampType
+    (session tz is pinned UTC) so downstream ops and oracles agree.
     """
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown testdata table {name!r}")
@@ -133,7 +135,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(path)
         from pyspark.sql import functions as F
 
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(ts_type, T.TimestampNTZType):
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(path)
 
 

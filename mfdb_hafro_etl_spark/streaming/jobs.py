@@ -29,22 +29,28 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-# events.parquet stores ts as TIMESTAMP(NANOS) (see catalog.load_table)
-EVENTS_STREAM_DDL = (
-    "event_id BIGINT, ts BIGINT, user_id BIGINT, "
-    "event_type STRING, value DOUBLE, props STRING"
-)
+# events.parquet has shipped with ts as TIMESTAMP(NANOS) or
+# TIMESTAMP(MICROS)/NTZ depending on the generator (see
+# catalog.load_table); readStream needs an explicit schema, so probe
+# the actual on-disk type with a one-off batch read and normalize the
+# same way the batch path does.
+EVENTS_STREAM_DDL_PREFIX = "event_id BIGINT, ts {ts_type}, user_id BIGINT, "
+EVENTS_STREAM_DDL_SUFFIX = "event_type STRING, value DOUBLE, props STRING"
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events table (nanos → µs, same floor the
-    batch reader and DuckDB apply).
+    """readStream over the events table, ts normalized to session-local
+    TimestampType (nanos are floored to µs — the same floor the batch
+    reader and DuckDB apply; NTZ micros are reinterpreted in the
+    session tz, which is pinned UTC).
 
     The file stream source wants a DIRECTORY it can monitor for new
     files (that's the streaming contract — files arriving over time);
     the testdata ships a single parquet file, so it is staged into a
     scratch dir via symlink. In production this is the landing
     directory new event files drop into."""
+    from pyspark.sql import types as T
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
     if os.path.isdir(src):
@@ -56,8 +62,20 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         link = os.path.join(path, "events.parquet")
         if not os.path.exists(link):
             os.symlink(src, link)
-    raw = spark.readStream.schema(EVENTS_STREAM_DDL).parquet(path)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = spark.read.parquet(path).schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        ddl_ts = "BIGINT"
+    elif isinstance(ts_type, T.TimestampNTZType):
+        ddl_ts = "TIMESTAMP_NTZ"
+    else:
+        ddl_ts = "TIMESTAMP"
+    schema = EVENTS_STREAM_DDL_PREFIX.format(ts_type=ddl_ts) + EVENTS_STREAM_DDL_SUFFIX
+    raw = spark.readStream.schema(schema).parquet(path)
+    if isinstance(ts_type, T.LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.TimestampNTZType):
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def run_available_now(
