@@ -45,6 +45,11 @@ def main() -> None:
     # not session startup
     materialize(QUERIES[names[0]](spark, sf_dir))
 
+    # BENCH_GC_MODE (bisect knob): full = clearCache + RDD sweep +
+    # System.gc per query (round-2 behavior); cache = clearCache only
+    # (round-1 behavior); none = no per-query cleanup.
+    gc_mode = os.environ.get("BENCH_GC_MODE", "full")
+
     def release_storage() -> None:
         # Isolate queries: clearCache drops SQL-cached plans, but
         # localCheckpoint blocks (duplicate_clusters, edge tables) are
@@ -53,11 +58,17 @@ def main() -> None:
         # every later query pays in spills/GC. Sweep ALL persistent
         # RDDs via the SparkContext and nudge the JVM GC so the
         # ContextCleaner also drops orphaned shuffle/broadcast state.
+        if gc_mode == "none":
+            return
         spark.catalog.clearCache()
+        if gc_mode == "cache":
+            return
         jsc = spark.sparkContext._jsc.sc()
         it = jsc.getPersistentRDDs().values().iterator()
         while it.hasNext():
             it.next().unpersist(False)
+        if gc_mode == "sweep":
+            return
         spark.sparkContext._jvm.System.gc()
 
     timings: dict[str, float] = {}

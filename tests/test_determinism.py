@@ -197,6 +197,25 @@ def test_duplicate_clusters_semantics_and_determinism(spark):
         assert got == expect
 
 
+def test_duplicate_clusters_deep_path_converges(spark):
+    """A 50-deep path graph — the shape that would defeat plain
+    min-label propagation's O(diameter) budget — converges via the
+    pointer-jump (path-halving) rounds in O(log d), well inside
+    max_iter. Labels are shuffled so node ids don't encode position:
+    the min sits mid-path."""
+    import random
+
+    rng = random.Random(7)
+    ids = list(range(100, 151))
+    rng.shuffle(ids)
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in zip(ids, ids[1:])],
+        "id_a BIGINT, id_b BIGINT",
+    )
+    got = {(r.doc_id, r.cluster_id) for r in dedup_ops.duplicate_clusters(pairs).collect()}
+    assert got == {(i, 100) for i in ids}
+
+
 def test_hash_split_stable_and_exhaustive(spark, sf_dir):
     """Split membership is a pure function of the id: identical under
     repartition, partitions exactly (every row in exactly one split),
