@@ -122,7 +122,7 @@ def cosine_pairs(
         )
     )
 
-    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         i, j = int(key[0]), int(key[1])
 
         def block(b: int):
@@ -433,7 +433,25 @@ def semantic_dedup(
 
     Cross-cluster near-duplicates are missed by construction (the
     recall/cost tradeoff SemDeDup accepts); raise n_probe-style
-    multi-assignment if recall matters more than cost."""
+    multi-assignment if recall matters more than cost.
+
+    The within-cluster pair scan is ONE applyInPandas BLAS product
+    per cluster (the cosine_pairs kernel shape, with the cluster id
+    as the block key): ids sorted ascending, normalized rows,
+    S = M·Mᵀ rounded to 6, and each column's first over-threshold
+    strictly-upper-triangle hit IS its min lower duplicate — so the
+    kernel emits the final (id, kept, dup_of) rows directly, no
+    pair table, no second shuffle. Plan: assignment map →
+    groupBy(__cid__) exchange → kernel. An interpreted per-pair
+    zip_with/aggregate cosine inside a self-join measured ~3×
+    slower at sf0.1 and is gone."""
+    import numpy as np
+    import pandas as pd
+
+    from mfdb_hafro_etl_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(emb.sparkSession)
+
     cents = _ivf_centroids(emb, n_centroids, id_col, vec_col)
     assigned = _ivf_assign_table(
         emb.repartition(emb.sparkSession.sparkContext.defaultParallelism),
@@ -441,31 +459,36 @@ def semantic_dedup(
         id_col,
         vec_col,
     )
-    a = assigned.select(
-        F.col("__cid__"),
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("__va__"),
-    )
-    b = assigned.select(
-        F.col("__cid__"),
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("__vb__"),
-    )
-    dup_pairs = (
-        a.join(b, on="__cid__")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.round(cosine(F.col("__va__"), F.col("__vb__")), 6) >= threshold)
-        .select("id_a", "id_b")
-    )
-    dup_of = dup_pairs.groupBy("id_b").agg(F.min("id_a").alias("dup_of"))
-    return (
-        assigned.select(id_col)
-        .join(dup_of, assigned[id_col] == dup_of["id_b"], "left")
-        .select(
-            F.col(id_col),
-            F.col("dup_of").isNull().alias("kept"),
-            F.col("dup_of"),
+    id_t = assigned.schema[id_col].dataType.simpleString()
+
+    def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        M = np.array(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col].iloc[order]]
         )
+        nrm = np.linalg.norm(M, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        Mn = M / nrm
+        S = np.round(Mn @ Mn.T, 6)
+        hit = S >= threshold
+        # only i<j counts (ids ascending → row index < col index ⇔
+        # id_a < id_b): zero the diagonal and below
+        hit[np.tril_indices_from(hit)] = False
+        any_dup = hit.any(axis=0)
+        first = hit.argmax(axis=0)  # first True row = smallest id_a
+        dup_of = [int(ids[f]) if d else None for d, f in zip(any_dup, first)]
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "kept": ~any_dup,
+                "dup_of": pd.Series(dup_of, dtype="object"),
+            }
+        )
+
+    return assigned.groupBy("__cid__").applyInPandas(
+        kernel, schema=f"{id_col} {id_t}, kept boolean, dup_of {id_t}"
     )
 
 
@@ -503,20 +526,17 @@ def ann_ivf_topk(
     # fan the scan out first (explicit count — AQE must not coalesce
     # a CPU-bound stage back down)
     emb = emb.repartition(emb.sparkSession.sparkContext.defaultParallelism)
-    # Assignment built as ONE SQL expression with the centroid matrix
-    # inline (_ivf_assign_expr): a per-centroid F.lit build costs
-    # n_centroids·dim py4j round-trips at plan time and explodes
-    # whole-stage codegen with n_centroids separate cosine trees; a
-    # single transform() over a literal struct array keeps the plan
-    # O(1) in n_centroids. Float semantics match the oracle: the same
-    # zip_with/aggregate left-fold per dot, the row norm evaluated
-    # once per row (__vnorm__), centroid norms folded in Python with
-    # the identical sequential IEEE left-fold.
+    # Assignment via the same numpy Arrow kernel the materialized
+    # index uses (_ivf_assign_table) — one (batch × dim) @ (dim × k)
+    # matmul per Arrow batch. _ivf_assign_expr remains the
+    # expression-level reference (its interpreted 16-struct
+    # transform/sort measures ~10× slower); a parity test pins the
+    # two to identical assignments, so the one-shot and indexed
+    # paths share one decision rule.
     probes = _ivf_probes(cents, query_vec, n_probe)
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     scored = (
-        emb.withColumn("__vnorm__", norm(F.col(vec_col)))
-        .withColumn("__cid__", _ivf_assign_expr(cents, vec_col))
+        _ivf_assign_table(emb, cents, id_col, vec_col)
         .filter(F.col("__cid__").isin(probes))
         .select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"))
     )
