@@ -44,7 +44,19 @@ def build_landings_map(lods: DataFrame, skipasaga: DataFrame) -> DataFrame:
     stations pipeline's half-open bounds; preserved exactly)."""
     j = lods.join(F.broadcast(skipasaga), on="skip_nr", how="left")
     keep = (F.col("l_dags") < F.col("ur_gildi")) & (F.col("l_dags") > F.col("i_gildi"))
-    return j.filter(keep).select("skip_nr", "saga_nr", "komunr", "hofn").dropDuplicates()
+    # repartition on the SUBSET of dedup columns the downstream
+    # lods⋈map join shuffles on: a hash partitioning on (skip_nr,
+    # komunr, hofn) already satisfies dropDuplicates' 4-column
+    # clustering requirement, so the dedup runs with no exchange of
+    # its own and — when the join stays sort-merge at scale — the
+    # map side arrives at the join pre-partitioned (one shuffle of
+    # the map instead of two)
+    return (
+        j.filter(keep)
+        .select("skip_nr", "saga_nr", "komunr", "hofn")
+        .repartition(F.col("skip_nr"), F.col("komunr"), F.col("hofn"))
+        .dropDuplicates()
+    )
 
 
 def build_landed_catch(

@@ -107,6 +107,14 @@ def replace_by_source(
     spark = df.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     out = df.withColumn(partition_col, F.lit(data_source))
+    # Cluster rows to the partition layout before the write: without
+    # it every task writes a file into every (source, year) directory
+    # it saw — tasks × partitions small files whose footers every
+    # later read pays to list. REBALANCE (vs a plain repartition) is
+    # the scale-safe form: AQE splits any over-large partition back
+    # into multiple tasks, so one huge source/year can't serialize
+    # into a single writer.
+    out = out.hint("rebalance", partition_col, *sub_partition_cols)
     out.write.mode("overwrite").partitionBy(partition_col, *sub_partition_cols).parquet(path)
 
 

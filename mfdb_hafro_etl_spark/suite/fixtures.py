@@ -116,7 +116,35 @@ CROSS JOIN (SELECT CAST(unnest(generate_series(1, 2)) AS INT) AS saga_nr) g
 """
 
 
+import weakref
+
+# session → {sf_dir: collected dim} — weak keys so a test session's
+# local relations die with it (and a recycled id() can't alias)
+_SAGA_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def skipasaga(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vessel-history dimension. Genuinely dimension-sized (≤400
+    vessels × 2 generations regardless of SF — the skip_nr domain is
+    c_custkey % 200), and consumed by 2+ broadcast branches in every
+    landings/stations plan. Each broadcast branch would otherwise
+    re-run the customer scan + distinct; collecting once per
+    (session, sf) into a driver-local relation makes every broadcast
+    a plan-local hash build with no upstream jobs — the S13
+    dim-collect pattern (collect scalar/dim-sized only)."""
+    per_session = _SAGA_MEMO.setdefault(spark, {})
+    hit = per_session.get(sf_dir)
+    if hit is not None:
+        return hit
+    built = _skipasaga_build(spark, sf_dir)
+    local = spark.createDataFrame(built.collect(), built.schema)
+    per_session[sf_dir] = local
+    return local
+
+
+def _skipasaga_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     skips = c.select((F.col("c_custkey") % 200).cast("int").alias("skip_nr")).distinct()
     gens = spark.range(1, 3).select(F.col("id").cast("int").alias("saga_nr"))

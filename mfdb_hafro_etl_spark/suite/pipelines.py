@@ -791,7 +791,10 @@ def p11_old_landings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("manudur").alias("man"),
         timabil.alias("timabil"),
     )
-    j = base.join(F.broadcast(lmap), on=["skip_nr", "komunr", "hofn"], how="left")
+    # no broadcast hint on the landings map: it is fact-derived, so
+    # the decision stays runtime-size-based (AQE broadcasts it at
+    # test SF where it fits, sort-merges at corpus scale)
+    j = base.join(lmap, on=["skip_nr", "komunr", "hofn"], how="left")
     # reference also left-joins the kvoti.skipasaga attributes by
     # (skip_nr, saga_nr); the key is unique so no fan-out, and every
     # attribute column is dropped below
