@@ -116,31 +116,74 @@ def schema_of(table: str) -> T.StructType:
     return T.StructType.fromDDL(ddl)
 
 
+_NANOS_FLAG = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize events.ts across testdata generations to
+    session-local TimestampType (session tz is pinned UTC):
+
+    - TIMESTAMP(NANOS) generations arrive as LongType under the
+      nanosAsLong flag → floor to microseconds (the same ns→µs floor
+      DuckDB applies);
+    - TIMESTAMP(MICROS) without UTC adjustment arrives as
+      TIMESTAMP_NTZ → reinterpret in the session tz.
+
+    Single source of truth for the batch reader (load_table) AND the
+    streaming reader (streaming.jobs.read_events_stream), so the two
+    cannot drift on the next generation change."""
+    from pyspark.sql import functions as F
+
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def events_ts_ddl(ts_type: T.DataType) -> str:
+    """DDL token for the on-disk ts column of an events generation
+    (used by the streaming reader's explicit schema)."""
+    if isinstance(ts_type, T.LongType):
+        return "BIGINT"
+    if isinstance(ts_type, T.TimestampNTZType):
+        return "TIMESTAMP_NTZ"
+    return "TIMESTAMP"
+
+
+def read_events_raw(spark: SparkSession, path: str) -> DataFrame:
+    """Read events parquet with the nanosAsLong flag scoped: the flag
+    is session-wide, and leaving it set for an NTZ/micros generation
+    would silently turn any OTHER nanos-timestamp parquet read later
+    in the session into BIGINT. Set it for the read, then restore the
+    previous value unless this generation actually needs it (a nanos
+    scan consults the flag again at execution, so for LongType
+    generations it must stay set for the session)."""
+    prev = None
+    try:
+        prev = spark.conf.get(_NANOS_FLAG)
+    except Exception:
+        prev = None
+    spark.conf.set(_NANOS_FLAG, "true")
+    df = spark.read.parquet(path)
+    if not isinstance(df.schema["ts"].dataType, T.LongType):
+        if prev is None:
+            spark.conf.unset(_NANOS_FLAG)
+        else:
+            spark.conf.set(_NANOS_FLAG, prev)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver testdata table (Parquet keeps its own schema —
-    columnar scan + pushdown come for free).
-
-    events.ts has shipped as either TIMESTAMP(NANOS) (older driver
-    generations — Spark's vectorized reader rejects it, so read nanos
-    as long and floor to microseconds, the same ns→µs floor DuckDB
-    applies) or plain TIMESTAMP(MICROS) without UTC adjustment (reads
-    as TIMESTAMP_NTZ). Normalize both to session-local TimestampType
-    (session tz is pinned UTC) so downstream ops and oracles agree.
-    """
+    columnar scan + pushdown come for free). events.ts is normalized
+    across driver generations — see normalize_events_ts."""
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown testdata table {name!r}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        from pyspark.sql import functions as F
-
-        ts_type = df.schema["ts"].dataType
-        if isinstance(ts_type, T.LongType):
-            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        if isinstance(ts_type, T.TimestampNTZType):
-            return df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
+        return normalize_events_ts(read_events_raw(spark, path))
     return spark.read.parquet(path)
 
 

@@ -7,12 +7,15 @@ the 100 TB path is: binary payloads stay in executor memory, the
 Python worker sees pyarrow-backed pandas batches, and partitioning is
 by content hash so hot keys spread.
 
-The actual image/audio codecs are NOT in this container, so the
-decode kernels are stubbed: ``mode='fake'`` produces deterministic
-pseudo-features from the bytes (real Spark plumbing, fake math);
-``mode='real'`` raises NotImplementedError at the point a codec
-would be called. Schema, batching, UDF signatures and partitioning
-are real and tested either way.
+Codec availability: the container ships no image libraries, but PNG
+needs only stdlib ``zlib`` — so ``mode='real'`` is genuinely
+implemented via :mod:`.imagecodec` (pure-Python/numpy): header
+metadata for PNG/JPEG/GIF/BMP, full pixel decode + feature extraction
++ nearest-neighbor resize for non-interlaced 8-bit PNGs. Formats that
+do require an external codec (JPEG pixels, audio, video) raise
+NotImplementedError at the decode call. ``mode='fake'`` remains the
+deterministic sha256-derived stub whose math is reproducible in ANSI
+SQL — the mode the DuckDB oracles replicate exactly.
 """
 
 from __future__ import annotations
@@ -20,6 +23,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -45,7 +49,9 @@ FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
         T.StructField("n_bytes", T.LongType()),
-        T.StructField("features", T.ArrayType(T.FloatType())),
+        # double, not float32: feature values must survive a
+        # round-to-6 comparison against a double-precision SQL oracle
+        T.StructField("features", T.ArrayType(T.DoubleType())),
     ]
 )
 
@@ -73,11 +79,41 @@ def _fake_features(data: bytes) -> list[float]:
     return [int.from_bytes(h[4 * i : 4 * i + 4], "big") / 2**32 for i in range(FEATURE_DIM)]
 
 
+def _real_features(data: bytes) -> list[float]:
+    """Decoded-pixel features (PNG only — the one format stdlib zlib
+    can decode): dimensions, channel count, and global intensity
+    statistics, each scaled into [0,1]-ish ranges. Deterministic
+    integer→float math, no RNG."""
+    from mfdb_hafro_etl_spark.operators import imagecodec as ic
+
+    hdr = ic.parse_header(data)
+    if hdr is None:
+        raise NotImplementedError("payload is not a recognized image format")
+    if hdr["format"] != "png":
+        raise NotImplementedError(
+            f"{hdr['format']} pixel decode needs an external codec; "
+            "only PNG decodes with stdlib zlib"
+        )
+    img = ic.decode_png(data).astype(np.float64)
+    return [
+        hdr["width"] / 4096.0,
+        hdr["height"] / 4096.0,
+        hdr["channels"] / 4.0,
+        float(img.mean()) / 255.0,
+        float(img.std()) / 255.0,
+        float(img.min()) / 255.0,
+        float(img.max()) / 255.0,
+        float(img[..., 0].mean()) / 255.0,
+    ]
+
+
 def extract_features(media: DataFrame, mode: str = "fake", batch_hint: int | None = None) -> DataFrame:
     """Decode + feature-extract via mapInPandas.
 
-    mode='fake' → deterministic stub features (see _fake_features);
-    mode='real' → NotImplementedError (no codecs in this container).
+    mode='fake' → deterministic sha256-derived stub features
+    (see _fake_features; SQL-reproducible, oracle-verified);
+    mode='real' → decoded-pixel statistics for PNG payloads
+    (NotImplementedError for formats needing an external codec).
     """
     if mode not in ("fake", "real"):
         raise ValueError(f"mode={mode!r}")
@@ -87,13 +123,9 @@ def extract_features(media: DataFrame, mode: str = "fake", batch_hint: int | Non
     ensure_package_shipped(media.sparkSession)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kernel = _real_features if mode == "real" else _fake_features
         for pdf in batches:
-            if mode == "real":
-                raise NotImplementedError(
-                    "real media decode requires image/audio codecs not present "
-                    "in this environment; use mode='fake' for plumbing tests"
-                )
-            feats = [_fake_features(bytes(b)) for b in pdf["content"]]
+            feats = [kernel(bytes(b)) for b in pdf["content"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -123,7 +155,11 @@ def decode_media_meta(media: DataFrame, mode: str = "fake") -> DataFrame:
     payload's sha256 (width = hex[0:4] % 1024 + 16, height =
     hex[4:8] % 1024 + 16, channels = 3) — reproducible in ANSI SQL,
     so this kernel IS oracle-verifiable despite being a Python path.
-    mode='real' raises NotImplementedError (no codecs here)."""
+    mode='real': parse the actual container header (PNG IHDR, JPEG
+    SOF, GIF screen descriptor, BMP info header) via
+    :func:`imagecodec.parse_header`; unrecognized payloads yield NULL
+    dimensions instead of failing the batch — the filter-after-decode
+    pattern a real ingest uses."""
     if mode not in ("fake", "real"):
         raise ValueError(f"mode={mode!r}")
 
@@ -132,9 +168,26 @@ def decode_media_meta(media: DataFrame, mode: str = "fake") -> DataFrame:
     ensure_package_shipped(media.sparkSession)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mfdb_hafro_etl_spark.operators import imagecodec as ic
+
         for pdf in batches:
             if mode == "real":
-                raise NotImplementedError("real image decode needs codecs")
+                hdrs = [ic.parse_header(bytes(b)) for b in pdf["content"]]
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "width": pd.Series(
+                            [h["width"] if h else None for h in hdrs], dtype="object"
+                        ),
+                        "height": pd.Series(
+                            [h["height"] if h else None for h in hdrs], dtype="object"
+                        ),
+                        "channels": pd.Series(
+                            [h["channels"] if h else None for h in hdrs], dtype="object"
+                        ),
+                    }
+                )
+                continue
             hexes = [hashlib.sha256(bytes(b)).hexdigest() for b in pdf["content"]]
             yield pd.DataFrame(
                 {
@@ -168,8 +221,11 @@ def resize_media(
     mode='fake': truncate-or-zero-pad the source bytes to the target
     buffer size — a deterministic stand-in with the exact memory
     profile of a real resize (output rows are fixed-size buffers).
-    mode='real' raises NotImplementedError. The output byte length is
-    an invariant (= width·height·channels) that tests assert."""
+    mode='real': decode PNG pixels (imagecodec.decode_png), adapt the
+    channel count, nearest-neighbor resample, emit the raw buffer —
+    NotImplementedError only for formats that need an external codec.
+    The output byte length is an invariant (= width·height·channels)
+    that tests assert."""
     if mode not in ("fake", "real"):
         raise ValueError(f"mode={mode!r}")
     n_out = width * height * channels
@@ -178,13 +234,25 @@ def resize_media(
 
     ensure_package_shipped(media.sparkSession)
 
+    def _real_resize(data: bytes) -> bytes:
+        from mfdb_hafro_etl_spark.operators import imagecodec as ic
+
+        hdr = ic.parse_header(data)
+        if hdr is None or hdr["format"] != "png":
+            raise NotImplementedError(
+                "real resize decodes PNG only (other formats need an external codec)"
+            )
+        img = ic.to_channels(ic.decode_png(data), channels)
+        return ic.resize_nearest(img, width, height).tobytes()
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if mode == "real":
-                raise NotImplementedError("real image resize needs codecs")
-            bufs = [
-                (bytes(b)[:n_out]).ljust(n_out, b"\0") for b in pdf["content"]
-            ]
+                bufs = [_real_resize(bytes(b)) for b in pdf["content"]]
+            else:
+                bufs = [
+                    (bytes(b)[:n_out]).ljust(n_out, b"\0") for b in pdf["content"]
+                ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -226,7 +226,8 @@ def _ivf_centroids(
     emb: DataFrame, n_centroids: int, id_col: str, vec_col: str
 ) -> list[tuple[int, list[float]]]:
     """Deterministic 'training sample': the n_centroids lowest-id
-    vectors (no RNG; a production build would k-means-refine)."""
+    vectors (no RNG; pass kmeans_iters>0 to the IVF entry points to
+    Lloyd-refine these seeds — see _kmeans_refine)."""
     return [
         (int(r[0]), [float(x) for x in r[1]])
         for r in emb.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
@@ -311,6 +312,55 @@ def _ivf_assign_table(
     )
 
 
+def _kmeans_refine(
+    emb: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    iters: int,
+    id_col: str,
+    vec_col: str,
+) -> list[tuple[int, list[float]]]:
+    """Lloyd refinement of the deterministic lowest-id seeds: each
+    iteration assigns every vector to its nearest centroid (the same
+    numpy Arrow kernel as the probe path) and re-centers each cluster
+    on its member mean. Distributed: assignment is a narrow map, the
+    mean is one applyInPandas per cluster; only the k×dim centroid
+    matrix ever reaches the driver (the iterative-algorithm pattern —
+    driver-side LOOP, never driver-side DATA).
+
+    Deterministic for fixed input: members are sorted by id before
+    the mean so float summation order is partition-invariant. Empty
+    clusters keep their previous centroid. Refinement changes recall,
+    not the operator shape — callers that need exact SQL-oracle
+    parity use iters=0 (the seed centroids)."""
+    import numpy as np
+    import pandas as pd
+
+    if iters <= 0:
+        return cents
+    from mfdb_hafro_etl_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(emb.sparkSession)
+    src = emb.repartition(emb.sparkSession.sparkContext.defaultParallelism)
+
+    def mean_kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+        M = np.array(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col].iloc[order]]
+        )
+        return pd.DataFrame(
+            {"cid": [int(key[0])], "centroid": [M.mean(axis=0).tolist()]}
+        )
+
+    for _ in range(iters):
+        assigned = _ivf_assign_table(src, cents, id_col, vec_col)
+        rows = assigned.groupBy("__cid__").applyInPandas(
+            mean_kernel, schema="cid int, centroid array<double>"
+        ).collect()
+        new = {int(r["cid"]): [float(x) for x in r["centroid"]] for r in rows}
+        cents = [(cid, new.get(cid, cv)) for cid, cv in cents]
+    return cents
+
+
 def _ivf_probes(
     cents: list[tuple[int, list[float]]], query_vec: list[float], n_probe: int
 ) -> list[int]:
@@ -327,6 +377,7 @@ def build_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     rebuild: bool = False,
+    kmeans_iters: int = 0,
 ) -> list[tuple[int, list[float]]]:
     """Materialize the IVF index: assign every vector to its nearest
     centroid and WRITE the table partitioned by ``__cid__``, plus the
@@ -359,6 +410,7 @@ def build_ivf_index(
             for r in spark.read.parquet(os.path.join(path, "centroids")).collect()
         ]
     cents = _ivf_centroids(emb, n_centroids, id_col, vec_col)
+    cents = _kmeans_refine(emb, cents, kmeans_iters, id_col, vec_col)
     fanned = emb.repartition(spark.sparkContext.defaultParallelism)
     assigned = _ivf_assign_table(fanned, cents, id_col, vec_col)
     # Shuffle to the cluster key before the partitioned write:
@@ -501,6 +553,7 @@ def ann_ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_id: int | None = None,
+    kmeans_iters: int = 0,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the clustered scale
     path beside LSH: vectors are assigned to their nearest centroid;
@@ -508,9 +561,10 @@ def ann_ivf_topk(
     scanning n_probe/n_centroids of the data.
 
     Centroids are the ``n_centroids`` lowest-id vectors — a
-    deterministic "training sample" (no RNG, engine-reproducible; a
-    production build would k-means-refine them, which changes recall
-    but not the operator shape). Assignment is pure Column algebra:
+    deterministic "training sample" (no RNG, engine-reproducible);
+    ``kmeans_iters>0`` Lloyd-refines them for recall at the cost of
+    exact SQL-oracle parity (the oracle mirrors the seed centroids).
+    Assignment is pure Column algebra:
     argmax over the broadcast centroid array via array_sort on
     (-cos, cid) structs — ties resolve to the smallest centroid id on
     both engines. Cosines are rounded to 6 before comparison so
@@ -521,6 +575,7 @@ def ann_ivf_topk(
     pruned scan (this function is the index-free one-shot variant).
     """
     cents = _ivf_centroids(emb, n_centroids, id_col, vec_col)
+    cents = _kmeans_refine(emb, cents, kmeans_iters, id_col, vec_col)
     # the assignment evaluates n_centroids array-cosines per row; a
     # single-row-group parquet input would run that on one core, so
     # fan the scan out first (explicit count — AQE must not coalesce

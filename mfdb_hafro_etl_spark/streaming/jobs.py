@@ -49,9 +49,12 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     the testdata ships a single parquet file, so it is staged into a
     scratch dir via symlink. In production this is the landing
     directory new event files drop into."""
-    from pyspark.sql import types as T
+    from mfdb_hafro_etl_spark.catalog import (
+        events_ts_ddl,
+        normalize_events_ts,
+        read_events_raw,
+    )
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
     if os.path.isdir(src):
         path = src
@@ -62,20 +65,14 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         link = os.path.join(path, "events.parquet")
         if not os.path.exists(link):
             os.symlink(src, link)
-    ts_type = spark.read.parquet(path).schema["ts"].dataType
-    if isinstance(ts_type, T.LongType):
-        ddl_ts = "BIGINT"
-    elif isinstance(ts_type, T.TimestampNTZType):
-        ddl_ts = "TIMESTAMP_NTZ"
-    else:
-        ddl_ts = "TIMESTAMP"
-    schema = EVENTS_STREAM_DDL_PREFIX.format(ts_type=ddl_ts) + EVENTS_STREAM_DDL_SUFFIX
-    raw = spark.readStream.schema(schema).parquet(path)
-    if isinstance(ts_type, T.LongType):
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    if isinstance(ts_type, T.TimestampNTZType):
-        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
-    return raw
+    # the probe read also owns the nanosAsLong flag scoping (the flag
+    # stays set only for generations that need it at execution)
+    ts_type = read_events_raw(spark, path).schema["ts"].dataType
+    schema = (
+        EVENTS_STREAM_DDL_PREFIX.format(ts_type=events_ts_ddl(ts_type))
+        + EVENTS_STREAM_DDL_SUFFIX
+    )
+    return normalize_events_ts(spark.readStream.schema(schema).parquet(path))
 
 
 def run_available_now(

@@ -106,13 +106,20 @@ COMBOS: dict[str, list[str]] = {
     "x_text_quality_stats": ["x_text_stats", "x_text_quality"],
     "x_text_langid_all": ["x_text_langid", "x_text_langid_ngram"],
     "x_events_windows": ["x_events_tumbling", "x_events_props_json"],
-    "x_multimodal_meta_all": ["x_multimodal_meta", "x_multimodal_decode_meta"],
+    "x_multimodal_meta_all": [
+        "x_multimodal_meta",
+        "x_multimodal_decode_meta",
+        "x_multimodal_real_meta",
+        "x_multimodal_features",
+        "x_multimodal_resize",
+    ],
     "x_stream_windows": ["x_stream_tumbling", "x_stream_sliding"],
 }
 
-#: Driver registration order.  Slots 1-50 are oracle-backed and cover
-#: the entire SURVEY §2 + extension surface; the two rows-only
-#: multimodal checks sit last so they never displace an oracle slot.
+#: Driver registration order.  All 50 slots are oracle-backed and
+#: cover the entire SURVEY §2 + extension surface (since round 3 the
+#: multimodal features/resize kernels are oracle-verified arms of the
+#: x_multimodal_meta_all combo rather than trailing rows-only checks).
 ORDER: list[str] = [
     # flagship pipelines — the reference itself (R/initdb.R:100-612,
     # R/initdb_add_shrimp.R, statlant/old-landings entry points)
@@ -170,9 +177,6 @@ ORDER: list[str] = [
     "x_stream_windows",
     "x_stream_dedup",
     "x_stream_sessionize",
-    # rows-only checks (no oracle) — keep after every oracle slot
-    "x_multimodal_features",
-    "x_multimodal_resize",
 ]
 
 # --------------------------------------------------------------------
@@ -246,6 +250,9 @@ _ARM_COLS: dict[str, list[tuple[str, str]]] = {
     "x_events_props_json": [("k_bucket", "i"), ("n", "i"), ("sum_value", "d")],
     "x_multimodal_meta": [("media_id", "i"), ("mime", "s"), ("n_bytes", "i"), ("sha256", "s")],
     "x_multimodal_decode_meta": [("media_id", "i"), ("width", "i"), ("height", "i"), ("channels", "i")],
+    "x_multimodal_real_meta": [("media_id", "i"), ("width", "i"), ("height", "i"), ("channels", "i")],
+    "x_multimodal_features": [("media_id", "i"), ("n_bytes", "i"), ("pos", "i"), ("feature", "d")],
+    "x_multimodal_resize": [("media_id", "i"), ("width", "i"), ("height", "i"), ("n_bytes", "i"), ("sha256", "s")],
     "x_stream_tumbling": [("window_start", "s"), ("event_type", "s"), ("n", "i"), ("sum_value", "d")],
     "x_stream_sliding": [("window_start", "s"), ("event_type", "s"), ("n", "i"), ("sum_value", "d")],
 }

@@ -390,14 +390,31 @@ def x_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------ multimodal features
-@register("x_multimodal_features")  # no oracle: mapInPandas kernel is not SQL-expressible
+@register(
+    "x_multimodal_features",
+    """
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(i AS INT) AS pos,
+           ROUND(CAST(concat('0x', substr(sha256(text), 8 * i + 1, 8)) AS BIGINT)
+                 / 4294967296.0, 6) AS feature
+    FROM documents, unnest(generate_series(0, 7)) t(i)
+    """,
+)
 def x_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas feature extraction over binary
-    payloads (deterministic stub kernel — the real codec is gated
-    behind mode='real' → NotImplementedError)."""
+    payloads. The fake kernel's sha256-derived floats are
+    reproducible in SQL, so the features are value-verified
+    position-by-position (posexplode → scalar doubles; the real PNG
+    pixel kernel is exercised by tests/test_multimodal.py)."""
     docs = load_table(spark, sf_dir, "documents")
     media = mm.attach_binary(docs, "doc_id", "text")
-    return mm.extract_features(media, mode="fake")
+    f = mm.extract_features(media, mode="fake")
+    return f.select(
+        "media_id",
+        "n_bytes",
+        F.posexplode("features").alias("pos", "feature"),
+    ).select("media_id", "n_bytes", "pos", F.round("feature", 6).alias("feature"))
 
 
 # ---------------------------------------------------------- IVF ANN top-k
@@ -472,16 +489,87 @@ def x_multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.decode_media_meta(media, mode="fake")
 
 
-@register("x_multimodal_resize")  # no oracle: binary buffer output is not SQL-comparable
+@register(
+    "x_multimodal_resize",
+    """
+    SELECT doc_id AS media_id, 16 AS width, 16 AS height,
+           CAST(768 AS BIGINT) AS n_bytes,
+           sha256(rpad(substr(hex(encode(text)), 1, 1536), 1536, '0')) AS sha256
+    FROM documents
+    """,
+)
 def x_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize-kernel plumbing: every payload becomes a fixed
     16x16x3 buffer (truncate-or-pad stub with a real resize's memory
-    profile). Byte-length invariant asserted in
-    tests/test_multimodal.py; rows-only check here."""
+    profile; the real PNG pixel path is covered by
+    tests/test_multimodal.py with encoded payloads). The oracle
+    rebuilds the exact buffer bytes with hex-string truncate+pad and
+    compares hashes of the (uppercase) hex rendering — DuckDB's
+    sha256 takes VARCHAR only, and hex() is uppercase in both
+    engines, so the binary output is value-verified byte-for-byte."""
     docs = load_table(spark, sf_dir, "documents")
     media = mm.attach_binary(docs, "doc_id", "text")
     out = mm.resize_media(media, width=16, height=16, mode="fake")
-    return out.select("media_id", "width", "height", "n_bytes", F.sha2("content", 256).alias("sha256"))
+    return out.select(
+        "media_id", "width", "height", "n_bytes",
+        F.sha2(F.hex(F.col("content")), 256).alias("sha256"),
+    )
+
+
+# PNG header payloads built in pure Column algebra: doc_id-derived
+# dimensions and color type packed into a byte-exact IHDR via
+# to_binary(hex). The Spark side then PARSES the bytes back with the
+# real header decoder, while the oracle derives the same values
+# analytically from doc_id — two independent computation paths meeting
+# at the hash gate.
+_PNG_CT = [0, 2, 3, 4, 6]  # color types: gray, rgb, palette, gray+a, rgba
+_PNG_CT_CH = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_header_payload() -> F.Column:
+    w = F.col("doc_id") % 1024 + 16
+    h = (F.col("doc_id") * 7) % 1024 + 16
+    ct = F.element_at(
+        F.array(*[F.lit(c) for c in _PNG_CT]), (F.col("doc_id") % 5 + 1).cast("int")
+    )
+    hexstr = F.concat(
+        F.lit("89504E470D0A1A0A"),  # signature
+        F.lit("0000000D"),  # IHDR length = 13
+        F.lit("49484452"),  # "IHDR"
+        F.lpad(F.hex(w), 8, "0"),
+        F.lpad(F.hex(h), 8, "0"),
+        F.lit("08"),  # bit depth 8
+        F.lpad(F.hex(ct), 2, "0"),
+        F.lit("000000"),  # compression, filter, interlace
+        F.lit("00000000"),  # CRC placeholder (header parse doesn't check)
+    )
+    return F.to_binary(hexstr, F.lit("hex"))
+
+
+@register(
+    "x_multimodal_real_meta",
+    """
+    SELECT doc_id AS media_id,
+           CAST(doc_id % 1024 + 16 AS INT) AS width,
+           CAST((doc_id * 7) % 1024 + 16 AS INT) AS height,
+           CAST(CASE doc_id % 5 WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 1
+                                WHEN 3 THEN 2 ELSE 4 END AS INT) AS channels
+    FROM documents
+    """,
+)
+def x_multimodal_real_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image-header decode: byte-exact PNG IHDR payloads are
+    built JVM-side (to_binary hex packing), and decode_media_meta
+    (mode='real', imagecodec.parse_header) parses width / height /
+    channels back out of the binary. The oracle computes the expected
+    dimensions directly from doc_id, so a parse that misreads any
+    byte fails the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        _png_header_payload().alias("content"),
+    )
+    return mm.decode_media_meta(media, mode="real")
 
 
 # ------------------------------------------- ngram lang-ID + winnowing

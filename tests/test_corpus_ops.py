@@ -241,6 +241,47 @@ def test_ivf_kernel_assignment_matches_expression(spark, sf_dir):
     assert kernel_side == expr_side
 
 
+def test_ivf_kmeans_refinement_recall(spark, sf_dir):
+    """Lloyd-refined centroids must not lose recall vs the lowest-id
+    seeds. Deterministic end to end (fixed fixture, id-sorted means),
+    so the measured recall is a constant, not a flake: assignments
+    are replicated driver-side with the same round-6 argmax rule the
+    Arrow kernel uses, and recall is averaged over 30 probe queries."""
+    import numpy as np
+
+    from mfdb_hafro_etl_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    ids = np.array([r.vec_id for r in rows])
+    M = np.array([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+
+    seeds = sim._ivf_centroids(emb, 16, "vec_id", "embedding")
+    refined = sim._kmeans_refine(emb, seeds, 3, "vec_id", "embedding")
+    assert [cid for cid, _ in refined] == [cid for cid, _ in seeds]
+
+    def avg_recall(cents):
+        C = np.array([cv for _, cv in cents], dtype=np.float64)
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        assign = np.round(Mn @ Cn.T, 6).argmax(axis=1)
+        total = 0.0
+        queries = range(40, 70)
+        for qi in queries:
+            sims = np.round(Mn @ Mn[qi], 6)
+            sims[qi] = -2
+            exact = set(ids[np.argsort(-sims, kind="stable")[:10]])
+            probes = set(np.argsort(-np.round(Cn @ Mn[qi], 6), kind="stable")[:4])
+            cand = np.where(np.isin(assign, list(probes)))[0]
+            cand = cand[cand != qi]
+            got = set(ids[cand[np.argsort(-sims[cand], kind="stable")[:10]]])
+            total += len(exact & got) / 10.0
+        return total / len(list(queries))
+
+    r_seed, r_ref = avg_recall(seeds), avg_recall(refined)
+    assert r_ref >= r_seed, (r_seed, r_ref)
+
+
 def test_semantic_dedup_no_cartesian_product(spark):
     df = spark.createDataFrame(
         [(i, [float(i), 1.0]) for i in range(8)], "vec_id INT, embedding ARRAY<DOUBLE>"

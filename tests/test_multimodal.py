@@ -1,13 +1,16 @@
 """Multimodal plumbing contracts: schema, batch shape, determinism,
-and the mode='real' NotImplementedError gate (the brief's stub
-requirement — plumbing real, codecs absent)."""
+the REAL PNG decode path (pure-Python imagecodec — header parse,
+pixel decode, features, resize), and the NotImplementedError gate for
+formats that genuinely need an external codec."""
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
 from mfdb_hafro_etl_spark.catalog import load_table
+from mfdb_hafro_etl_spark.operators import imagecodec as ic
 from mfdb_hafro_etl_spark.operators import multimodal as mm
 
 
@@ -52,7 +55,9 @@ def test_decode_meta_matches_jvm_hash(media):
     assert joined.filter(F.col("width") != F.col("width_jvm")).count() == 0
 
 
-def test_real_mode_raises(media):
+def test_real_mode_raises_for_non_decodable(media):
+    """Text payloads are not images: the real pixel path must refuse
+    them loudly (only PNG decodes with stdlib zlib)."""
     with pytest.raises(Exception) as ei:
         mm.resize_media(media, 4, 4, mode="real").collect()
     assert "NotImplementedError" in str(ei.value) or isinstance(
@@ -60,3 +65,53 @@ def test_real_mode_raises(media):
     )
     with pytest.raises(ValueError):
         mm.resize_media(media, 4, 4, mode="nope")
+
+
+@pytest.fixture(scope="module")
+def png_media(spark):
+    """Three real (decodable) PNGs with known pixels."""
+    rng = np.random.RandomState(42)
+    imgs = {
+        1: rng.randint(0, 256, (6, 9, 3), dtype=np.uint8),
+        2: rng.randint(0, 256, (12, 5, 1), dtype=np.uint8),
+        3: rng.randint(0, 256, (7, 7, 4), dtype=np.uint8),
+    }
+    rows = [(mid, bytearray(ic.encode_png(img))) for mid, img in imgs.items()]
+    df = spark.createDataFrame(rows, "media_id LONG, content BINARY")
+    return df, imgs
+
+
+def test_real_header_decode_png(png_media):
+    df, imgs = png_media
+    got = {r.media_id: (r.width, r.height, r.channels)
+           for r in mm.decode_media_meta(df, mode="real").collect()}
+    assert got == {m: (i.shape[1], i.shape[0], i.shape[2]) for m, i in imgs.items()}
+
+
+def test_real_meta_null_for_unrecognized(spark):
+    df = spark.createDataFrame(
+        [(9, bytearray(b"definitely not an image"))], "media_id LONG, content BINARY"
+    )
+    r = mm.decode_media_meta(df, mode="real").collect()[0]
+    assert (r.width, r.height, r.channels) == (None, None, None)
+
+
+def test_real_features_from_decoded_pixels(png_media):
+    df, imgs = png_media
+    feats = {r.media_id: r.features for r in mm.extract_features(df, mode="real").collect()}
+    for mid, img in imgs.items():
+        f = feats[mid]
+        h, w, c = img.shape
+        assert f[0] == pytest.approx(w / 4096.0)
+        assert f[1] == pytest.approx(h / 4096.0)
+        assert f[2] == pytest.approx(c / 4.0)
+        assert f[3] == pytest.approx(img.astype(np.float64).mean() / 255.0)
+
+
+def test_real_resize_is_nearest_neighbor(png_media):
+    df, imgs = png_media
+    out = {r.media_id: bytes(r.content)
+           for r in mm.resize_media(df, 4, 3, channels=3, mode="real").collect()}
+    for mid, img in imgs.items():
+        expect = ic.resize_nearest(ic.to_channels(img, 3), 4, 3).tobytes()
+        assert out[mid] == expect, f"media {mid} resize mismatch"
