@@ -45,10 +45,14 @@ def main() -> None:
     # not session startup
     materialize(QUERIES[names[0]](spark, sf_dir))
 
-    # BENCH_GC_MODE (bisect knob): full = clearCache + RDD sweep +
-    # System.gc per query (round-2 behavior); cache = clearCache only
-    # (round-1 behavior); none = no per-query cleanup.
-    gc_mode = os.environ.get("BENCH_GC_MODE", "full")
+    # BENCH_GC_MODE (bisect knob): sweep (default) = clearCache + RDD
+    # sweep per query; full adds a per-query System.gc (round-2
+    # behavior — measured neutral-to-harmful at the 8g default heap,
+    # and the 5-min periodicGC already lets the ContextCleaner run);
+    # cache = clearCache only (round-1 behavior, leaks RDD-level
+    # checkpoint blocks); none = no per-query cleanup (measured
+    # catastrophic: 178s vs 50s on a 12-query subset).
+    gc_mode = os.environ.get("BENCH_GC_MODE", "sweep")
 
     def release_storage() -> None:
         # Isolate queries: clearCache drops SQL-cached plans, but

@@ -151,7 +151,7 @@ def gopher_metrics_table(
 
     _sym = _re.compile(r"[A-Za-z0-9 ]")
 
-    def gen(batches):
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in batches:
             ids, nt, ttr, tb, sy = [], [], [], [], []
             for did, t in zip(pdf[id_col], pdf[text_col]):

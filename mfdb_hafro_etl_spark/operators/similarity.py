@@ -284,7 +284,7 @@ def _ivf_assign_table(
     C = np.array([cv for _, cv in cents], dtype=np.float64)
     c_norm = np.sqrt((C * C).sum(axis=1))
 
-    def gen(batches):
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in batches:
             if not len(pdf):
                 continue

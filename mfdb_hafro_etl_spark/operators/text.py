@@ -210,7 +210,7 @@ def winnow_fingerprint_table(
 
     ensure_package_shipped(df.sparkSession)
 
-    def gen(batches):
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in batches:
             out_ids, out_fps = [], []
             for did, t in zip(pdf[id_col], pdf[text_col]):

@@ -47,10 +47,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         # the local[32] JVM is driver AND all 32 executor threads in
-        # one heap; 8g starved unified memory once a long session had
-        # accumulated checkpoint/broadcast state (measured: 2-10x
-        # per-query degradation across an 88-query bench run)
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        # one heap. Round 2 raised this to 32g to mask checkpoint-leak
+        # degradation; with the leaks fixed at source (iterative ops
+        # unpersist their own stale checkpoints) the measured optimum
+        # flipped back: full 96-query suite runs 92-104s at 8g vs
+        # 104-118s at 16-32g, and the big heap made full-GC pauses
+        # long enough to swing individual queries 2-6x run-to-run.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         # the status listener retains 1000 jobs/stages of metadata even
         # with the UI off; long multi-query sessions don't need it
