@@ -177,6 +177,36 @@ def test_fact_partition_pruning(spark, sf_dir, tmp_path):
     assert m and "data_source" in m.group(1) and "year" in m.group(1), plan[:2000]
 
 
+def test_fact_write_clusters_files_to_partition_layout(spark, sf_dir, tmp_path):
+    """replace_by_source must REBALANCE rows to the partition layout
+    before the write: without it every task writes a file into every
+    (source, year) directory it saw — tasks × partitions small files
+    whose footers every later read pays to list. With the rebalance a
+    year directory gets a small constant number of files, not one per
+    upstream task."""
+    import glob
+    import os
+
+    from mfdb_hafro_etl_spark.catalog import load_table
+    from mfdb_hafro_etl_spark.sinks import replace_by_source
+
+    path = str(tmp_path / "fact")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"),
+        F.year("l_shipdate").alias("year"),
+        F.col("l_quantity").alias("qty"),
+    )
+    # fan out to many tasks so the unclustered write would show
+    # task-count files per directory
+    replace_by_source(li.repartition(32), path, "src_a", sub_partition_cols=["year"])
+    year_dirs = glob.glob(os.path.join(path, "data_source=src_a", "year=*"))
+    assert year_dirs
+    worst = max(
+        len(glob.glob(os.path.join(d, "*.parquet"))) for d in year_dirs
+    )
+    assert worst <= 4, f"{worst} files in one partition dir — rebalance lost"
+
+
 def test_cosine_pairs_is_distributed(spark, sf_dir):
     """cosine_pairs must never materialize the vector table on the
     driver: no DataFrame.collect during plan build OR execution, the
