@@ -11,6 +11,8 @@ from mfdb_hafro_etl_spark.streaming.jobs import (
     read_events_stream,
     run_available_now,
     stream_dedup,
+    stream_enriched_window_agg,
+    stream_interval_join,
     stream_sessionize,
     stream_tumbling_agg,
 )
@@ -20,6 +22,8 @@ __all__ = [
     "read_events_stream",
     "run_available_now",
     "stream_dedup",
+    "stream_enriched_window_agg",
+    "stream_interval_join",
     "stream_sessionize",
     "stream_tumbling_agg",
 ]

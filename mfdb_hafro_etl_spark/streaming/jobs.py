@@ -140,6 +140,81 @@ def stream_tumbling_agg(
     )
 
 
+def stream_enriched_window_agg(
+    events: DataFrame,
+    dim: DataFrame,
+    *,
+    bucket_col: str = "user_bucket",
+    cohort_col: str = "cohort",
+    n_buckets: int = 5,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-static enrichment feeding a watermarked aggregation:
+    the static dimension joins each micro-batch as a broadcast hash
+    join (stream-static joins keep NO streaming state — the dim is
+    just replanned per batch), then the enriched stream rolls up per
+    (window, cohort). The canonical "decorate events with reference
+    data, then aggregate" streaming shape."""
+    e = events.withColumn(
+        bucket_col, F.pmod(F.col("user_id"), F.lit(n_buckets)).cast("long")
+    )
+    j = e.join(F.broadcast(dim), on=bucket_col)
+    return (
+        j.withWatermark("ts", watermark)
+        .groupBy(F.window(F.col("ts"), window).alias("win"), F.col(cohort_col))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            cohort_col,
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def stream_interval_join(
+    events: DataFrame,
+    *,
+    left_type: str = "view",
+    right_type: str = "purchase",
+    within: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: each right-side event matches
+    left-side events of the same user in the preceding ``within``
+    interval. Both sides carry watermarks and the join condition
+    bounds event time, so state for expired intervals is purged —
+    the scale contract for stream-stream joins (unbounded state
+    otherwise). Inner join ⇒ append output with no finalization
+    wait: matches emit as they form."""
+    a = (
+        events.filter(F.col("event_type") == left_type)
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id"),
+            F.col("ts").alias("ts_a"),
+        )
+        .withWatermark("ts_a", watermark)
+    )
+    b = (
+        events.filter(F.col("event_type") == right_type)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("user_b"),
+            F.col("ts").alias("ts_b"),
+        )
+        .withWatermark("ts_b", watermark)
+    )
+    cond = F.expr(
+        f"user_id = user_b AND ts_b >= ts_a AND ts_b <= ts_a + interval {within}"
+    )
+    return a.join(b, cond).select("purchase_id", "view_id", "user_id")
+
+
 def stream_dedup(
     events: DataFrame,
     keys: list[str] | None = None,

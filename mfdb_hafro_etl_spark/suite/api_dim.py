@@ -253,3 +253,52 @@ def x_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return st.run_available_now(agg, _mem("stream_sliding"), output_mode="complete")
+
+
+# ------------------------------------- stream-static enrichment join
+@register(
+    "x_stream_enrich",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           concat('C', CAST(user_id % 5 AS VARCHAR)) AS cohort,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def x_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: a broadcast dimension (user cohorts)
+    joins each micro-batch with NO streaming state, then the enriched
+    stream rolls up per (hour window, cohort). The oracle derives the
+    cohort analytically from user_id, so a wrong join key or a
+    dropped batch row fails the hash."""
+    ev = st.read_events_stream(spark, sf_dir)
+    dim = spark.range(0, 5).select(
+        F.col("id").cast("long").alias("user_bucket"),
+        F.concat(F.lit("C"), F.col("id").cast("string")).alias("cohort"),
+    )
+    agg = st.stream_enriched_window_agg(ev, dim)
+    return st.run_available_now(agg, _mem("stream_enrich"), output_mode="complete")
+
+
+# --------------------------------------- stream-stream interval join
+@register(
+    "x_stream_join",
+    """
+    SELECT b.event_id AS purchase_id, a.event_id AS view_id, a.user_id
+    FROM events a JOIN events b
+      ON a.event_type = 'view' AND b.event_type = 'purchase'
+     AND a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    """,
+)
+def x_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchases matched to same-user
+    views in the preceding 30 minutes. Watermarks on both sides +
+    the event-time bound in the join condition purge expired state
+    (the scale contract — an unbounded stream-stream join would hold
+    every row forever); inner join emits in append mode as matches
+    form. Verified against the batch self-join oracle."""
+    ev = st.read_events_stream(spark, sf_dir)
+    joined = st.stream_interval_join(ev)
+    return st.run_available_now(joined, _mem("stream_join"))

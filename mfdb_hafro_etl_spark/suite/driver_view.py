@@ -113,7 +113,12 @@ COMBOS: dict[str, list[str]] = {
         "x_multimodal_features",
         "x_multimodal_resize",
     ],
-    "x_stream_windows": ["x_stream_tumbling", "x_stream_sliding"],
+    "x_stream_windows": [
+        "x_stream_tumbling",
+        "x_stream_sliding",
+        "x_stream_enrich",
+        "x_stream_join",
+    ],
 }
 
 #: Driver registration order.  All 50 slots are oracle-backed and
@@ -255,6 +260,8 @@ _ARM_COLS: dict[str, list[tuple[str, str]]] = {
     "x_multimodal_resize": [("media_id", "i"), ("width", "i"), ("height", "i"), ("n_bytes", "i"), ("sha256", "s")],
     "x_stream_tumbling": [("window_start", "s"), ("event_type", "s"), ("n", "i"), ("sum_value", "d")],
     "x_stream_sliding": [("window_start", "s"), ("event_type", "s"), ("n", "i"), ("sum_value", "d")],
+    "x_stream_enrich": [("window_start", "s"), ("cohort", "s"), ("n", "i"), ("sum_value", "d")],
+    "x_stream_join": [("purchase_id", "i"), ("view_id", "i"), ("user_id", "i")],
 }
 
 _NULL = "∅"
