@@ -78,6 +78,31 @@ def test_union_families_fills_missing_columns(spark):
     assert [(r.k, r.extra) for r in got] == [(1, "x"), (2, None)]
 
 
+def test_read_remote_csv_fetch_then_distribute(spark, tmp_path):
+    """S4: the remote reader fetches once into the content-addressed
+    cache (atomic rename) and parses with the explicit-schema
+    distributed csv scan. No network in the sandbox → the identical
+    code path runs against a file:// URL; a second call must hit the
+    cache (the source file is deleted between calls to prove it)."""
+    import os
+
+    from mfdb_hafro_etl_spark.sources import read_remote_csv
+
+    src = tmp_path / "ices.csv"
+    src.write_text("species,year,landings\nLIN,1999,12.5\nUSK,2000,3.25\n")
+    url = f"file://{src}"
+    cache = str(tmp_path / "cache")
+    schema = "species STRING, year INT, landings DOUBLE"
+    got = read_remote_csv(spark, url, schema, cache_dir=cache).orderBy("year").collect()
+    assert [(r.species, r.year, r.landings) for r in got] == [
+        ("LIN", 1999, 12.5),
+        ("USK", 2000, 3.25),
+    ]
+    os.remove(src)
+    again = read_remote_csv(spark, url, schema, cache_dir=cache).count()
+    assert again == 2, "second read must come from the fetch cache"
+
+
 def test_packaged_taxonomy_dims(spark):
     """The packaged public taxonomy tables (reference inst/: gear map,
     vessel types, gear names, prey names) load with their declared
