@@ -461,6 +461,133 @@ def ann_ivf_topk_indexed(
     return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
 
 
+def knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    kmeans_iters: int = 0,
+) -> DataFrame:
+    """Bulk approximate kNN join: top-k corpus neighbors for EVERY
+    query row at once (the batch companion to the one-query
+    ann_ivf_topk).
+
+    Shape: corpus vectors are assigned to their nearest IVF centroid
+    (numpy Arrow kernel, narrow map); each query expands to its
+    ``n_probe`` nearest cells (mapInPandas, n_probe rows per query);
+    the two sides meet in a cogrouped applyInPandas keyed by cell —
+    one Q·Mᵀ BLAS product per cell emits each query's within-cell
+    top-k — and a final per-query window keeps the global top-k.
+    Shuffle volume: corpus once by cell, queries n_probe× by cell,
+    candidates k·n_probe rows per query. At 100 TB the corpus-side
+    assignment is the same once-per-corpus cost the materialized IVF
+    index amortizes; n_centroids scales to bound cell size exactly as
+    in semantic_dedup.
+
+    Deterministic: round-6 cosines, ties broken (cos desc, id asc)
+    in both the kernel and the final window; within-cell top-k is a
+    safe truncation because the global ordering refines the per-cell
+    ordering. Self-matches are not excluded — filter
+    ``query_id != vec_id`` downstream if the query set is drawn from
+    the corpus."""
+    import numpy as np
+    import pandas as pd
+
+    from mfdb_hafro_etl_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(corpus.sparkSession)
+
+    cents = _ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    cents = _kmeans_refine(corpus, cents, kmeans_iters, id_col, vec_col)
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    assigned = _ivf_assign_table(
+        corpus.repartition(par), cents, id_col, vec_col
+    )
+
+    cids = np.array([cid for cid, _ in cents], dtype=np.int64)
+    C = np.array([cv for _, cv in cents], dtype=np.float64)
+    c_norm = np.sqrt((C * C).sum(axis=1))
+
+    q_src = queries.select(query_id_col, vec_col)
+    qid_t = q_src.schema[query_id_col].dataType.simpleString()
+    qvec_t = q_src.schema[vec_col].dataType.simpleString()
+    id_t = assigned.schema[id_col].dataType.simpleString()
+
+    def probe_gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            v_norm = np.sqrt((V * V).sum(axis=1))
+            cos = np.round((V @ C.T) / np.outer(v_norm, c_norm), 6)
+            # same decision rule as _ivf_probes: cos desc, cid asc
+            order = np.lexsort((np.broadcast_to(cids, cos.shape), -cos), axis=1)
+            top = order[:, :n_probe]
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    query_id_col: pdf[query_id_col].repeat(n_probe).to_numpy(),
+                    vec_col: pdf[vec_col].repeat(n_probe),
+                    "__cid__": cids[top].reshape(-1).astype("int32"),
+                }
+            )
+
+    probed = q_src.mapInPandas(
+        probe_gen, schema=f"{query_id_col} {qid_t}, {vec_col} {qvec_t}, __cid__ int"
+    )
+
+    def score(key: tuple, cpdf: pd.DataFrame, qpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(cpdf) or not len(qpdf):
+            return pd.DataFrame(
+                {query_id_col: [], id_col: [], "cos_sim": []}
+            ).astype({query_id_col: "int64", id_col: "int64", "cos_sim": "float64"})
+        doc_order = np.argsort(cpdf[id_col].to_numpy(), kind="stable")
+        ids = cpdf[id_col].to_numpy()[doc_order]
+        M = np.array(
+            [np.asarray(v, dtype=np.float64) for v in cpdf[vec_col].iloc[doc_order]]
+        )
+        mn = np.sqrt((M * M).sum(axis=1))
+        mn[mn == 0] = 1.0
+        Q = np.array([np.asarray(v, dtype=np.float64) for v in qpdf[vec_col]])
+        qn = np.sqrt((Q * Q).sum(axis=1))
+        qn[qn == 0] = 1.0
+        S = np.round((Q @ M.T) / np.outer(qn, mn), 6)
+        # within-cell top-k per query, ids ascending as tie-break
+        # (ids pre-sorted, lexsort is stable on the secondary key)
+        order = np.argsort(-S, axis=1, kind="stable")[:, :k]
+        rows = np.repeat(np.arange(len(Q)), order.shape[1])
+        cols = order.reshape(-1)
+        return pd.DataFrame(
+            {
+                query_id_col: qpdf[query_id_col].to_numpy()[rows],
+                id_col: ids[cols],
+                "cos_sim": S[rows, cols],
+            }
+        )
+
+    scored = (
+        assigned.groupBy("__cid__")
+        .cogroup(probed.groupBy("__cid__"))
+        .applyInPandas(
+            score, schema=f"{query_id_col} {qid_t}, {id_col} {id_t}, cos_sim double"
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cos_sim"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= k)
+        .drop("__rn__")
+    )
+
+
 def semantic_dedup(
     emb: DataFrame,
     threshold: float = 0.95,

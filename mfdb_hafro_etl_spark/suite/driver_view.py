@@ -97,6 +97,7 @@ COMBOS: dict[str, list[str]] = {
     "x_search_topk": [
         "x_embed_cosine_topk",
         "x_ann_lsh_topk",
+        "x_ann_knn_join",
         "x_search_bm25",
         "x_search_termstats",
     ],
@@ -247,6 +248,7 @@ _ARM_COLS: dict[str, list[tuple[str, str]]] = {
     "x_text_winnow": [("doc_id", "i"), ("fp", "i")],
     "x_embed_cosine_topk": [("vec_id", "i"), ("cos_sim", "d")],
     "x_ann_lsh_topk": [("vec_id", "i"), ("cos_sim", "d")],
+    "x_ann_knn_join": [("query_id", "i"), ("vec_id", "i"), ("cos_sim", "d")],
     "x_text_stats": [("doc_id", "i"), ("n_tokens", "i"), ("mean_token_len", "d"), ("stop_ratio", "d")],
     "x_text_quality": [("doc_id", "i"), ("n_tokens", "i"), ("n_bpe", "i"), ("quality", "d")],
     "x_text_langid": [("doc_id", "i"), ("lang_guess", "s")],

@@ -467,6 +467,59 @@ def x_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------- bulk kNN join
+@register(
+    "x_ann_knn_join",
+    """
+    WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM emb ORDER BY vec_id LIMIT 16),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id BETWEEN 100 AND 104),
+    assign AS (
+      SELECT e.vec_id, e.v,
+        (SELECT c.cid FROM cent c
+         ORDER BY ROUND(list_dot_product(e.v, c.cv) /
+                        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+                  c.cid
+         LIMIT 1) AS cid
+      FROM emb e
+    ),
+    qprobe AS (
+      SELECT query_id, qv, cid FROM (
+        SELECT q.query_id, q.qv, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY ROUND(list_dot_product(q.qv, c.cv) /
+                                (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+                          c.cid) AS rn
+        FROM q, cent c)
+      WHERE rn <= 4
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id,
+             ROUND(list_dot_product(p.qv, a.v) /
+                   (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))), 6) AS cos_sim
+      FROM qprobe p JOIN assign a ON a.cid = p.cid
+    )
+    SELECT query_id, vec_id, cos_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id) AS rn
+      FROM scored)
+    WHERE rn <= 5
+    """,
+)
+def x_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk approximate kNN join: five query vectors resolved against
+    the whole corpus in ONE job — IVF cell co-partitioning, a
+    cogrouped-Pandas BLAS product per cell, global per-query top-k
+    window. The oracle replicates cell assignment, probe selection,
+    and scoring exactly (same round-6 cosines, same tie-breaks)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").between(100, 104)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim.knn_join(emb, queries, k=5, n_centroids=16, n_probe=4)
+
+
 # ------------------------------------------- multimodal decode + resize
 @register(
     "x_multimodal_decode_meta",

@@ -241,6 +241,42 @@ def test_ivf_kernel_assignment_matches_expression(spark, sf_dir):
     assert kernel_side == expr_side
 
 
+def test_knn_join_probe_all_is_exact(spark, sf_dir):
+    """With n_probe == n_centroids the cell restriction vanishes, so
+    the bulk kNN join must equal per-query brute force (same round-6
+    cosine, same (cos desc, id asc) tie-break) — pins that the
+    cogrouped per-cell top-k truncation never loses a global top-k
+    row."""
+    import numpy as np
+
+    from mfdb_hafro_etl_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").between(200, 203)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {
+        (r.query_id, r.vec_id): r.cos_sim
+        for r in sim.knn_join(
+            emb, queries, k=4, n_centroids=8, n_probe=8
+        ).collect()
+    }
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    M = np.array([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    expect = {}
+    for qid in (200, 201, 202, 203):
+        qv = Mn[ids == qid][0]
+        sims = np.round(Mn @ qv, 6)
+        order = np.lexsort((ids, -sims))[:4]
+        for i in order:
+            expect[(qid, int(ids[i]))] = sims[i]
+    assert set(got) == set(expect)
+    for key in expect:
+        assert got[key] == pytest.approx(expect[key], abs=1e-9)
+
+
 def test_ivf_kmeans_refinement_recall(spark, sf_dir):
     """Lloyd-refined centroids must not lose recall vs the lowest-id
     seeds. Deterministic end to end (fixed fixture, id-sorted means),
