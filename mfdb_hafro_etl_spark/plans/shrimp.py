@@ -72,8 +72,12 @@ def build_shrimp_stations(
     fixed = shrimp_station_fixes(
         stodvar, corrected_togtimi, corrected_toglengd, bad_synis_id
     )
+    # no broadcast hint on the already-imported set: it grows with
+    # the fact table (every import adds tows), so the anti-join
+    # strategy stays runtime-size-based — AQE broadcasts it while it
+    # fits and falls back to a shuffled anti-join at corpus scale
     shr = fixed.filter(F.col("synaflokkur").isin(SHRIMP_CLASSES)).join(
-        F.broadcast(existing_tows.select("synis_id").dropDuplicates()),
+        existing_tows.select("synis_id").dropDuplicates(),
         on="synis_id",
         how="left_anti",
     )

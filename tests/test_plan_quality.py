@@ -177,6 +177,20 @@ def test_fact_partition_pruning(spark, sf_dir, tmp_path):
     assert m and "data_source" in m.group(1) and "year" in m.group(1), plan[:2000]
 
 
+def test_knn_join_plan_is_cogrouped_no_cartesian(spark, sf_dir):
+    """The bulk kNN join must meet on the IVF cell key through the
+    cogrouped-Pandas operator — never a cartesian/nested-loop of
+    queries x corpus."""
+    from mfdb_hafro_etl_spark.catalog import load_table
+    from mfdb_hafro_etl_spark.operators import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    plan = _plan(sim.knn_join(emb, queries, k=3, n_centroids=4, n_probe=2))
+    assert "FlatMapCoGroupsInPandas" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan[:2000]
+
+
 def test_fact_write_clusters_files_to_partition_layout(spark, sf_dir, tmp_path):
     """replace_by_source must REBALANCE rows to the partition layout
     before the write: without it every task writes a file into every
