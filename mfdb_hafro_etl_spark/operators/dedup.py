@@ -393,6 +393,10 @@ def duplicate_clusters(
         .localCheckpoint(eager=True)
     )
     label_t = labels.schema["label"].dataType.simpleString()
+    # the handle whose analyzed plan IS the checkpoint LogicalRDD —
+    # unpersisting a derived projection silently no-ops, so track the
+    # checkpointed frame itself across rounds
+    prev_ckpt = labels
     changed = 1
     for _ in range(max_iter):
         prop = (
@@ -422,7 +426,8 @@ def duplicate_clusters(
             .localCheckpoint(eager=True)
         )
         changed = jumped.filter(F.col("label") < F.col("__old__")).limit(1).count()
-        _unpersist_checkpoint(labels)
+        _unpersist_checkpoint(prev_ckpt)
+        prev_ckpt = jumped
         labels = jumped.drop("__old__")
         if changed == 0:
             break

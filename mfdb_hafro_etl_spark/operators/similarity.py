@@ -527,11 +527,12 @@ def knn_join(
             # same decision rule as _ivf_probes: cos desc, cid asc
             order = np.lexsort((np.broadcast_to(cids, cos.shape), -cos), axis=1)
             top = order[:, :n_probe]
-            n = len(pdf)
             yield pd.DataFrame(
                 {
                     query_id_col: pdf[query_id_col].repeat(n_probe).to_numpy(),
-                    vec_col: pdf[vec_col].repeat(n_probe),
+                    vec_col: pdf[vec_col]
+                    .repeat(n_probe)
+                    .reset_index(drop=True),
                     "__cid__": cids[top].reshape(-1).astype("int32"),
                 }
             )

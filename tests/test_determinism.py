@@ -216,6 +216,27 @@ def test_duplicate_clusters_deep_path_converges(spark):
     assert got == {(i, 100) for i in ids}
 
 
+def test_duplicate_clusters_releases_round_checkpoints(spark):
+    """Every round's stale localCheckpoint blocks must be released —
+    only the FINAL labels checkpoint may remain persisted (the
+    returned frame depends on it), regardless of how many rounds the
+    graph took. Guards the handle-vs-projection unpersist bug: the
+    analyzed plan of labels.drop() is a Project, so unpersisting the
+    derived frame silently no-ops and a multi-round run would leak
+    one RDD per round for the life of the session."""
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 400)], "id_a BIGINT, id_b BIGINT"
+    )
+    res = dedup_ops.duplicate_clusters(pairs)
+    n = res.count()
+    assert n == 400
+    after = jsc.getPersistentRDDs().size()
+    assert after - before <= 1, f"{after - before} persistent RDDs leaked"
+    assert res.count() == n  # result stays readable after cleanup
+
+
 def test_hash_split_stable_and_exhaustive(spark, sf_dir):
     """Split membership is a pure function of the id: identical under
     repartition, partitions exactly (every row in exactly one split),
