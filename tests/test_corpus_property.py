@@ -84,3 +84,44 @@ def test_redact_pii_is_idempotent(spark, texts):
     assert {(r["id"], r["r"]) for r in once.collect()} == {
         (r["id"], r["r"]) for r in twice.collect()
     }
+
+
+# --------------------------------------------- connected components
+_edge = st.tuples(
+    st.integers(min_value=0, max_value=40), st.integers(min_value=0, max_value=40)
+)
+
+
+@given(edges=st.lists(_edge, min_size=1, max_size=60))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_duplicate_clusters_matches_union_find(spark, edges):
+    """duplicate_clusters (min-label propagation + pointer jumping)
+    must agree with a plain union-find on arbitrary random graphs —
+    self-loops, duplicate edges, stars, chains, whatever hypothesis
+    throws. The reference implementation is ~10 lines of pure Python,
+    so disagreement localizes to the distributed algorithm."""
+    from mfdb_hafro_etl_spark.operators import dedup as dd
+
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "id_a BIGINT, id_b BIGINT"
+    )
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in dd.duplicate_clusters(pairs, max_iter=30).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {(n, find(n)) for n in parent}
+    assert got == expect
