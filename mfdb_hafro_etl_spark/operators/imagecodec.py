@@ -147,14 +147,17 @@ def decode_png(data: bytes) -> np.ndarray:
             rec = line
         elif f == 2:  # Up
             rec = (line + prev) & 0xFF
-        elif f in (1, 3, 4):  # Sub / Average / Paeth need left-to-right
+        elif f == 1:  # Sub — addition mod 256 is associative, so the
+            # left-to-right recurrence is a per-channel prefix sum
+            rec = (
+                line.reshape(w, ch).astype(np.int64).cumsum(axis=0) & 0xFF
+            ).reshape(stride)
+        elif f in (3, 4):  # Average / Paeth are genuinely sequential
             rec = np.zeros(stride, dtype=np.int32)
             for x in range(stride):
                 a = rec[x - ch] if x >= ch else 0
                 b = prev[x]
-                if f == 1:
-                    v = line[x] + a
-                elif f == 3:
+                if f == 3:
                     v = line[x] + ((a + b) >> 1)
                 else:
                     c = prev[x - ch] if x >= ch else 0
