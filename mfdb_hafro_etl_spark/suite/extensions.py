@@ -569,6 +569,24 @@ def x_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x_multimodal_frames",
+    """
+    SELECT doc_id AS media_id, CAST(o AS BIGINT) AS byte_offset
+    FROM (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+         unnest(generate_series(0, CAST(greatest(n - 1, 0) AS BIGINT), 1024)) t(o)
+    """,
+)
+def x_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: one (media_id, byte_offset) row
+    per sample point — the Spark-side planning of a frame-extraction
+    job (pure Column sequence+explode; the decode of the sampled
+    frame is the multimodal kernel's job)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = mm.attach_binary(docs, "doc_id", "text")
+    return mm.frame_sample_plan(media, every_n_bytes=1024)
+
+
 # PNG header payloads built in pure Column algebra: doc_id-derived
 # dimensions and color type packed into a byte-exact IHDR via
 # to_binary(hex). The Spark side then PARSES the bytes back with the
