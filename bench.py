@@ -53,6 +53,11 @@ def main() -> None:
     # checkpoint blocks); none = no per-query cleanup (measured
     # catastrophic: 178s vs 50s on a 12-query subset).
     gc_mode = os.environ.get("BENCH_GC_MODE", "sweep")
+    if gc_mode not in ("none", "cache", "sweep", "full"):
+        raise SystemExit(
+            f"BENCH_GC_MODE={gc_mode!r} — expected none|cache|sweep|full "
+            "(a typo here would silently measure the wrong cleanup protocol)"
+        )
 
     def release_storage() -> None:
         # Isolate queries: clearCache drops SQL-cached plans, but

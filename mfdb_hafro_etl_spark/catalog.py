@@ -160,18 +160,27 @@ def read_events_raw(spark: SparkSession, path: str) -> DataFrame:
     previous value unless this generation actually needs it (a nanos
     scan consults the flag again at execution, so for LongType
     generations it must stay set for the session)."""
-    prev = None
     try:
         prev = spark.conf.get(_NANOS_FLAG)
     except Exception:
         prev = None
-    spark.conf.set(_NANOS_FLAG, "true")
-    df = spark.read.parquet(path)
-    if not isinstance(df.schema["ts"].dataType, T.LongType):
+
+    def restore() -> None:
         if prev is None:
             spark.conf.unset(_NANOS_FLAG)
         else:
             spark.conf.set(_NANOS_FLAG, prev)
+
+    spark.conf.set(_NANOS_FLAG, "true")
+    try:
+        df = spark.read.parquet(path)
+        needs_flag = isinstance(df.schema["ts"].dataType, T.LongType)
+    except Exception:
+        # a failed read must not leave the session-wide flag set
+        restore()
+        raise
+    if not needs_flag:
+        restore()
     return df
 
 

@@ -398,46 +398,57 @@ def duplicate_clusters(
     # checkpointed frame itself across rounds
     prev_ckpt = labels
     changed = 1
-    for _ in range(max_iter):
-        prop = (
-            edges.join(labels.withColumnRenamed("node", "a"), on="a")
-            .select(F.col("b").alias("node"), "label")
-        )
-        merged = (
-            labels.withColumn("__old__", F.col("label"))
-            .unionByName(prop.withColumn("__old__", F.lit(None).cast(label_t)))
-            .groupBy("node")
-            .agg(
-                F.min("label").alias("label"),
-                F.min("__old__").alias("__old__"),
+    try:
+        for _ in range(max_iter):
+            prop = (
+                edges.join(labels.withColumnRenamed("node", "a"), on="a")
+                .select(F.col("b").alias("node"), "label")
             )
-        )
-        # pointer jump: label <- label(label). Every label value is a
-        # node id present in `merged` (labels only ever hold reachable
-        # node ids), so the inner self-join is total; label(label) ≤
-        # label by monotonicity, no least() needed. Catalyst reuses
-        # the aggregation exchange across the self-join's two sides.
-        relabel = merged.select(
-            F.col("node").alias("label"), F.col("label").alias("__l2__")
-        )
-        jumped = (
-            merged.join(relabel, on="label")
-            .select("node", F.col("__l2__").alias("label"), "__old__")
-            .localCheckpoint(eager=True)
-        )
-        changed = jumped.filter(F.col("label") < F.col("__old__")).limit(1).count()
+            merged = (
+                labels.withColumn("__old__", F.col("label"))
+                .unionByName(prop.withColumn("__old__", F.lit(None).cast(label_t)))
+                .groupBy("node")
+                .agg(
+                    F.min("label").alias("label"),
+                    F.min("__old__").alias("__old__"),
+                )
+            )
+            # pointer jump: label <- label(label). Every label value is
+            # a node id present in `merged` (labels only ever hold
+            # reachable node ids), so the inner self-join is total;
+            # label(label) ≤ label by monotonicity, no least() needed.
+            # Catalyst reuses the aggregation exchange across the
+            # self-join's two sides.
+            relabel = merged.select(
+                F.col("node").alias("label"), F.col("label").alias("__l2__")
+            )
+            jumped = (
+                merged.join(relabel, on="label")
+                .select("node", F.col("__l2__").alias("label"), "__old__")
+                .localCheckpoint(eager=True)
+            )
+            changed = jumped.filter(F.col("label") < F.col("__old__")).limit(1).count()
+            _unpersist_checkpoint(prev_ckpt)
+            prev_ckpt = jumped
+            labels = jumped.drop("__old__")
+            if changed == 0:
+                break
+    except Exception:
+        # a failed round (executor loss, OOM) must not strand the
+        # round checkpoints for the life of the session
+        _unpersist_checkpoint(edges)
         _unpersist_checkpoint(prev_ckpt)
-        prev_ckpt = jumped
-        labels = jumped.drop("__old__")
-        if changed == 0:
-            break
+        raise
     if changed != 0:
         # a component deeper than max_iter would otherwise return
         # silently-unconverged labels that disagree with the exact
-        # recursive-CTE oracle with no signal
+        # recursive-CTE oracle with no signal; release everything —
+        # nothing useful survives this failure
+        _unpersist_checkpoint(edges)
+        _unpersist_checkpoint(prev_ckpt)
         raise RuntimeError(
             f"duplicate_clusters did not converge within max_iter={max_iter} "
-            "rounds — with path halving that means a component ~2^{max_iter} "
+            f"rounds — with path halving that means a component ~2^{max_iter} "
             "deep; raise max_iter only after checking the pair graph is sane"
         )
     # the result depends only on the final checkpoint; the edge list's

@@ -76,7 +76,14 @@ def _parse_jpeg(data: bytes) -> dict | None:
     while i + 4 <= n:
         if data[i] != 0xFF:
             return None
+        # 0xFF fill bytes may pad before any marker (spec B.1.1.2)
+        while i + 1 < n and data[i + 1] == 0xFF:
+            i += 1
+        if i + 1 >= n:
+            return None
         marker = data[i + 1]
+        if marker == 0xD9:  # EOI — no frame header found
+            return None
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # no payload
             i += 2
             continue
@@ -132,7 +139,12 @@ def decode_png(data: bytes) -> np.ndarray:
             idat.extend(body)
         elif ctype == b"PLTE":
             plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        # keep the documented contract: everything outside the decode
+        # envelope (incl. truncated/corrupt IDAT) raises ValueError
+        raise ValueError(f"corrupt or truncated PNG pixel stream: {e}") from e
     stride = w * ch
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG pixel payload length mismatch")
@@ -207,13 +219,27 @@ def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
 
 
 def to_channels(img: np.ndarray, channels: int) -> np.ndarray:
-    """Adapt channel count: replicate gray, drop alpha, pad by repeat."""
-    cur = img.shape[2]
-    if cur == channels:
+    """Adapt channel count with image semantics: alpha planes
+    (gray+alpha / RGBA layouts) are coverage masks, not intensity —
+    strip them before adapting color and re-add an opaque alpha when
+    the target layout has one (2 or 4 channels); gray replicates to
+    color; color truncates to its leading planes for narrower
+    targets."""
+    if img.shape[2] == channels:
         return img
-    if cur == 1:
-        return np.repeat(img, channels, axis=2)
-    if cur > channels:
-        return img[:, :, :channels]
-    reps = [img[:, :, i % cur] for i in range(channels)]
-    return np.stack(reps, axis=2)
+    cur = img.shape[2]
+    color = img[:, :, : cur - 1] if cur in (2, 4) else img
+    n_color = channels - 1 if channels in (2, 4) else channels
+    c = color.shape[2]
+    if c < n_color:
+        if c == 1:
+            color = np.repeat(color, n_color, axis=2)
+        else:
+            pad = np.repeat(color[:, :, -1:], n_color - c, axis=2)
+            color = np.concatenate([color, pad], axis=2)
+    elif c > n_color:
+        color = color[:, :, :n_color]
+    if channels in (2, 4):
+        alpha = np.full(color.shape[:2] + (1,), 255, dtype=color.dtype)
+        color = np.concatenate([color, alpha], axis=2)
+    return color

@@ -403,12 +403,25 @@ def build_ivf_index(
     # top-level _SUCCESS for the partitioned vectors table, so the
     # build drops its own marker as the last step; its presence means
     # both writes committed.
+    import json
+
     marker = os.path.join(path, "_INDEX_OK")
+    params = {"n_centroids": n_centroids, "kmeans_iters": kmeans_iters}
     if not rebuild and os.path.exists(marker):
-        return [
-            (int(r[0]), [float(x) for x in r[1]])
-            for r in spark.read.parquet(os.path.join(path, "centroids")).collect()
-        ]
+        # the marker records the build parameters; an index built with
+        # different ones is NOT valid for this call — silently serving
+        # unrefined centroids to a kmeans_iters>0 caller would change
+        # recall with no signal
+        try:
+            with open(marker) as fh:
+                built_with = json.load(fh)
+        except (OSError, ValueError):
+            built_with = None
+        if built_with == params:
+            return [
+                (int(r[0]), [float(x) for x in r[1]])
+                for r in spark.read.parquet(os.path.join(path, "centroids")).collect()
+            ]
     cents = _ivf_centroids(emb, n_centroids, id_col, vec_col)
     cents = _kmeans_refine(emb, cents, kmeans_iters, id_col, vec_col)
     fanned = emb.repartition(spark.sparkContext.defaultParallelism)
@@ -424,7 +437,7 @@ def build_ivf_index(
         [(cid, cv) for cid, cv in cents], "cid INT, centroid ARRAY<DOUBLE>"
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
     with open(marker, "w") as fh:
-        fh.write("ok\n")
+        json.dump(params, fh)
     return cents
 
 
@@ -503,6 +516,9 @@ def knn_join(
 
     cents = _ivf_centroids(corpus, n_centroids, id_col, vec_col)
     cents = _kmeans_refine(corpus, cents, kmeans_iters, id_col, vec_col)
+    # probe-all is the graceful ceiling, matching _ivf_probes' slice
+    # semantics on the single-query path
+    n_probe = min(n_probe, len(cents))
     par = corpus.sparkSession.sparkContext.defaultParallelism
     assigned = _ivf_assign_table(
         corpus.repartition(par), cents, id_col, vec_col

@@ -108,6 +108,41 @@ def test_real_features_from_decoded_pixels(png_media):
         assert f[3] == pytest.approx(img.astype(np.float64).mean() / 255.0)
 
 
+def test_to_channels_semantics():
+    """Alpha planes are masks, not intensity: gray+alpha → RGB must
+    replicate the GRAY plane (never leak alpha into a color slot);
+    RGB → RGBA gains an opaque alpha; color truncates for gray."""
+    rng = np.random.RandomState(3)
+    ga = rng.randint(0, 256, (4, 5, 2), dtype=np.uint8)
+    rgb3 = ic.to_channels(ga, 3)
+    assert rgb3.shape == (4, 5, 3)
+    for c in range(3):
+        assert np.array_equal(rgb3[:, :, c], ga[:, :, 0]), "alpha leaked into color"
+    rgb = rng.randint(0, 256, (4, 5, 3), dtype=np.uint8)
+    rgba = ic.to_channels(rgb, 4)
+    assert np.array_equal(rgba[:, :, :3], rgb) and (rgba[:, :, 3] == 255).all()
+    assert np.array_equal(ic.to_channels(rgb, 1), rgb[:, :, :1])
+
+
+def test_jpeg_header_with_fill_bytes_and_eoi():
+    """Spec-valid JPEGs pad markers with 0xFF fill bytes; EOI is a
+    terminator, not a length-bearing segment."""
+    import struct
+
+    sof = b"\xff\xff\xff\xc0\x00\x11\x08\x00\x40\x00\x30\x03\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+    jpeg = b"\xff\xd8" + sof + b"\xff\xd9"
+    h = ic.parse_header(jpeg)
+    assert h == {"format": "jpeg", "width": 48, "height": 64, "channels": 3}, h
+    assert ic.parse_header(b"\xff\xd8\xff\xd9") is None  # EOI before any SOF
+
+
+def test_truncated_png_raises_valueerror():
+    img = np.zeros((3, 3, 1), dtype=np.uint8)
+    data = ic.encode_png(img)
+    with pytest.raises(ValueError):
+        ic.decode_png(data[: len(data) - 20])
+
+
 def test_real_resize_is_nearest_neighbor(png_media):
     df, imgs = png_media
     out = {r.media_id: bytes(r.content)

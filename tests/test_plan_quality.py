@@ -299,6 +299,24 @@ def test_ivf_index_probe_partition_prunes(spark, sf_dir, tmp_path):
     assert probe.count() == 5
 
 
+def test_ivf_index_rebuilds_on_param_change(spark, sf_dir, tmp_path):
+    """The index marker records its build parameters: a cached index
+    built with different (n_centroids, kmeans_iters) must NOT be
+    served — silently returning unrefined centroids to a
+    kmeans_iters>0 caller would change recall with no signal."""
+    from mfdb_hafro_etl_spark.catalog import load_table
+    from mfdb_hafro_etl_spark.operators import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf")
+    seed = sim.build_ivf_index(emb, path, n_centroids=4)
+    again = sim.build_ivf_index(emb, path, n_centroids=4)
+    assert again == seed  # same params → served from cache
+    refined = sim.build_ivf_index(emb, path, n_centroids=4, kmeans_iters=2)
+    assert refined != seed, "param change must trigger a rebuild"
+    assert [cid for cid, _ in refined] == [cid for cid, _ in seed]
+
+
 def test_sql_surface_plans_like_dataframe(spark, sf_dir):
     """The spark.sql path must get the same physical treatment as the
     DataFrame path: top-k as TakeOrderedAndProject (no global sort),
