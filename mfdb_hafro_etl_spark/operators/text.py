@@ -55,7 +55,9 @@ def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Col
 
 def mean_token_len(col: Column | str) -> Column:
     toks = tokens(col)
-    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    # sum of token lengths == length of the separator-less concat —
+    # a codegen'd string op instead of an interpreted aggregate fold
+    total = F.length(F.concat_ws("", toks))
     return total.cast("double") / F.greatest(F.size(toks), F.lit(1))
 
 
