@@ -266,6 +266,79 @@ def resize_media(
     return media.select("media_id", "content").mapInPandas(gen, schema=RESIZED_SCHEMA)
 
 
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("bits", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+    ]
+)
+
+
+def decode_audio_meta(media: DataFrame, mode: str = "fake") -> DataFrame:
+    """Audio container metadata via Arrow-batched mapInPandas.
+
+    mode='real': parse the actual RIFF/WAVE header
+    (audiocodec.parse_wav_header — stdlib struct, no codec library);
+    non-WAV payloads yield NULLs, the filter-after-decode pattern.
+    mode='fake': sha256-derived fields reproducible in ANSI SQL for
+    oracle verification of the plumbing."""
+    if mode not in ("fake", "real"):
+        raise ValueError(f"mode={mode!r}")
+
+    from mfdb_hafro_etl_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(media.sparkSession)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mfdb_hafro_etl_spark.operators import audiocodec as ac
+
+        for pdf in batches:
+            if mode == "real":
+                hdrs = [ac.parse_wav_header(bytes(b)) for b in pdf["content"]]
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "channels": pd.Series(
+                            [h["channels"] if h else None for h in hdrs], dtype="object"
+                        ),
+                        "sample_rate": pd.Series(
+                            [h["sample_rate"] if h else None for h in hdrs],
+                            dtype="object",
+                        ),
+                        "bits": pd.Series(
+                            [h["bits"] if h else None for h in hdrs], dtype="object"
+                        ),
+                        "n_frames": pd.Series(
+                            [h["n_frames"] if h else None for h in hdrs], dtype="object"
+                        ),
+                        "duration_s": pd.Series(
+                            [h["duration_s"] if h else None for h in hdrs],
+                            dtype="object",
+                        ),
+                    }
+                )
+                continue
+            hexes = [hashlib.sha256(bytes(b)).hexdigest() for b in pdf["content"]]
+            rates = [8000 * (1 + int(h[8:10], 16) % 6) for h in hexes]
+            frames = [int(h[10:14], 16) for h in hexes]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "channels": [1 + int(h[0], 16) % 2 for h in hexes],
+                    "sample_rate": rates,
+                    "bits": [16] * len(hexes),
+                    "n_frames": frames,
+                    "duration_s": [round(f / r, 6) for f, r in zip(frames, rates)],
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(gen, schema=AUDIO_META_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
     """Video frame-sampling plumbing: emit (media_id, offset) rows for
     each sample point — the Spark-side planning of a frame extraction

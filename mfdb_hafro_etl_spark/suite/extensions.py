@@ -617,6 +617,77 @@ def _png_header_payload() -> F.Column:
     return F.to_binary(hexstr, F.lit("hex"))
 
 
+def _le_hex(col: F.Column, nbytes: int) -> F.Column:
+    """Little-endian hex rendering of an integer Column (RIFF/WAVE
+    headers are LE; hex() is BE, so reverse the byte pairs)."""
+    be = F.lpad(F.hex(col), 2 * nbytes, "0")
+    return F.concat(*[F.substring(be, 2 * i + 1, 2) for i in reversed(range(nbytes))])
+
+
+# sample rates restricted to divisors of 10^6 so n_frames/rate always
+# terminates WITHIN 6 decimals — round(x, 6) then has no halfway case
+# for either engine (Python rounds half-even, DuckDB half-away; they'd
+# disagree on exact .xxxxxx5 values like 118/32000)
+_WAV_RATES = [8000, 10000, 20000, 25000, 40000]
+
+
+def _wav_header_payload() -> F.Column:
+    ch = (F.col("doc_id") % 2 + 1).cast("bigint")
+    rate = F.element_at(
+        F.array(*[F.lit(r) for r in _WAV_RATES]), (F.col("doc_id") % 5 + 1).cast("int")
+    ).cast("bigint")
+    n_frames = (F.col("doc_id") % 10000 + 100).cast("bigint")
+    block = ch * 2  # PCM16
+    data_size = n_frames * block
+    hexstr = F.concat(
+        F.lit("52494646"),  # "RIFF"
+        _le_hex(F.lit(36).cast("bigint") + data_size, 4),
+        F.lit("57415645"),  # "WAVE"
+        F.lit("666D7420"),  # "fmt "
+        F.lit("10000000"),  # fmt chunk size 16 (LE)
+        F.lit("0100"),  # audio format 1 = PCM (LE)
+        _le_hex(ch, 2),
+        _le_hex(rate, 4),
+        _le_hex(rate * block, 4),  # byte rate
+        _le_hex(block, 2),
+        F.lit("1000"),  # bits = 16 (LE)
+        F.lit("64617461"),  # "data"
+        _le_hex(data_size, 4),
+    )
+    return F.to_binary(hexstr, F.lit("hex"))
+
+
+@register(
+    "x_multimodal_audio",
+    """
+    SELECT doc_id AS media_id,
+           CAST(doc_id % 2 + 1 AS INT) AS channels,
+           CAST(([8000, 10000, 20000, 25000, 40000])[1 + CAST(doc_id % 5 AS INT)] AS INT)
+             AS sample_rate,
+           16 AS bits,
+           CAST(doc_id % 10000 + 100 AS BIGINT) AS n_frames,
+           ROUND(CAST(doc_id % 10000 + 100 AS DOUBLE)
+                 / ([8000, 10000, 20000, 25000, 40000])[1 + CAST(doc_id % 5 AS INT)], 6)
+             AS duration_s
+    FROM documents
+    """,
+)
+def x_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio-container decode: byte-exact RIFF/WAVE headers are
+    built JVM-side (little-endian hex packing) and
+    decode_audio_meta (mode='real', audiocodec.parse_wav_header)
+    walks the chunks back out — channels, sample rate, bit depth,
+    frame count, duration. The oracle derives every field from
+    doc_id analytically, so a misread byte order or chunk offset
+    fails the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        _wav_header_payload().alias("content"),
+    )
+    return mm.decode_audio_meta(media, mode="real")
+
+
 @register(
     "x_multimodal_real_meta",
     """

@@ -143,6 +143,44 @@ def test_truncated_png_raises_valueerror():
         ic.decode_png(data[: len(data) - 20])
 
 
+def test_wav_roundtrip_and_features(spark):
+    """Real audio path: encode PCM16 WAVs with known signals, parse
+    headers through the streaming decode_audio_meta(mode='real'),
+    and check decoded-signal features against closed forms (a full-
+    scale sine has RMS 1/sqrt(2) and ZCR ~2f/rate)."""
+    from mfdb_hafro_etl_spark.operators import audiocodec as ac
+
+    rate = 16000
+    t = np.arange(rate) / rate  # 1 second
+    sine = np.sin(2 * np.pi * 440 * t)
+    stereo = np.stack([sine, 0.5 * sine], axis=1)
+    payloads = {1: ac.encode_wav(sine, rate), 2: ac.encode_wav(stereo, rate)}
+
+    h1 = ac.parse_wav_header(payloads[1])
+    assert (h1["channels"], h1["sample_rate"], h1["bits"], h1["n_frames"]) == (1, rate, 16, rate)
+    assert h1["duration_s"] == pytest.approx(1.0)
+
+    sig, r = ac.decode_wav(payloads[2])
+    assert r == rate and sig.shape == (rate, 2)
+    assert np.abs(sig[:, 0] - sine).max() < 1e-3  # PCM16 quantization
+
+    f = ac.audio_features(payloads[1])
+    assert f[0] == pytest.approx(1.0)
+    assert f[3] == pytest.approx(1 / np.sqrt(2), abs=1e-3)  # RMS
+    assert f[5] == pytest.approx(2 * 440 / rate, rel=0.01)  # ZCR
+
+    df = spark.createDataFrame(
+        [(mid, bytearray(p)) for mid, p in payloads.items()],
+        "media_id LONG, content BINARY",
+    )
+    got = {r_.media_id: (r_.channels, r_.sample_rate, r_.n_frames)
+           for r_ in mm.decode_audio_meta(df, mode="real").collect()}
+    assert got == {1: (1, rate, rate), 2: (2, rate, rate)}
+    bad = spark.createDataFrame([(9, bytearray(b"mp3???"))], "media_id LONG, content BINARY")
+    r9 = mm.decode_audio_meta(bad, mode="real").collect()[0]
+    assert (r9.channels, r9.sample_rate, r9.duration_s) == (None, None, None)
+
+
 def test_real_resize_is_nearest_neighbor(png_media):
     df, imgs = png_media
     out = {r.media_id: bytes(r.content)
