@@ -107,6 +107,60 @@ def _parse_jpeg(data: bytes) -> dict | None:
     return None
 
 
+def parse_mp4_header(data: bytes) -> dict | None:
+    """ISO BMFF (MP4/MOV) container metadata without a codec: walk
+    the big-endian box tree to moov/mvhd (timescale, duration) and
+    the first video trak/tkhd (16.16 fixed-point width/height).
+    Returns dict(width, height, timescale, duration, duration_s,
+    format) or None when the payload is not an MP4 container. Frame
+    DECODE genuinely needs a codec and stays out of scope — this is
+    the metadata fast path an ingest uses for filtering."""
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        return None
+
+    def boxes(lo: int, hi: int):
+        i = lo
+        while i + 8 <= hi:
+            (size,) = struct.unpack(">I", data[i : i + 4])
+            btype = data[i + 4 : i + 8]
+            if size < 8:
+                return
+            yield btype, i + 8, min(i + size, hi)
+            i += size
+
+    moov = next((b for b in boxes(0, len(data)) if b[0] == b"moov"), None)
+    if moov is None:
+        return None
+    out: dict = {"format": "mp4"}
+    for btype, lo, hi in boxes(moov[1], moov[2]):
+        if btype == b"mvhd" and hi - lo >= 20:
+            version = data[lo]
+            if version == 0:
+                timescale, duration = struct.unpack(">II", data[lo + 12 : lo + 20])
+            else:  # version 1: 64-bit times
+                timescale = struct.unpack(">I", data[lo + 20 : lo + 24])[0]
+                duration = struct.unpack(">Q", data[lo + 24 : lo + 32])[0]
+            if timescale == 0:
+                return None
+            out["timescale"] = int(timescale)
+            out["duration"] = int(duration)
+            out["duration_s"] = round(duration / timescale, 6)
+        elif btype == b"trak" and "width" not in out:
+            tkhd = next(
+                (b for b in boxes(lo, hi) if b[0] == b"tkhd"), None
+            )
+            if tkhd is not None and tkhd[2] - tkhd[1] >= 84:
+                w_fp, h_fp = struct.unpack(
+                    ">II", data[tkhd[2] - 8 : tkhd[2]]
+                )
+                if w_fp and h_fp:
+                    out["width"] = w_fp >> 16
+                    out["height"] = h_fp >> 16
+    if "timescale" not in out:
+        return None
+    return out
+
+
 def _iter_chunks(data: bytes):
     i = 8
     n = len(data)

@@ -339,6 +339,56 @@ def decode_audio_meta(media: DataFrame, mode: str = "fake") -> DataFrame:
     return media.select("media_id", "content").mapInPandas(gen, schema=AUDIO_META_SCHEMA)
 
 
+VIDEO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("timescale", T.IntegerType()),
+        T.StructField("duration", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+    ]
+)
+
+
+def decode_video_meta(media: DataFrame, mode: str = "real") -> DataFrame:
+    """Video container metadata via Arrow-batched mapInPandas:
+    mode='real' walks the ISO BMFF box tree
+    (imagecodec.parse_mp4_header — stdlib struct, no codec); non-MP4
+    payloads yield NULLs. Frame decode is the part that genuinely
+    needs a codec — see frame_sample_plan for the sampling side."""
+    if mode != "real":
+        raise ValueError(f"mode={mode!r} (video metadata has only a real path)")
+
+    from mfdb_hafro_etl_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(media.sparkSession)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mfdb_hafro_etl_spark.operators import imagecodec as ic
+
+        for pdf in batches:
+            hdrs = [ic.parse_mp4_header(bytes(b)) for b in pdf["content"]]
+
+            def col(k):
+                return pd.Series(
+                    [h.get(k) if h else None for h in hdrs], dtype="object"
+                )
+
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": col("width"),
+                    "height": col("height"),
+                    "timescale": col("timescale"),
+                    "duration": col("duration"),
+                    "duration_s": col("duration_s"),
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(gen, schema=VIDEO_META_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
     """Video frame-sampling plumbing: emit (media_id, offset) rows for
     each sample point — the Spark-side planning of a frame extraction

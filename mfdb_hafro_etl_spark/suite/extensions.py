@@ -688,6 +688,83 @@ def x_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.decode_audio_meta(media, mode="real")
 
 
+_MP4_TIMESCALES = [1000, 10000, 25000, 40000, 50000]  # divisors of 1e6
+
+_MP4_UNITY_MATRIX = (
+    "00010000" "00000000" "00000000"
+    "00000000" "00010000" "00000000"
+    "00000000" "00000000" "40000000"
+)
+
+
+def _mp4_header_payload() -> F.Column:
+    """Byte-exact ISO BMFF skeleton: ftyp + moov(mvhd + trak(tkhd)).
+    All fields big-endian, so plain lpad(hex(...)) packs them."""
+    w = F.col("doc_id") % 1920 + 16
+    h = (F.col("doc_id") * 3) % 1080 + 16
+    ts = F.element_at(
+        F.array(*[F.lit(t) for t in _MP4_TIMESCALES]),
+        (F.col("doc_id") % 5 + 1).cast("int"),
+    )
+    dur = F.col("doc_id") % 100000 + 1000
+    be4 = lambda c: F.lpad(F.hex(c), 8, "0")
+    mvhd = F.concat(
+        F.lit("0000006C" "6D766864" "00000000" "00000000" "00000000"),
+        be4(ts),
+        be4(dur),
+        F.lit("00010000" "0100" + "0" * 20 + _MP4_UNITY_MATRIX + "0" * 48 + "00000002"),
+    )
+    tkhd = F.concat(
+        F.lit("0000005C" "746B6864" "00000007" "00000000" "00000000"
+              "00000001" "00000000"),
+        be4(dur),
+        F.lit("0" * 16 + "0000" "0000" "0000" "0000" + _MP4_UNITY_MATRIX),
+        F.lpad(F.hex(w), 4, "0"), F.lit("0000"),  # 16.16 fixed point
+        F.lpad(F.hex(h), 4, "0"), F.lit("0000"),
+    )
+    hexstr = F.concat(
+        F.lit("00000010" "66747970" "69736F6D" "00000000"),  # ftyp
+        F.lit("000000D8" "6D6F6F76"),  # moov size 216
+        mvhd,
+        F.lit("00000064" "7472616B"),  # trak size 100
+        tkhd,
+    )
+    return F.to_binary(hexstr, F.lit("hex"))
+
+
+@register(
+    "x_multimodal_video",
+    """
+    SELECT doc_id AS media_id,
+           CAST(doc_id % 1920 + 16 AS INT) AS width,
+           CAST((doc_id * 3) % 1080 + 16 AS INT) AS height,
+           CAST(([1000, 10000, 25000, 40000, 50000])[1 + CAST(doc_id % 5 AS INT)] AS INT)
+             AS timescale,
+           CAST(doc_id % 100000 + 1000 AS BIGINT) AS duration,
+           ROUND(CAST(doc_id % 100000 + 1000 AS DOUBLE)
+                 / ([1000, 10000, 25000, 40000, 50000])[1 + CAST(doc_id % 5 AS INT)], 6)
+             AS duration_s
+    FROM documents
+    """,
+)
+def x_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container decode: byte-exact MP4 box trees
+    (ftyp + moov/mvhd + trak/tkhd) built JVM-side in Column algebra,
+    walked back out by imagecodec.parse_mp4_header — width/height
+    from the 16.16 fixed-point tkhd fields, duration from
+    mvhd timescale units. The oracle derives every field from doc_id
+    analytically (timescales restricted to divisors of 1e6, same
+    round-6 halfway discipline as the audio arm). Frame DECODE
+    genuinely needs a codec and remains out of scope; the sampling
+    plan is x_multimodal_frames."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        _mp4_header_payload().alias("content"),
+    )
+    return mm.decode_video_meta(media, mode="real")
+
+
 @register(
     "x_multimodal_real_meta",
     """

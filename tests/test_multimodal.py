@@ -181,6 +181,37 @@ def test_wav_roundtrip_and_features(spark):
     assert (r9.channels, r9.sample_rate, r9.duration_s) == (None, None, None)
 
 
+def test_mp4_header_parse(spark):
+    """Real MP4 metadata: a hand-built box tree (ftyp + moov with
+    mvhd v0 and a trak/tkhd) parses to the expected timescale,
+    duration and 16.16 fixed-point dimensions; v1 (64-bit times) and
+    non-MP4 payloads are handled."""
+    import struct as s
+
+    def box(btype, body):
+        return s.pack(">I", 8 + len(body)) + btype + body
+
+    mvhd = box(b"mvhd", b"\x00\x00\x00\x00" + b"\x00" * 8
+               + s.pack(">II", 25000, 50000)
+               + b"\x00" * 80)
+    tkhd = box(b"tkhd", b"\x00\x00\x00\x07" + b"\x00" * 72
+               + s.pack(">II", 640 << 16, 480 << 16))
+    data = box(b"ftyp", b"isom\x00\x00\x00\x00") + box(b"moov", mvhd + box(b"trak", tkhd))
+    h = ic.parse_mp4_header(data)
+    assert h["timescale"] == 25000 and h["duration"] == 50000
+    assert h["duration_s"] == pytest.approx(2.0)
+    assert (h["width"], h["height"]) == (640, 480)
+    # mvhd version 1: 64-bit ctime/mtime/duration
+    mvhd1 = box(b"mvhd", b"\x01\x00\x00\x00" + b"\x00" * 16
+                + s.pack(">I", 1000) + s.pack(">Q", 3000) + b"\x00" * 80)
+    h1 = ic.parse_mp4_header(box(b"ftyp", b"isom\x00\x00\x00\x00") + box(b"moov", mvhd1))
+    assert h1["timescale"] == 1000 and h1["duration"] == 3000
+    assert ic.parse_mp4_header(b"not an mp4 at all..") is None
+    df = spark.createDataFrame([(5, bytearray(data))], "media_id LONG, content BINARY")
+    r = mm.decode_video_meta(df, mode="real").collect()[0]
+    assert (r.width, r.height, r.timescale, r.duration) == (640, 480, 25000, 50000)
+
+
 def test_real_resize_is_nearest_neighbor(png_media):
     df, imgs = png_media
     out = {r.media_id: bytes(r.content)
