@@ -389,6 +389,44 @@ def decode_video_meta(media: DataFrame, mode: str = "real") -> DataFrame:
     return media.select("media_id", "content").mapInPandas(gen, schema=VIDEO_META_SCHEMA)
 
 
+TAR_MEMBERS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("size", T.LongType()),
+    ]
+)
+
+
+def enumerate_tar_members(media: DataFrame) -> DataFrame:
+    """WebDataset-style shard indexing: one row per tar member with
+    its name and the (offset, size) needed to range-read exactly that
+    member later — Arrow-batched mapInPandas over the ustar header
+    walk (archive.parse_tar_members). Non-tar payloads contribute
+    zero rows (a corrupt shard yields its valid prefix)."""
+    from mfdb_hafro_etl_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(media.sparkSession)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mfdb_hafro_etl_spark.operators import archive as ar
+
+        for pdf in batches:
+            rows = {"media_id": [], "name": [], "offset": [], "size": []}
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                for m in ar.parse_tar_members(bytes(blob)):
+                    rows["media_id"].append(mid)
+                    rows["name"].append(m["name"])
+                    rows["offset"].append(m["offset"])
+                    rows["size"].append(m["size"])
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "content").mapInPandas(
+        gen, schema=TAR_MEMBERS_SCHEMA
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
     """Video frame-sampling plumbing: emit (media_id, offset) rows for
     each sample point — the Spark-side planning of a frame extraction

@@ -116,6 +116,7 @@ COMBOS: dict[str, list[str]] = {
         "x_multimodal_frames",
         "x_multimodal_audio",
         "x_multimodal_video",
+        "x_multimodal_tar",
     ],
     "x_stream_windows": [
         "x_stream_tumbling",
@@ -266,6 +267,7 @@ _ARM_COLS: dict[str, list[tuple[str, str]]] = {
     "x_multimodal_frames": [("media_id", "i"), ("byte_offset", "i")],
     "x_multimodal_audio": [("media_id", "i"), ("channels", "i"), ("sample_rate", "i"), ("bits", "i"), ("n_frames", "i"), ("duration_s", "d")],
     "x_multimodal_video": [("media_id", "i"), ("width", "i"), ("height", "i"), ("timescale", "i"), ("duration", "i"), ("duration_s", "d")],
+    "x_multimodal_tar": [("media_id", "i"), ("name", "s"), ("offset", "i"), ("size", "i")],
     "x_stream_tumbling": [("window_start", "s"), ("event_type", "s"), ("n", "i"), ("sum_value", "d")],
     "x_stream_sliding": [("window_start", "s"), ("event_type", "s"), ("n", "i"), ("sum_value", "d")],
     "x_stream_enrich": [("window_start", "s"), ("cohort", "s"), ("n", "i"), ("sum_value", "d")],

@@ -688,6 +688,83 @@ def x_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.decode_audio_meta(media, mode="real")
 
 
+def _tar_header(name_col: F.Column, size_col: F.Column) -> F.Column:
+    """One byte-exact ustar header as a 512-char string (ascii +
+    NUL padding — encode() turns it into the on-disk bytes). The
+    checksum field is spaces: the enumeration fast path doesn't
+    validate it, like real shard indexers."""
+    oct11 = F.lpad(F.conv(size_col.cast("string"), 10, 8), 11, "0")
+    return F.rpad(
+        F.concat(
+            F.rpad(name_col, 100, "\x00"),
+            F.rpad(F.lit("0000644"), 8, "\x00"),
+            F.rpad(F.lit("0000000"), 8, "\x00"),
+            F.rpad(F.lit("0000000"), 8, "\x00"),
+            F.concat(oct11, F.lit("\x00")),
+            F.rpad(F.lit("00000000000"), 12, "\x00"),
+            F.lit("        "),  # chksum: 8 spaces
+            F.lit("0"),  # typeflag: regular file
+            F.rpad(F.lit(""), 100, "\x00"),  # linkname
+            F.lit("ustar\x00" + "00"),  # magic + version
+        ),
+        512,
+        "\x00",
+    )
+
+
+# member payload padded to the 512-byte block grid (SQL expr because
+# pyspark's rpad takes only a literal length)
+_TAR_DATA = "rpad(repeat('x', {s}), cast(ceil({s} / 512.0) * 512 as int), chr(0))"
+
+
+@register(
+    "x_multimodal_tar",
+    """
+    WITH sized AS (
+      SELECT doc_id, doc_id % 900 + 10 AS s1, doc_id % 300 + 5 AS s2
+      FROM documents
+    )
+    SELECT doc_id AS media_id, concat('d', CAST(doc_id AS VARCHAR), '.txt') AS name,
+           CAST(512 AS BIGINT) AS "offset", CAST(s1 AS BIGINT) AS size
+    FROM sized
+    UNION ALL
+    SELECT doc_id, concat('d', CAST(doc_id AS VARCHAR), '.json'),
+           CAST(1024 + 512 * CAST(CEIL(s1 / 512.0) AS BIGINT) AS BIGINT),
+           CAST(s2 AS BIGINT)
+    FROM sized
+    """,
+)
+def x_multimodal_tar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style tar shard enumeration: each document becomes
+    a two-member ustar shard ({id}.txt + {id}.json) built byte-exact
+    in Column algebra, and enumerate_tar_members walks the 512-byte
+    headers back out — names, data offsets, sizes. The oracle derives
+    the expected member table analytically (offset arithmetic over
+    the block grid), so a misread octal size or block rounding error
+    fails the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        (F.col("doc_id") % 900 + 10).alias("s1"),
+        (F.col("doc_id") % 300 + 5).alias("s2"),
+    )
+    shard = F.concat(
+        _tar_header(
+            F.concat(F.lit("d"), F.col("media_id").cast("string"), F.lit(".txt")),
+            F.col("s1"),
+        ),
+        F.expr(_TAR_DATA.format(s="s1")),
+        _tar_header(
+            F.concat(F.lit("d"), F.col("media_id").cast("string"), F.lit(".json")),
+            F.col("s2"),
+        ),
+        F.expr(_TAR_DATA.format(s="s2")),
+        F.rpad(F.lit(""), 1024, "\x00"),  # end-of-archive blocks
+    )
+    media = sized.select("media_id", F.encode(shard, "UTF-8").alias("content"))
+    return mm.enumerate_tar_members(media)
+
+
 _MP4_TIMESCALES = [1000, 10000, 25000, 40000, 50000]  # divisors of 1e6
 
 _MP4_UNITY_MATRIX = (

@@ -212,6 +212,38 @@ def test_mp4_header_parse(spark):
     assert (r.width, r.height, r.timescale, r.duration) == (640, 480, 25000, 50000)
 
 
+def test_tar_enumeration_matches_stdlib_tarfile(spark):
+    """The ustar header walk must agree with Python's tarfile on a
+    REAL archive (names, data offsets, sizes), and member_bytes must
+    slice the exact payloads — the range-read contract WebDataset
+    loaders rely on."""
+    import io
+    import tarfile
+
+    from mfdb_hafro_etl_spark.operators import archive as ar
+
+    buf = io.BytesIO()
+    payloads = {"a.txt": b"hello world", "sub/b.json": b"{}" * 300, "c.bin": b"\x01" * 513}
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+        for name, body in payloads.items():
+            info = tarfile.TarInfo(name)
+            info.size = len(body)
+            tf.addfile(info, io.BytesIO(body))
+    data = buf.getvalue()
+
+    members = ar.parse_tar_members(data)
+    assert [m["name"] for m in members] == list(payloads)
+    with tarfile.open(fileobj=io.BytesIO(data)) as tf:
+        expect = {m.name: (m.offset_data, m.size) for m in tf.getmembers()}
+    for m in members:
+        assert (m["offset"], m["size"]) == expect[m["name"]]
+        assert ar.member_bytes(data, m) == payloads[m["name"]]
+
+    df = spark.createDataFrame([(7, bytearray(data))], "media_id LONG, content BINARY")
+    rows = mm.enumerate_tar_members(df).orderBy("offset").collect()
+    assert [(r.name, r.size) for r in rows] == [(n, len(b)) for n, b in payloads.items()]
+
+
 def test_real_resize_is_nearest_neighbor(png_media):
     df, imgs = png_media
     out = {r.media_id: bytes(r.content)
