@@ -35,4 +35,5 @@ from mfdb_hafro_etl_spark.suite import extensions  # noqa: E402,F401
 from mfdb_hafro_etl_spark.suite import corpus_ops  # noqa: E402,F401
 from mfdb_hafro_etl_spark.suite import pipelines  # noqa: E402,F401
 from mfdb_hafro_etl_spark.suite import io_streaming  # noqa: E402,F401
+from mfdb_hafro_etl_spark.suite import sketches  # noqa: E402,F401
 from mfdb_hafro_etl_spark.suite import api_dim  # noqa: E402,F401

@@ -104,8 +104,18 @@ COMBOS: dict[str, list[str]] = {
     "x_embed_neardup_sem": ["x_embed_neardup", "x_semantic_dedup"],
     "x_sampling": ["x_sample_hash_split", "x_sample_stratified"],
     "x_cleaning": ["x_clean_pii", "x_clean_gopher", "x_clean_decontam"],
-    "x_text_quality_stats": ["x_text_stats", "x_text_quality"],
-    "x_text_langid_all": ["x_text_langid", "x_text_langid_ngram"],
+    "x_text_all": [
+        "x_text_stats",
+        "x_text_quality",
+        "x_text_langid",
+        "x_text_langid_ngram",
+    ],
+    "x_sketches": [
+        "x_sketch_hll",
+        "x_sketch_hll_by",
+        "x_sketch_cms",
+        "x_sketch_histq",
+    ],
     "x_events_windows": ["x_events_tumbling", "x_events_props_json"],
     "x_multimodal_meta_all": [
         "x_multimodal_meta",
@@ -177,8 +187,8 @@ ORDER: list[str] = [
     "x_search_topk",
     "x_embed_neardup_sem",
     "x_ann_ivf_topk",
-    "x_text_quality_stats",
-    "x_text_langid_all",
+    "x_text_all",
+    "x_sketches",
     "x_cleaning",
     "x_sampling",
     "x_events_sessionize",
@@ -272,6 +282,10 @@ _ARM_COLS: dict[str, list[tuple[str, str]]] = {
     "x_stream_sliding": [("window_start", "s"), ("event_type", "s"), ("n", "i"), ("sum_value", "d")],
     "x_stream_enrich": [("window_start", "s"), ("cohort", "s"), ("n", "i"), ("sum_value", "d")],
     "x_stream_join": [("purchase_id", "i"), ("view_id", "i"), ("user_id", "i")],
+    "x_sketch_hll": [("m", "i"), ("n_zero", "i"), ("est_distinct", "d")],
+    "x_sketch_hll_by": [("o_orderstatus", "s"), ("n_zero", "i"), ("est_distinct", "d")],
+    "x_sketch_cms": [("probe", "i"), ("est_cnt", "i"), ("exact_cnt", "i")],
+    "x_sketch_histq": [("q", "d"), ("est", "d")],
 }
 
 _NULL = "∅"
