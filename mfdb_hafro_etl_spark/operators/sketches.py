@@ -352,3 +352,92 @@ def histogram_quantiles(
         / F.col("cnt").cast("double")
     )
     return hit.select("q", F.round(est, 4).alias("est"))
+
+
+# --------------------------------------------------------------------
+# KMV (k minimum values / theta) sketch — set-operation cardinality
+# --------------------------------------------------------------------
+
+KMV_K = 256
+# 13 hex chars = 52 bits: the largest window exact in BIGINT and DOUBLE
+_KMV_HEX_CHARS = 13
+_KMV_SPACE = float(1 << 52)
+
+
+def kmv_sketch(df: DataFrame, col: str) -> DataFrame:
+    """The k smallest distinct md5 values of ``col`` as ``(h)`` hex
+    strings — a KMV/theta sketch.
+
+    Fixed-length lowercase hex sorts identically to its numeric value,
+    so ``ORDER BY h LIMIT k`` IS the k-minimum-values selection, and
+    Spark plans it as TakeOrderedAndProject: each partition retains
+    only its local k, the driver merges k·n_partitions candidates —
+    no global sort, no full shuffle. Unlike HLL, KMV sketches support
+    set INTERSECTION estimates (kmv_set_estimates), because the
+    retained hash sample is a uniform sample of the distinct universe
+    below theta.
+    """
+    h = F.md5(F.col(col).cast("string")).alias("h")
+    return df.select(h).distinct().orderBy("h").limit(KMV_K)
+
+
+def kmv_estimate(sketch: DataFrame) -> DataFrame:
+    """(k, est_distinct) from one KMV sketch: (k-1) / theta_frac."""
+    agg = sketch.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.max(F.expr(f"CAST(conv(substr(h, 1, {_KMV_HEX_CHARS}), 16, 10) AS BIGINT)")).alias(
+            "theta_int"
+        ),
+    )
+    est = (
+        (F.col("k") - 1).cast("double")
+        * F.lit(_KMV_SPACE)
+        / F.col("theta_int").cast("double")
+    )
+    return agg.select("k", F.round(est, 2).alias("est_distinct"))
+
+
+def kmv_set_estimates(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union / intersection distinct estimates from two KMV sketches.
+
+    theta = k-th smallest of the MERGED hash set; every retained hash
+    below theta is a uniform sample of the distinct union, so
+    |union| ≈ k_u / theta_frac and |intersection| ≈ (matches below
+    theta) / theta_frac. Both sketches are ≤ k rows — the whole
+    computation is driver-scale regardless of input size.
+    """
+    merged = a.unionByName(b).distinct().orderBy("h").limit(KMV_K)
+    theta = merged.agg(
+        F.max(F.expr(f"CAST(conv(substr(h, 1, {_KMV_HEX_CHARS}), 16, 10) AS BIGINT)")).alias(
+            "theta_int"
+        ),
+        F.count(F.lit(1)).alias("k_u"),
+    )
+    inter = (
+        a.join(b, "h")
+        .crossJoin(F.broadcast(theta))
+        .filter(
+            F.expr(f"CAST(conv(substr(h, 1, {_KMV_HEX_CHARS}), 16, 10) AS BIGINT)")
+            <= F.col("theta_int")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    est_u = (
+        (F.col("k_u") - 1).cast("double")
+        * F.lit(_KMV_SPACE)
+        / F.col("theta_int").cast("double")
+    )
+    est_i = (
+        F.col("n_common").cast("double")
+        * F.lit(_KMV_SPACE)
+        / F.col("theta_int").cast("double")
+    )
+    return (
+        theta.crossJoin(inter)
+        .select(
+            F.col("k_u").cast("int").alias("k_u"),
+            F.col("n_common").cast("int").alias("n_common"),
+            F.round(est_u, 2).alias("est_union"),
+            F.round(est_i, 2).alias("est_intersection"),
+        )
+    )

@@ -115,6 +115,7 @@ COMBOS: dict[str, list[str]] = {
         "x_sketch_hll_by",
         "x_sketch_cms",
         "x_sketch_histq",
+        "x_sketch_kmv",
     ],
     "x_events_windows": ["x_events_tumbling", "x_events_props_json"],
     "x_multimodal_meta_all": [
@@ -286,6 +287,7 @@ _ARM_COLS: dict[str, list[tuple[str, str]]] = {
     "x_sketch_hll_by": [("o_orderstatus", "s"), ("n_zero", "i"), ("est_distinct", "d")],
     "x_sketch_cms": [("probe", "i"), ("est_cnt", "i"), ("exact_cnt", "i")],
     "x_sketch_histq": [("q", "d"), ("est", "d")],
+    "x_sketch_kmv": [("k_u", "i"), ("n_common", "i"), ("est_union", "d"), ("est_intersection", "d")],
 }
 
 _NULL = "∅"

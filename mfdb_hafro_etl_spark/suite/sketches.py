@@ -205,3 +205,53 @@ def x_sketch_histq(spark: SparkSession, sf_dir: str) -> DataFrame:
     (p50/p90/p99) — the global-sort-free quantile path."""
     li = load_table(spark, sf_dir, "lineitem")
     return sk.histogram_quantiles(li, "l_quantity", 0.0, 50.0, 25, [0.5, 0.9, 0.99])
+
+
+def _sql_hex52(expr: str) -> str:
+    """52-bit integer value of the first 13 hex chars of ``expr`` —
+    DuckDB has no conv(), so spell the positional polynomial; every
+    term is exact in BIGINT (16^12 < 2^49)."""
+    terms = [
+        f"(strpos('{_HEX}', substr({expr}, {i + 1}, 1)) - 1) * {16 ** (12 - i)}::BIGINT"
+        for i in range(13)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "x_sketch_kmv",
+    f"""
+    WITH a AS (
+      SELECT DISTINCT md5(CAST(o_custkey AS VARCHAR)) AS h
+      FROM orders ORDER BY h LIMIT 256
+    ), b AS (
+      SELECT DISTINCT md5(CAST(c_custkey AS VARCHAR)) AS h
+      FROM customer WHERE c_mktsegment = 'BUILDING' ORDER BY h LIMIT 256
+    ), m AS (
+      SELECT DISTINCT h FROM (SELECT h FROM a UNION ALL SELECT h FROM b)
+      ORDER BY h LIMIT 256
+    ), theta AS (
+      SELECT MAX({_sql_hex52("h")}) AS theta_int, COUNT(*) AS k_u FROM m
+    ), inter AS (
+      SELECT COUNT(*) AS n_common
+      FROM a JOIN b USING (h) CROSS JOIN theta
+      WHERE {_sql_hex52("h")} <= theta_int
+    )
+    SELECT CAST(k_u AS INTEGER) AS k_u,
+           CAST(n_common AS INTEGER) AS n_common,
+           round(CAST(k_u - 1 AS DOUBLE) * 4503599627370496.0 / CAST(theta_int AS DOUBLE), 2) AS est_union,
+           round(CAST(n_common AS DOUBLE) * 4503599627370496.0 / CAST(theta_int AS DOUBLE), 2) AS est_intersection
+    FROM theta CROSS JOIN inter
+    """,
+)
+def x_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV/theta set-operation cardinality: distinct-customer UNION and
+    INTERSECTION estimates between ordering customers and the BUILDING
+    segment — the set algebra HLL registers cannot express. Each side
+    is a TakeOrderedAndProject of ≤256 hashes (operators/sketches.py:
+    kmv_sketch), so the estimate cost is independent of table size."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    a = sk.kmv_sketch(o, "o_custkey")
+    b = sk.kmv_sketch(c.filter(F.col("c_mktsegment") == "BUILDING"), "c_custkey")
+    return sk.kmv_set_estimates(a, b)

@@ -124,3 +124,45 @@ def test_histogram_merge_is_vector_add(lineitem):
     whole = sk.histogram_sketch(lineitem, "l_quantity", 0.0, 50.0, 25)
     diff = merged.join(whole, "bin").filter(merged["cnt"] != whole["cnt"])
     assert diff.count() == 0
+
+
+def test_kmv_estimate_accuracy(orders):
+    a = sk.kmv_sketch(orders, "o_custkey")
+    est = sk.kmv_estimate(a).collect()[0]["est_distinct"]
+    exact = orders.select("o_custkey").distinct().count()
+    # at small SF the sketch may hold the whole universe (k rows <
+    # KMV_K): then the estimate degrades to ~(k-1)/theta of an
+    # unsaturated sketch; only assert the error bound when saturated
+    if a.count() == sk.KMV_K:
+        assert abs(est - exact) / exact < 0.25, (est, exact)
+
+
+def test_kmv_intersection_bounds(orders, spark, sf_dir):
+    from mfdb_hafro_etl_spark.catalog import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    seg = cust.filter(F.col("c_mktsegment") == "BUILDING")
+    a = sk.kmv_sketch(orders, "o_custkey")
+    b = sk.kmv_sketch(seg, "c_custkey")
+    row = sk.kmv_set_estimates(a, b).collect()[0]
+    exact_inter = (
+        orders.select(F.col("o_custkey").alias("k"))
+        .distinct()
+        .join(seg.select(F.col("c_custkey").alias("k")).distinct(), "k")
+        .count()
+    )
+    if exact_inter:
+        assert abs(row["est_intersection"] - exact_inter) / exact_inter < 0.5, (
+            row, exact_inter,
+        )
+    assert row["k_u"] <= sk.KMV_K
+
+
+def test_kmv_plan_is_top_k_not_global_sort(orders):
+    """ORDER BY h LIMIT k must plan as TakeOrderedAndProject (per-
+    partition top-k), never a full Sort+Exchange of the hash stream."""
+    plan = (
+        sk.kmv_sketch(orders, "o_custkey")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan
