@@ -92,7 +92,7 @@ COMBOS: dict[str, list[str]] = {
         "d9_correction_overlay",
     ],
     "x_dedup_exact_simhash": ["x_dedup_exact", "x_dedup_simhash"],
-    "x_dedup_pairs": ["x_dedup_minhash_lsh", "x_dedup_ngram_jaccard"],
+    "x_dedup_pairs": ["x_dedup_minhash_lsh", "x_dedup_ngram_jaccard", "x_dedup_winnow"],
     "x_fingerprints": ["x_text_fingerprint", "x_text_winnow"],
     "x_search_topk": [
         "x_embed_cosine_topk",
@@ -182,7 +182,7 @@ ORDER: list[str] = [
     # LLM-pipeline extensions
     "x_dedup_exact_simhash",
     "x_dedup_pairs",
-    "x_dedup_winnow",
+    "x_layout_zorder",
     "x_fingerprints",
     "x_dedup_clusters",
     "x_search_topk",
@@ -249,6 +249,7 @@ _ARM_COLS: dict[str, list[tuple[str, str]]] = {
     "x_dedup_exact": [("content_hash", "s"), ("doc_id", "i"), ("n_copies", "i")],
     "x_dedup_simhash": [("doc_id", "i"), ("simhash", "i")],
     "x_dedup_minhash_lsh": [("id_a", "i"), ("id_b", "i"), ("jaccard", "d")],
+    "x_dedup_winnow": [("id_a", "i"), ("id_b", "i"), ("n_shared", "i")],
     "x_dedup_ngram_jaccard": [("id_a", "i"), ("id_b", "i"), ("jaccard", "d")],
     "x_embed_neardup": [("id_a", "i"), ("id_b", "i"), ("cos_sim", "d")],
     "x_semantic_dedup": [("vec_id", "i"), ("kept", "i"), ("dup_of", "i")],

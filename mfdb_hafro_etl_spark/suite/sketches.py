@@ -255,3 +255,56 @@ def x_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = sk.kmv_sketch(o, "o_custkey")
     b = sk.kmv_sketch(c.filter(F.col("c_mktsegment") == "BUILDING"), "c_custkey")
     return sk.kmv_set_estimates(a, b)
+
+
+# ---------------------------------------------------------------- layout
+# Z-order locality demonstration (operators/layout.py): quantize two
+# lineitem measures to 8-bit cells, Morton-interleave, and summarize
+# each 256-value z-range. Tight per-bucket min/max on BOTH dimensions
+# is the property that makes z-ordered parquet files prunable by
+# either predicate; the file-level proof runs in tests/test_layout.py.
+_Z_TERMS = " + ".join(
+    f"(((qx >> {b}) & 1) << {2 * b}) + (((qp >> {b}) & 1) << {2 * b + 1})"
+    for b in range(8)
+)
+
+
+@register(
+    "x_layout_zorder",
+    f"""
+    WITH cells AS (
+      SELECT LEAST(255, GREATEST(0, CAST(floor((CAST(l_quantity AS DOUBLE) - 0.0) / 0.1953125) AS INTEGER))) AS qx,
+             LEAST(255, GREATEST(0, CAST(floor((CAST(l_extendedprice AS DOUBLE) - 0.0) / 429.6875) AS INTEGER))) AS qp
+      FROM lineitem
+    ), z AS (
+      SELECT qx, qp, {_Z_TERMS} AS zv FROM cells
+    )
+    SELECT CAST(zv >> 8 AS INTEGER) AS z_hi,
+           COUNT(*) AS n,
+           MIN(qx) AS min_qx, MAX(qx) AS max_qx,
+           MIN(qp) AS min_qp, MAX(qp) AS max_qp
+    FROM z GROUP BY 1
+    """,
+)
+def x_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order cluster-key summary over lineitem (quantity ×
+    extendedprice): per 256-wide z-range, row count and per-dimension
+    cell bounds (operators/layout.py: quantize + zvalue)."""
+    from mfdb_hafro_etl_spark.operators import layout as lay
+
+    li = load_table(spark, sf_dir, "lineitem")
+    qx = lay.quantize(F.col("l_quantity"), 0.0, 50.0, 8)
+    qp = lay.quantize(F.col("l_extendedprice"), 0.0, 110000.0, 8)
+    z = lay.zvalue([F.col("qx"), F.col("qp")], 8)
+    return (
+        li.select(qx.alias("qx"), qp.alias("qp"))
+        .withColumn("zv", z)
+        .groupBy(F.shiftright(F.col("zv"), 8).cast("int").alias("z_hi"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("qx").alias("min_qx"),
+            F.max("qx").alias("max_qx"),
+            F.min("qp").alias("min_qp"),
+            F.max("qp").alias("max_qp"),
+        )
+    )
