@@ -25,6 +25,7 @@ import hashlib
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from mfdb_hafro_etl_spark.localrel import local_df
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -476,8 +477,8 @@ def build_ivf_index(
     assigned.repartition(n_centroids, F.col("__cid__")).write.mode(
         "overwrite"
     ).partitionBy("__cid__").parquet(os.path.join(path, "vectors"))
-    spark.createDataFrame(
-        [(cid, cv) for cid, cv in cents], "cid INT, centroid ARRAY<DOUBLE>"
+    local_df(
+        spark, [(cid, cv) for cid, cv in cents], "cid INT, centroid ARRAY<DOUBLE>"
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
     with open(marker, "w") as fh:
         json.dump(params, fh)

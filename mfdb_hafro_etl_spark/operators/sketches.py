@@ -56,6 +56,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from mfdb_hafro_etl_spark.localrel import local_df
 
 # 52 bits of rho material: exact in BIGINT *and* DOUBLE on every engine.
 _RHO_HEX_CHARS = 13
@@ -333,7 +334,7 @@ def histogram_quantiles(
         F.sum("cnt").over(w).alias("cum"),
     ).withColumn("cum_prev", F.col("cum") - F.col("cnt"))
     total = hist.agg(F.sum("cnt").alias("n"))
-    qdf = df.sparkSession.createDataFrame([(float(q),) for q in qs], "q double")
+    qdf = local_df(df.sparkSession, [(float(q),) for q in qs], "q double")
     # the histogram is ≤ nbins rows: broadcast everything
     hit = (
         F.broadcast(qdf)

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from mfdb_hafro_etl_spark.localrel import local_df
 
 from mfdb_hafro_etl_spark.functions.conditionals import nvl, nvl2
 from mfdb_hafro_etl_spark.functions.domain import sex_recode
@@ -93,7 +94,7 @@ def skala_med_toldum2(
     biom_teg = DEFAULT_BIOM_TEG if biom_teg is None else biom_teg
     spark = lengdir.sparkSession
     biom_rows = [(k, a, b, s) for k, (a, b, s) in sorted(biom_teg.items())]
-    biom_mat = spark.createDataFrame(biom_rows, "tegund INT, a DOUBLE, b DOUBLE, s DOUBLE")
+    biom_mat = local_df(spark, biom_rows, "tegund INT, a DOUBLE, b DOUBLE, s DOUBLE")
     ratio = build_ratio(numer, corrected_afli, corrected_vigt_synis)
 
     base = (

@@ -27,6 +27,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 from pyspark.sql import functions as F
+from mfdb_hafro_etl_spark.localrel import local_df
 
 
 def read_delimited(
@@ -121,7 +122,7 @@ def fan_out_tolerant(
     paths = {e: path_for(e) for e in entities}
     alive = {e: p for e, p in paths.items() if os.path.exists(p)}
     if not alive:
-        return spark.createDataFrame([], schema).withColumn(tag_col, F.lit(None).cast("string"))
+        return local_df(spark, [], schema).withColumn(tag_col, F.lit(None).cast("string"))
     by_path = {os.path.abspath(p): e for e, p in alive.items()}
     df = read_delimited(spark, list(alive.values()), schema, sep=sep, header=header)
     mapping = F.create_map(

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from mfdb_hafro_etl_spark.localrel import local_df
 
 from mfdb_hafro_etl_spark.catalog import load_table
 
@@ -139,7 +140,7 @@ def skipasaga(spark: SparkSession, sf_dir: str) -> DataFrame:
     if hit is not None:
         return hit
     built = _skipasaga_build(spark, sf_dir)
-    local = spark.createDataFrame(built.collect(), built.schema)
+    local = local_df(spark, [tuple(r) for r in built.collect()], built.schema)
     per_session[sf_dir] = local
     return local
 
@@ -235,8 +236,8 @@ FROM (SELECT unnest({lst}) AS t)
 
 
 def species_key(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.createDataFrame(
-        [(t, f"SP{t}") for t in SPECIES_TEGUND], "tegund INT, species STRING"
+    return local_df(
+        spark, [(t, f"SP{t}") for t in SPECIES_TEGUND], "tegund INT, species STRING"
     )
 
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from mfdb_hafro_etl_spark.localrel import local_df
 
 from mfdb_hafro_etl_spark.catalog import load_table
 from mfdb_hafro_etl_spark.operators import sketches as sk
@@ -165,7 +166,7 @@ def x_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     guarantee; a pytest property pins it)."""
     li = load_table(spark, sf_dir, "lineitem")
     sketch = sk.cms_sketch(li, "l_suppkey")
-    probes = spark.createDataFrame([(k,) for k in _CMS_PROBES], "probe int")
+    probes = local_df(spark, [(k,) for k in _CMS_PROBES], "probe int")
     est = sk.cms_point_estimate(sketch, probes, "probe")
     exact = (
         li.filter(F.col("l_suppkey").isin(*_CMS_PROBES))

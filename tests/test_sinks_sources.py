@@ -127,3 +127,46 @@ def test_packaged_taxonomy_dims(spark):
     vt = dims["vessel_type"]
     assert vt.select("vessel_type").distinct().count() == 8
     assert dims["prey_names"].filter(F.col("name").isNull()).count() == 0
+
+
+def test_local_df_parity(spark):
+    """local_df (arrow-backed LocalRelation) must agree with plain
+    createDataFrame on names, types, and values — including None in
+    every type, dates, timestamps, and array columns — while planning
+    as a JVM local relation (no Python-backed RDD scan)."""
+    import datetime
+
+    from mfdb_hafro_etl_spark.localrel import local_df
+
+    schema = (
+        "i INT, l BIGINT, d DOUBLE, s STRING, b BOOLEAN, "
+        "dt DATE, ts TIMESTAMP, arr ARRAY<DOUBLE>, bin BINARY"
+    )
+    rows = [
+        (1, 2, 1.5, "x", True, datetime.date(2020, 1, 2),
+         datetime.datetime(2020, 1, 2, 3, 4, 5), [1.0, 2.0], b"\x00\x01"),
+        (None, None, None, None, None, None, None, None, None),
+        (-7, 10**12, float("inf"), "", False, datetime.date(1970, 1, 1),
+         datetime.datetime(1999, 12, 31, 23, 59, 59), [], b""),
+    ]
+    fast = local_df(spark, rows, schema)
+    slow = spark.createDataFrame(rows, schema)
+    assert [(f.name, f.dataType) for f in fast.schema.fields] == [
+        (f.name, f.dataType) for f in slow.schema.fields
+    ]
+    assert sorted(map(str, fast.collect())) == sorted(map(str, slow.collect()))
+    # the whole point: a JVM-side local relation, not a pickled RDD
+    # evaluated through Python workers on every job
+    plan = fast._jdf.queryExecution().optimizedPlan().toString()
+    assert "LocalRelation" in plan, plan
+
+
+def test_local_df_empty_and_fallback(spark):
+    from mfdb_hafro_etl_spark.localrel import local_df
+
+    empty = local_df(spark, [], "a INT, b STRING")
+    assert empty.count() == 0 and [f.name for f in empty.schema.fields] == ["a", "b"]
+    # struct rows encoded as tuples aren't arrow-ingestible -> must
+    # fall back to createDataFrame, not error
+    df = local_df(spark, [((1, "x"),)], "s STRUCT<a INT, b STRING>")
+    assert df.collect()[0]["s"]["a"] == 1
