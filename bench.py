@@ -45,14 +45,17 @@ def main() -> None:
     # not session startup
     materialize(QUERIES[names[0]](spark, sf_dir))
 
-    # BENCH_GC_MODE (bisect knob): sweep (default) = clearCache + RDD
-    # sweep per query; full adds a per-query System.gc (round-2
-    # behavior — measured neutral-to-harmful at the 8g default heap,
-    # and the 5-min periodicGC already lets the ContextCleaner run);
-    # cache = clearCache only (round-1 behavior, leaks RDD-level
-    # checkpoint blocks); none = no per-query cleanup (measured
-    # catastrophic: 178s vs 50s on a 12-query subset).
-    gc_mode = os.environ.get("BENCH_GC_MODE", "sweep")
+    # BENCH_GC_MODE (bisect knob): full (default) = clearCache + RDD
+    # sweep + System.gc per query; sweep = no System.gc; cache =
+    # clearCache only (round-1 behavior, leaks RDD-level checkpoint
+    # blocks); none = no per-query cleanup (measured catastrophic:
+    # 178s vs 50s on a 12-query subset). Round-3 measurement flipped
+    # sweep->full: without the GC, session state that only the
+    # ContextCleaner's driver-GC hook reclaims (broadcast blocks,
+    # weak-ref'd shuffle state) accumulates across queries and
+    # queries run ~4x slower by mid-suite (9-query reproducer:
+    # 65.6s sweep vs 20.0s full; full 109-query suite 335s vs 167s).
+    gc_mode = os.environ.get("BENCH_GC_MODE", "full")
     if gc_mode not in ("none", "cache", "sweep", "full"):
         raise SystemExit(
             f"BENCH_GC_MODE={gc_mode!r} — expected none|cache|sweep|full "

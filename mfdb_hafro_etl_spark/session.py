@@ -54,6 +54,12 @@ def get_spark(
         # 104-118s at 16-32g, and the big heap made full-GC pauses
         # long enough to swing individual queries 2-6x run-to-run.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # extra driver-JVM flags (bisect knob; e.g. JIT tier caps,
+        # GC logging). Empty default = JVM defaults.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", ""),
+        )
         .config("spark.ui.enabled", "false")
         # the status listener retains 1000 jobs/stages of metadata even
         # with the UI off; long multi-query sessions don't need it

@@ -125,3 +125,41 @@ def test_duplicate_clusters_matches_union_find(spark, edges):
             parent[max(ra, rb)] = min(ra, rb)
     expect = {(n, find(n)) for n in parent}
     assert got == expect
+
+
+@given(
+    texts=st.lists(_text, min_size=1, max_size=25),
+    n=st.sampled_from([2, 3, 4]),
+)
+@settings(**_SETTINGS)
+def test_shingles_regex_equals_lambda_construction(spark, texts, n):
+    """The regexp-lookahead shingle construction (dedup.shingles) must
+    reproduce the transform/slice lambda construction exactly —
+    including empty tokens from consecutive/leading/trailing spaces
+    and null text. The `_text` strategy includes "" words, so joined
+    texts contain runs of spaces; nulls are appended explicitly."""
+    from mfdb_hafro_etl_spark.operators import dedup as dd
+    from mfdb_hafro_etl_spark.operators.text import tokens
+
+    rows = [(i, t) for i, t in enumerate(texts)] + [(len(texts), None)]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+
+    toks = tokens(F.col("text"))
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    reference = F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    got = {
+        r["doc_id"]: (r["new"], r["ref"])
+        for r in df.select(
+            "doc_id",
+            dd.shingles(F.col("text"), n).alias("new"),
+            reference.alias("ref"),
+        ).collect()
+    }
+    for doc_id, (new, ref) in got.items():
+        assert new == ref, (doc_id, new, ref)
