@@ -469,3 +469,95 @@ def duplicate_clusters(
     # blocks (the largest residue) can go now
     _unpersist_checkpoint(edges)
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def lsh_band_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """(id, band, val) LSH band keys — the shareable half of
+    minhash_lsh_pairs, split out so incremental dedup can build the
+    corpus side ONCE (at 100 TB the corpus band table is a
+    materialized index maintained alongside the corpus; the batch
+    side is computed per increment)."""
+    assert k % rows_per_band == 0
+    sig = minhash_signatures(df, id_col, text_col, n, k)
+    n_bands = k // rows_per_band
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat(
+                    *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("val"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sig.select(F.col(id_col), F.explode(bands).alias("bv")).select(
+        F.col(id_col), F.col("bv.band").alias("band"), F.col("bv.val").alias("val")
+    )
+
+
+def dedup_against(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Incremental dedup: flag batch documents that duplicate the
+    EXISTING corpus — the shape every growing training corpus needs
+    (dedupe the new crawl against 100 TB already ingested, without
+    re-pairing the corpus against itself).
+
+    Returns (id, dup_kind, match_id) for batch docs that match:
+    - ``exact``: identical text (md5 equi-join against the corpus
+      hash index; match_id = smallest matching corpus id);
+    - ``near``: shares at least one MinHash LSH band bucket with a
+      corpus doc (match_id = smallest bucket-mate), for docs not
+      already exact.
+    Clean batch docs produce no row (the common case at scale — the
+    anti-join shape keeps the output increment-sized).
+
+    Scale design: both probes are equi-joins against corpus-side
+    structures that a real deployment materializes once (hash index,
+    band table — see lsh_band_table); the batch side shuffles only
+    increment-sized data. No corpus self-join ever happens. The
+    exact arm groups the corpus per hash BEFORE the join, so a
+    boilerplate text duplicated M times in the corpus contributes
+    one row, not M, to the join."""
+    exact_index = (
+        corpus.select(
+            F.md5(F.col(text_col)).alias("__h__"), F.col(id_col).alias("__cid__")
+        )
+        .groupBy("__h__")
+        .agg(F.min("__cid__").alias("match_id"))
+    )
+    b_hash = batch.select(F.col(id_col), F.md5(F.col(text_col)).alias("__h__"))
+    exact = b_hash.join(exact_index, on="__h__").select(
+        F.col(id_col), F.lit("exact").alias("dup_kind"), "match_id"
+    )
+
+    corpus_bands = lsh_band_table(corpus, id_col, text_col, n, k, rows_per_band)
+    batch_bands = lsh_band_table(batch, id_col, text_col, n, k, rows_per_band)
+    near_all = (
+        batch_bands.join(
+            corpus_bands.select(
+                F.col("band"), F.col("val"), F.col(id_col).alias("__mid__")
+            ),
+            on=["band", "val"],
+        )
+        .groupBy(id_col)
+        .agg(F.min("__mid__").alias("match_id"))
+    )
+    near = near_all.join(exact.select(id_col), on=id_col, how="left_anti").select(
+        F.col(id_col), F.lit("near").alias("dup_kind"), "match_id"
+    )
+    return exact.unionByName(near)

@@ -102,3 +102,35 @@ def hash_split(
     last = F.lit(names[-1])
     out = last if expr is None else expr.otherwise(last)
     return df.withColumn(split_col, out)
+
+
+def per_group_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic k-per-group sample — the distributed,
+    reproducible replacement for per-group reservoir sampling: rank
+    rows within each group by hash_unit(id) (id as tie-break for the
+    measure-zero hash-collision case) and keep the k smallest.
+
+    Scale shape: ONE window pass over the group partitioning — no
+    collect, no per-group loop; at 100 TB this is a single shuffle
+    on the group key, and skewed groups cost what any windowed
+    top-k costs (AQE skew handling applies). Membership is a pure
+    function of (id, salt) ∩ group top-k, so adding rows to a group
+    only evicts the largest-hash members — the stable-under-append
+    property reservoir sampling is used for."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(hash_unit(id_col, salt).asc(), F.col(id_col).asc())
+    )
+    return (
+        df.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= k)
+        .drop("__rn__")
+    )

@@ -105,3 +105,72 @@ def bm25_topk(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def tfidf_similar_pairs(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.3,
+    max_df: int = 1000,
+) -> DataFrame:
+    """Pairwise TF-IDF cosine similarity over whitespace tokens:
+    (id_a, id_b, cos_sim) with id_a < id_b and cos_sim ≥ threshold,
+    rounded to 6.
+
+    Weight w(d,t) = tf(d,t) · idf(t) with the module's RATIONAL idf
+    ((N - df + 0.5)/(df + 0.5)) — same cross-engine-determinism
+    rationale as bm25_topk; same rank order as log-idf for the
+    idf > 0 terms that dominate similarity.
+
+    Plan shape = the shingle-join discipline of ngram_jaccard_pairs
+    applied to the term postings list:
+    - ONE explode+groupBy builds the (doc, term, tf) postings;
+    - document norms aggregate on the postings' doc partitioning;
+    - pair dot products come from the postings self-join on term,
+      gated by ``max_df`` (a stop-term shared by k docs otherwise
+      fans out k² pair rows — the quadratic blowup that kills naive
+      similarity joins at corpus scale; norms still use all terms,
+      so gated pairs' cosine is an underestimate, the standard
+      stop-word tradeoff). The doc-frequency gate is a window pass
+      over the same term partitioning the self-join shuffles on."""
+    from pyspark.sql import Window
+
+    postings = (
+        corpus.select(
+            F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+        )
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .cache()
+    )
+    n_docs = corpus.select(F.countDistinct(id_col)).first()[0]
+    weighted = postings.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    ).withColumn(
+        "w",
+        F.col("tf")
+        * (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5)),
+    )
+    norms = weighted.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm")
+    )
+    gated = weighted.filter(F.col("df") <= max_df)
+    a = gated.select(F.col(id_col).alias("id_a"), "term", F.col("w").alias("w_a"))
+    b = gated.select(F.col(id_col).alias("id_b"), "term", F.col("w").alias("w_b"))
+    dots = (
+        a.join(b, on="term")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("w_a") * F.col("w_b")).alias("dot"))
+    )
+    na = norms.select(F.col(id_col).alias("id_a"), F.col("norm").alias("n_a"))
+    nb = norms.select(F.col(id_col).alias("id_b"), F.col("norm").alias("n_b"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn("cos_sim", F.round(F.col("dot") / (F.col("n_a") * F.col("n_b")), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

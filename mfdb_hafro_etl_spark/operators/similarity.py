@@ -362,6 +362,7 @@ def _kmeans_refine(
     iters: int,
     id_col: str,
     vec_col: str,
+    round_to: int | None = None,
 ) -> list[tuple[int, list[float]]]:
     """Lloyd refinement of the deterministic lowest-id seeds: each
     iteration assigns every vector to its nearest centroid (the same
@@ -375,7 +376,11 @@ def _kmeans_refine(
     the mean so float summation order is partition-invariant. Empty
     clusters keep their previous centroid. Refinement changes recall,
     not the operator shape — callers that need exact SQL-oracle
-    parity use iters=0 (the seed centroids)."""
+    parity use iters=0 (the seed centroids), or pass ``round_to``
+    (decimal places for each updated centroid component) so a SQL
+    oracle's unordered AVG and the kernel's sorted-sum mean agree
+    despite last-ulp summation-order differences (see
+    kmeans_assign)."""
     import numpy as np
     import pandas as pd
 
@@ -401,8 +406,41 @@ def _kmeans_refine(
             mean_kernel, schema="cid int, centroid array<double>"
         ).collect()
         new = {int(r["cid"]): [float(x) for x in r["centroid"]] for r in rows}
+        if round_to is not None:
+            new = {cid: [round(x, round_to) for x in cv] for cid, cv in new.items()}
         cents = [(cid, new.get(cid, cv)) for cid, cv in cents]
     return cents
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 9,
+) -> DataFrame:
+    """Distributed k-means clustering over an embedding column:
+    deterministic lowest-id seeds, ``iters`` Lloyd rounds
+    (_kmeans_refine: assignment = narrow Arrow matmul map, update =
+    one applyInPandas mean per cluster), then the final assignment.
+    Returns (id, cid).
+
+    The driver holds only the k×dim centroid matrix between rounds
+    (driver-side LOOP, never driver-side DATA) — the same shape runs
+    unchanged on a 1000-executor cluster, where each round is one
+    map + one k-group aggregation over the corpus.
+
+    ``round_to`` (default 9 dp) rounds each updated centroid
+    component so the operator is reproducible against engines that
+    sum the mean in a different order (the SQL oracle's AVG); pass
+    None for raw float64 centroids when cross-engine hashing isn't
+    needed."""
+    cents = _ivf_centroids(emb, k, id_col, vec_col)
+    cents = _kmeans_refine(emb, cents, iters, id_col, vec_col, round_to=round_to)
+    return _ivf_assign_table(emb, cents, id_col, vec_col).select(
+        F.col(id_col), F.col("__cid__").alias("cid")
+    )
 
 
 def _ivf_probes(

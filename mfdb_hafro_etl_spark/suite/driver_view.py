@@ -92,7 +92,12 @@ COMBOS: dict[str, list[str]] = {
         "d9_correction_overlay",
     ],
     "x_dedup_exact_simhash": ["x_dedup_exact", "x_dedup_simhash"],
-    "x_dedup_pairs": ["x_dedup_minhash_lsh", "x_dedup_ngram_jaccard", "x_dedup_winnow"],
+    "x_dedup_pairs": [
+        "x_dedup_minhash_lsh",
+        "x_dedup_ngram_jaccard",
+        "x_dedup_winnow",
+        "x_dedup_incremental",
+    ],
     "x_fingerprints": ["x_text_fingerprint", "x_text_winnow"],
     "x_search_topk": [
         "x_embed_cosine_topk",
@@ -100,9 +105,10 @@ COMBOS: dict[str, list[str]] = {
         "x_ann_knn_join",
         "x_search_bm25",
         "x_search_termstats",
+        "x_search_tfidf",
     ],
-    "x_embed_neardup_sem": ["x_embed_neardup", "x_semantic_dedup"],
-    "x_sampling": ["x_sample_hash_split", "x_sample_stratified"],
+    "x_embed_neardup_sem": ["x_embed_neardup", "x_semantic_dedup", "x_kmeans_embed"],
+    "x_sampling": ["x_sample_hash_split", "x_sample_stratified", "x_sample_pergroup"],
     "x_cleaning": ["x_clean_pii", "x_clean_gopher", "x_clean_decontam"],
     "x_text_all": [
         "x_text_stats",
@@ -250,11 +256,15 @@ _ARM_COLS: dict[str, list[tuple[str, str]]] = {
     "x_dedup_simhash": [("doc_id", "i"), ("simhash", "i")],
     "x_dedup_minhash_lsh": [("id_a", "i"), ("id_b", "i"), ("jaccard", "d")],
     "x_dedup_winnow": [("id_a", "i"), ("id_b", "i"), ("n_shared", "i")],
+    "x_dedup_incremental": [("doc_id", "i"), ("dup_kind", "s"), ("match_id", "i")],
     "x_dedup_ngram_jaccard": [("id_a", "i"), ("id_b", "i"), ("jaccard", "d")],
     "x_embed_neardup": [("id_a", "i"), ("id_b", "i"), ("cos_sim", "d")],
     "x_semantic_dedup": [("vec_id", "i"), ("kept", "i"), ("dup_of", "i")],
     "x_search_bm25": [("doc_id", "i"), ("score", "d")],
     "x_search_termstats": [("term", "s"), ("df", "i")],
+    "x_search_tfidf": [("id_a", "i"), ("id_b", "i"), ("cos_sim", "d")],
+    "x_kmeans_embed": [("cid", "i"), ("n", "i"), ("min_vec", "i")],
+    "x_sample_pergroup": [("source", "s"), ("doc_id", "i")],
     "x_sample_hash_split": [("split", "s"), ("n", "i"), ("min_id", "i"), ("max_id", "i")],
     "x_sample_stratified": [("source", "s"), ("n", "i"), ("min_id", "i"), ("max_id", "i")],
     "x_clean_pii": [("c_custkey", "i"), ("n_email", "i"), ("n_phone", "i"), ("n_ip", "i"), ("redacted", "s")],

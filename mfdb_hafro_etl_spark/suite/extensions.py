@@ -1108,3 +1108,184 @@ def x_sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
     )
+
+
+# ------------------------------------------------ per-group sampling
+@register(
+    "x_sample_pergroup",
+    """
+    SELECT source, doc_id FROM (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY CAST(concat('0x', substr(md5('pg' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                          / CAST(16 ** 15 AS DOUBLE) ASC,
+                        doc_id ASC) AS rn
+      FROM documents) t
+    WHERE rn <= 3
+    """,
+)
+def x_sample_pergroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 3-per-source sample (reservoir-sampling
+    replacement): one window pass over the group partitioning, with
+    membership a pure function of (id, salt) — stable under
+    repartition/rerun/engine, stable-under-append within a group.
+    Oracle replicates the hash ranking exactly."""
+    from mfdb_hafro_etl_spark.operators import sampling as sp
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sp.per_group_sample(docs, "doc_id", "source", k=3, salt="pg").select(
+        "source", "doc_id"
+    )
+
+
+# ---------------------------------------------- incremental dedup
+def _incr_bands_sql(k: int = 8, rows_per_band: int = 2) -> str:
+    sig_cols = ",\n           ".join(
+        f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(k)
+    )
+    n_bands = k // rows_per_band
+    band_selects = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {val} AS val FROM isig".format(
+            b=b,
+            val=" || ".join(f"h{b * rows_per_band + r}" for r in range(rows_per_band)),
+        )
+        for b in range(n_bands)
+    )
+    return f"""isig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+    ibands AS ({band_selects})"""
+
+
+@register(
+    "x_dedup_incremental",
+    f"""
+    WITH {_SH_SQL},
+    {_incr_bands_sql()},
+    ex_idx AS (
+      SELECT md5(text) AS h, MIN(doc_id) AS match_id
+      FROM documents WHERE doc_id % 5 <> 0 GROUP BY 1
+    ),
+    b_exact AS (
+      SELECT d.doc_id, 'exact' AS dup_kind, e.match_id
+      FROM documents d JOIN ex_idx e ON md5(d.text) = e.h
+      WHERE d.doc_id % 5 = 0
+    ),
+    near_all AS (
+      SELECT b.doc_id, MIN(c.doc_id) AS match_id
+      FROM ibands b JOIN ibands c ON b.band = c.band AND b.val = c.val
+      WHERE b.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
+      GROUP BY b.doc_id
+    ),
+    b_near AS (
+      SELECT doc_id, 'near' AS dup_kind, match_id FROM near_all
+      WHERE doc_id NOT IN (SELECT doc_id FROM b_exact)
+    )
+    SELECT doc_id, dup_kind, match_id FROM b_exact
+    UNION ALL
+    SELECT doc_id, dup_kind, match_id FROM b_near
+    """,
+)
+def x_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: batch (doc_id % 5 == 0) probed against the
+    standing corpus (doc_id % 5 != 0) — exact-hash equi-join plus
+    MinHash LSH band bucket join, both against corpus-side structures
+    a real deployment materializes once (dedup.lsh_band_table). The
+    oracle replicates both probes; a minhash signature depends only
+    on the doc's own shingles, so per-subset signatures equal
+    filtered whole-corpus signatures."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    return dd.dedup_against(corpus, batch, "doc_id", "text", n=3, k=8, rows_per_band=2)
+
+
+# ------------------------------------------------ tf-idf similarity
+@register(
+    "x_search_tfidf",
+    """
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    postings AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+    wdf AS (SELECT p.*, COUNT(*) OVER (PARTITION BY term) AS df FROM postings p),
+    w AS (SELECT doc_id, term, df,
+                 tf * (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) AS w
+          FROM wdf, nd),
+    norms AS (SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM w GROUP BY 1),
+    dots AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.w * b.w) AS dot
+      FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+      WHERE a.df <= 50 AND b.df <= 50
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(dot / (na.nrm * nb.nrm), 6) AS cos_sim
+    FROM dots
+    JOIN norms na ON id_a = na.doc_id
+    JOIN norms nb ON id_b = nb.doc_id
+    WHERE ROUND(dot / (na.nrm * nb.nrm), 6) >= 0.3
+    """,
+)
+def x_search_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF cosine document pairs (rational idf, max_df stop-term
+    gate on pair generation, norms over ALL terms) — the
+    bag-of-words sibling of the shingle-join dedup family. Oracle
+    replicates weights, gate, and rounding exactly."""
+    from mfdb_hafro_etl_spark.operators import search as srch
+
+    docs = load_table(spark, sf_dir, "documents")
+    return srch.tfidf_similar_pairs(
+        docs, "doc_id", "text", threshold=0.3, max_df=50
+    )
+
+
+# ------------------------------------------------------- k-means
+@register(
+    "x_kmeans_embed",
+    """
+    WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent0 AS (SELECT vec_id AS cid, v AS cv FROM emb ORDER BY vec_id LIMIT 8),
+    assign0 AS (
+      SELECT e.vec_id, e.v,
+        (SELECT c.cid FROM cent0 c
+         ORDER BY ROUND(list_dot_product(e.v, c.cv) /
+                        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+                  c.cid
+         LIMIT 1) AS cid
+      FROM emb e
+    ),
+    upd AS (
+      SELECT cid, list(r ORDER BY d) AS cv FROM (
+        SELECT a.cid, t.d, ROUND(AVG(a.v[t.d]), 9) AS r
+        FROM assign0 a, unnest(generate_series(1, 64)) t(d)
+        GROUP BY a.cid, t.d) s
+      GROUP BY cid
+    ),
+    cent1 AS (
+      SELECT c0.cid, COALESCE(u.cv, c0.cv) AS cv
+      FROM cent0 c0 LEFT JOIN upd u ON c0.cid = u.cid
+    ),
+    assign1 AS (
+      SELECT e.vec_id,
+        (SELECT c.cid FROM cent1 c
+         ORDER BY ROUND(list_dot_product(e.v, c.cv) /
+                        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+                  c.cid
+         LIMIT 1) AS cid
+      FROM emb e
+    )
+    SELECT cid, COUNT(*) AS n, MIN(vec_id) AS min_vec
+    FROM assign1 GROUP BY cid
+    """,
+)
+def x_kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (k=8, one Lloyd round from deterministic
+    lowest-id seeds, centroids rounded to 9 dp for cross-engine
+    mean parity): cluster sizes + smallest member id. Exercises the
+    full iterate-assign-update loop the IVF index's kmeans_iters
+    uses; the oracle unrolls the same round in SQL (per-dimension
+    AVG, empty clusters keep their seed)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = sim.kmeans_assign(emb, k=8, iters=1, round_to=9)
+    return out.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n"), F.min("vec_id").alias("min_vec")
+    )

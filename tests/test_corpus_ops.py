@@ -324,3 +324,113 @@ def test_semantic_dedup_no_cartesian_product(spark):
     )
     plan = _plan(sim.semantic_dedup(df, threshold=0.99, n_centroids=2))
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan[:1500]
+
+
+# ------------------------------------------------ per-group sampling
+def test_per_group_sample_k_and_determinism(spark):
+    rows = [(i, f"g{i % 3}") for i in range(60)]
+    df = spark.createDataFrame(rows, "id BIGINT, grp STRING")
+    out1 = {
+        (r["grp"], r["id"])
+        for r in sp.per_group_sample(df, "id", "grp", k=4, salt="s").collect()
+    }
+    # k respected per group
+    for g in ("g0", "g1", "g2"):
+        assert len([x for x in out1 if x[0] == g]) == 4
+    # partitioning-invariant
+    out2 = {
+        (r["grp"], r["id"])
+        for r in sp.per_group_sample(
+            df.repartition(7), "id", "grp", k=4, salt="s"
+        ).collect()
+    }
+    assert out1 == out2
+    # stable-under-append: adding rows to a group only evicts members,
+    # never admits a previously-rejected one
+    bigger = df.unionByName(
+        spark.createDataFrame([(i, f"g{i % 3}") for i in range(60, 90)], "id BIGINT, grp STRING")
+    )
+    out3 = {
+        (r["grp"], r["id"])
+        for r in sp.per_group_sample(bigger, "id", "grp", k=4, salt="s").collect()
+    }
+    assert len(out3 - out1 - {(f"g{i % 3}", i) for i in range(60, 90)}) == 0
+
+
+# ------------------------------------------------ incremental dedup
+def test_dedup_against_kinds(spark):
+    from mfdb_hafro_etl_spark.operators import dedup as dd
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four five six seven"),
+            (3, "unrelated corpus text goes right here"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta"),   # exact dup of 1
+            (11, "one two three four five six EIGHT"),     # near dup of 2
+            (12, "completely novel never seen before now"),  # clean
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {
+        r["doc_id"]: (r["dup_kind"], r["match_id"])
+        for r in dd.dedup_against(corpus, batch, "doc_id", "text").collect()
+    }
+    assert out[10] == ("exact", 1)
+    assert out[11] == ("near", 2)
+    assert 12 not in out
+    # exact wins: a doc that is BOTH exact and band-mate appears once
+    assert len(out) == 2
+
+
+# ------------------------------------------------ tf-idf similarity
+def test_tfidf_pairs_known_answers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "apple banana cherry"),
+            (2, "apple banana cherry"),      # identical -> cos 1.0
+            (3, "dog emu ferret"),            # disjoint -> no pair
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in srch.tfidf_similar_pairs(df, threshold=0.3, max_df=10).collect()
+    }
+    assert out[(1, 2)] == 1.0
+    assert all(3 not in p for p in out)
+
+
+def test_tfidf_max_df_gate_blocks_stop_terms(spark):
+    # 'the' is in every doc; with max_df=1 no pair can form through it
+    df = spark.createDataFrame(
+        [(i, "the") for i in range(5)], "doc_id BIGINT, text STRING"
+    )
+    assert srch.tfidf_similar_pairs(df, threshold=0.0, max_df=1).count() == 0
+
+
+# ------------------------------------------------------- k-means
+def test_kmeans_assign_moves_boundary_point(spark):
+    # seeds are the 2 lowest ids: (0,[0,0... wait vectors must be non-zero
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        # cluster mass near [0,1] pulls centroid 1 toward [0.6, 0.8]-ish
+        (2, [0.6, 0.8]),
+        (3, [0.6, 0.8]),
+        (4, [0.6, 0.8]),
+        # borderline point: nearer seed 0 initially, nearer moved centroid after
+        (5, [0.8, 0.75]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    a0 = {r["vec_id"]: r["cid"] for r in sim.kmeans_assign(df, k=2, iters=0).collect()}
+    a1 = {r["vec_id"]: r["cid"] for r in sim.kmeans_assign(df, k=2, iters=1).collect()}
+    assert a0[5] == 0            # initially with seed [1,0]
+    assert a1[5] == 1            # after the update, with the moved centroid
+    # determinism
+    assert a1 == {r["vec_id"]: r["cid"] for r in sim.kmeans_assign(df, k=2, iters=1).collect()}
