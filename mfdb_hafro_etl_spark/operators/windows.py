@@ -74,3 +74,56 @@ def duplicate_keys(df: DataFrame, keys: Sequence[str]) -> DataFrame:
     """F7: grouped filter n()>1 — duplicate detection (reference
     R/shrimp_support_tables.R:467-468,1919-1920)."""
     return with_group_count(df, keys, "__n__").filter(F.col("__n__") > 1).drop("__n__")
+
+
+def time_range_moving_agg(
+    df,
+    ts_col: str,
+    part_col: str,
+    value_col: str,
+    days: int = 7,
+):
+    """Daily aggregate + trailing ``days``-day moving sum per
+    partition value, with TIME-RANGE window semantics: the frame is
+    `RANGE [day - (days-1), day]` over the integer epoch day, so
+    calendar gaps shorten the window (a row-count frame would
+    silently reach back past missing days — the classic
+    moving-average bug).
+
+    Two-stage shape: the daily groupBy shuffles on
+    (partition, day) — full parallelism — and the range window then
+    runs over the DAILY rows (partition-value cardinality × days),
+    orders of magnitude smaller than the event stream. At 100 TB the
+    window partition key should include a high-cardinality entity
+    (user, vessel) rather than a low-cardinality type alone; the
+    daily pre-aggregation is what keeps the window input small
+    either way.
+
+    Daily sums are rounded to 2dp BEFORE the moving sum on both
+    engines, so the cross-engine value hash doesn't depend on float
+    summation order inside the window frame."""
+    from pyspark.sql import Window
+
+    day_i = F.datediff(F.to_date(F.col(ts_col)), F.to_date(F.lit("1970-01-01")))
+    daily = (
+        df.withColumn("__day__", day_i)
+        .groupBy(part_col, "__day__")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(value_col), 2).alias("daily"),
+        )
+    )
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(F.col("__day__"))
+        .rangeBetween(-(days - 1), 0)
+    )
+    return daily.select(
+        F.col(part_col),
+        F.date_format(
+            F.date_add(F.to_date(F.lit("1970-01-01")), F.col("__day__")), "yyyy-MM-dd"
+        ).alias("day"),
+        "n",
+        "daily",
+        F.round(F.sum("daily").over(w), 2).alias(f"moving{days}"),
+    )

@@ -178,3 +178,93 @@ def import_fact(
     for label, (dim, keys) in (taxonomies or {}).items():
         df = require_fk(df, dim, keys, label=label)
     replace_by_source(df, path, data_source)
+
+
+def table_file_stats(spark: SparkSession, path: str) -> list[tuple[str, int, int]]:
+    """Per-leaf-directory (dir, n_files, total_bytes) for a parquet
+    table — the metadata pass a compaction planner needs. Driver-side
+    Hadoop FS listing: this is table METADATA (one row per file, the
+    same listing every scan's planning already does), not data."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    stats: dict[str, list[int]] = {}
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        f = it.next()
+        name = f.getPath().getName()
+        if not name.endswith(".parquet"):
+            continue
+        parent = f.getPath().getParent().toUri().getPath()
+        agg = stats.setdefault(parent, [0, 0])
+        agg[0] += 1
+        agg[1] += int(f.getLen())
+    return sorted((d, n, b) for d, (n, b) in stats.items())
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_cols: Sequence[str],
+    target_bytes: int = 128 * 1024 * 1024,
+    tmp_dir: str | None = None,
+) -> dict:
+    """Small-file compaction for a partitioned parquet table: find
+    leaf partitions whose files average under ``target_bytes / 2``
+    with more than one file, and rewrite ONLY those partitions.
+
+    The accumulation shape this fixes is intrinsic to incremental
+    ingest (replace_by_source appends per-import files; streaming
+    sinks add one file per trigger): scans pay per-file footer reads
+    and tiny row groups defeat both vectorized scan batching and
+    min/max pruning. At 100 TB compaction must never rewrite the
+    whole table — the planner touches only offending partitions, and
+    the rewrite is a dynamic partition overwrite (a metadata swap of
+    exactly those directories).
+
+    Spark refuses to overwrite a path that feeds the same job (the
+    read would race the commit), so the bad partitions are staged
+    through ``tmp_dir`` first: read (basePath-aware, keeps partition
+    columns) → rebalance-by-partition write to tmp → dynamic
+    overwrite back. Two passes over ONLY the bad partitions' bytes.
+
+    Returns {"compacted": [partition dirs], "files_before": n,
+    "files_after": m}.
+    """
+    import shutil
+    import tempfile
+
+    bad = [
+        (d, n, b)
+        for d, n, b in table_file_stats(spark, path)
+        if n > 1 and b / n < target_bytes / 2
+    ]
+    if not bad:
+        return {"compacted": [], "files_before": 0, "files_after": 0}
+    files_before = sum(n for _, n, _ in bad)
+    staged = tmp_dir or tempfile.mkdtemp(prefix="compact_")
+    try:
+        src = (
+            spark.read.option("basePath", path).parquet(*[d for d, _, _ in bad])
+        )
+        # rebalance: AQE sizes output splits to the advisory partition
+        # size and splits oversized groups across writers, so one hot
+        # partition can't serialize into a single task
+        src.hint("rebalance", *[F.col(c) for c in partition_cols]).write.mode(
+            "overwrite"
+        ).partitionBy(*partition_cols).parquet(staged)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        spark.read.parquet(staged).hint(
+            "rebalance", *[F.col(c) for c in partition_cols]
+        ).write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    finally:
+        if tmp_dir is None:
+            shutil.rmtree(staged, ignore_errors=True)
+    after = {
+        d: n for d, n, _ in table_file_stats(spark, path)
+    }
+    return {
+        "compacted": [d for d, _, _ in bad],
+        "files_before": files_before,
+        "files_after": sum(after.get(d, 0) for d, _, _ in bad),
+    }

@@ -1289,3 +1289,34 @@ def x_kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n"), F.min("vec_id").alias("min_vec")
     )
+
+
+# ----------------------------------------------- time-range moving agg
+@register(
+    "x_events_moving",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_i,
+             COUNT(*) AS n,
+             ROUND(SUM(value), 2) AS daily
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           strftime(DATE '1970-01-01' + to_days(CAST(day_i AS INTEGER)), '%Y-%m-%d') AS day,
+           n, daily,
+           ROUND(SUM(daily) OVER (
+             PARTITION BY event_type ORDER BY day_i
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS moving7
+    FROM daily
+    """,
+)
+def x_events_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day moving sum per event type with time-RANGE frame
+    semantics (calendar gaps shorten the window; a ROWS frame would
+    reach past missing days). Daily pre-aggregation keeps the window
+    input day-count-sized regardless of event volume."""
+    from mfdb_hafro_etl_spark.operators.windows import time_range_moving_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    return time_range_moving_agg(ev, "ts", "event_type", "value", days=7)

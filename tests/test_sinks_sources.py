@@ -170,3 +170,43 @@ def test_local_df_empty_and_fallback(spark):
     # fall back to createDataFrame, not error
     df = local_df(spark, [((1, "x"),)], "s STRUCT<a INT, b STRING>")
     assert df.collect()[0]["s"]["a"] == 1
+
+
+# ------------------------------------------------------- compaction
+def test_compact_partitions_only_touches_small_partitions(spark, tmp_path):
+    from mfdb_hafro_etl_spark.sinks.tables import (
+        compact_partitions,
+        table_file_stats,
+    )
+
+    path = str(tmp_path / "fact")
+    # partition a: fragmented into 8 tiny files; partition b: 1 file
+    a = spark.range(0, 400).withColumn("src", F.lit("a")).repartition(8)
+    a.write.partitionBy("src").parquet(path)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    b = spark.range(400, 500).withColumn("src", F.lit("b")).coalesce(1)
+    b.write.mode("overwrite").partitionBy("src").parquet(path)
+
+    before = {d: n for d, n, _ in table_file_stats(spark, path)}
+    assert [n for d, n in before.items() if d.endswith("src=a")] == [8]
+    b_files_before = {
+        str(f) for f in (tmp_path / "fact" / "src=b").iterdir()
+    }
+
+    content_before = sorted(
+        (r["id"], r["src"]) for r in spark.read.parquet(path).collect()
+    )
+    res = compact_partitions(spark, path, ["src"])
+    assert [d for d in res["compacted"]] and res["compacted"][0].endswith("src=a")
+    assert res["files_after"] < res["files_before"] == 8
+
+    after = {d: n for d, n, _ in table_file_stats(spark, path)}
+    assert [n for d, n in after.items() if d.endswith("src=a")] == [1]
+    # untouched partition: same physical files
+    assert {
+        str(f) for f in (tmp_path / "fact" / "src=b").iterdir()
+    } == b_files_before
+    # content identical
+    assert content_before == sorted(
+        (r["id"], r["src"]) for r in spark.read.parquet(path).collect()
+    )
