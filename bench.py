@@ -62,6 +62,12 @@ def main() -> None:
             "(a typo here would silently measure the wrong cleanup protocol)"
         )
 
+    # BENCH_GC_EVERY=N runs the System.gc on every Nth query only
+    # (cache/RDD sweep still per-query) — knob for measuring the GC's
+    # own cost vs the accumulation it prevents. Default 1.
+    gc_every = max(int(os.environ.get("BENCH_GC_EVERY", "1")), 1)
+    gc_counter = {"n": 0}
+
     def release_storage() -> None:
         # Isolate queries: clearCache drops SQL-cached plans, but
         # localCheckpoint blocks (duplicate_clusters, edge tables) are
@@ -81,7 +87,9 @@ def main() -> None:
             it.next().unpersist(False)
         if gc_mode == "sweep":
             return
-        spark.sparkContext._jvm.System.gc()
+        gc_counter["n"] += 1
+        if gc_counter["n"] % gc_every == 0:
+            spark.sparkContext._jvm.System.gc()
 
     timings: dict[str, float] = {}
     for name in names:

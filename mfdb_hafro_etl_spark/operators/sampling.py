@@ -134,3 +134,84 @@ def per_group_sample(
         .filter(F.col("__rn__") <= k)
         .drop("__rn__")
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    len_col: str,
+    max_len: int,
+    salt: str = "",
+    buckets: int = 1024,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — the GPT-style batch
+    assembly step: order documents deterministically, lay their
+    tokens end-to-end, and cut the stream into fixed ``max_len``
+    chunks. A document that straddles a cut is split across the two
+    sequences (exactly what training pipelines do; no padding waste,
+    no bin-packing search). Returns one row per (doc, sequence) span:
+
+        (id, seq_id, doc_offset, seq_offset, span_len)
+
+    where ``doc_offset`` is the span's start within the document and
+    ``seq_offset`` its start within the sequence; spans of a doc
+    reassemble the doc, spans of a seq_id fill [0, max_len) exactly
+    (last sequence excepted).
+
+    Scale shape — the global running offset is a DISTRIBUTED PREFIX
+    SUM, not a single-partition window: docs are ordered by
+    (hash-bucket, hash, id); pass 1 computes the within-bucket
+    cumulative sum (window partitioned by bucket — parallel) plus
+    per-bucket totals (``buckets`` rows, dimension-sized); pass 2
+    broadcasts the buckets' exclusive prefix totals back as the
+    bucket base offset. One shuffle + one broadcast join; no task
+    ever sees more than its bucket. The deterministic hash order
+    also acts as the shuffle step's document-level shuffling (a
+    training-data requirement), reproducible across engines/runs.
+    """
+    from pyspark.sql import Window
+
+    u = hash_unit(id_col, salt)
+    base = df.select(F.col(id_col), F.col(len_col).cast("long").alias("__len__")).filter(
+        F.col("__len__") > 0
+    )
+    withb = base.withColumn("__u__", u).withColumn(
+        "__b__", F.floor(F.col("__u__") * buckets).cast("int")
+    )
+    wb = Window.partitionBy("__b__").orderBy("__u__", id_col)
+    local = withb.withColumn(
+        "__local_end__", F.sum("__len__").over(wb)
+    )
+    totals = (
+        withb.groupBy("__b__").agg(F.sum("__len__").alias("__btot__"))
+    )
+    wtot = Window.orderBy("__b__").rowsBetween(Window.unboundedPreceding, -1)
+    # buckets-count rows: the tiny global window runs on the
+    # dimension-sized totals table, never on the corpus
+    offsets = totals.withColumn(
+        "__base__", F.coalesce(F.sum("__btot__").over(wtot), F.lit(0))
+    ).select("__b__", "__base__")
+    placed = local.join(F.broadcast(offsets), on="__b__").select(
+        F.col(id_col),
+        F.col("__len__"),
+        (F.col("__base__") + F.col("__local_end__") - F.col("__len__")).alias("__start__"),
+    )
+    end = F.col("__start__") + F.col("__len__")
+    first_chunk = F.floor(F.col("__start__") / max_len).cast("long")
+    last_chunk = F.floor((end - 1) / max_len).cast("long")
+    spans = placed.select(
+        F.col(id_col),
+        F.col("__len__"),
+        F.col("__start__"),
+        F.explode(F.sequence(first_chunk, last_chunk)).alias("seq_id"),
+    )
+    chunk_lo = F.col("seq_id") * max_len
+    span_lo = F.greatest(F.col("__start__"), chunk_lo)
+    span_hi = F.least(F.col("__start__") + F.col("__len__"), chunk_lo + max_len)
+    return spans.select(
+        F.col(id_col),
+        F.col("seq_id"),
+        (span_lo - F.col("__start__")).alias("doc_offset"),
+        (span_lo - chunk_lo).alias("seq_offset"),
+        (span_hi - span_lo).alias("span_len"),
+    )

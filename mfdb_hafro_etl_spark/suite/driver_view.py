@@ -108,7 +108,12 @@ COMBOS: dict[str, list[str]] = {
         "x_search_tfidf",
     ],
     "x_embed_neardup_sem": ["x_embed_neardup", "x_semantic_dedup", "x_kmeans_embed"],
-    "x_sampling": ["x_sample_hash_split", "x_sample_stratified", "x_sample_pergroup"],
+    "x_sampling": [
+        "x_sample_hash_split",
+        "x_sample_stratified",
+        "x_sample_pergroup",
+        "x_sample_pack",
+    ],
     "x_cleaning": ["x_clean_pii", "x_clean_gopher", "x_clean_decontam"],
     "x_text_all": [
         "x_text_stats",
@@ -265,6 +270,7 @@ _ARM_COLS: dict[str, list[tuple[str, str]]] = {
     "x_search_tfidf": [("id_a", "i"), ("id_b", "i"), ("cos_sim", "d")],
     "x_kmeans_embed": [("cid", "i"), ("n", "i"), ("min_vec", "i")],
     "x_sample_pergroup": [("source", "s"), ("doc_id", "i")],
+    "x_sample_pack": [("doc_id", "i"), ("seq_id", "i"), ("doc_offset", "i"), ("seq_offset", "i"), ("span_len", "i")],
     "x_sample_hash_split": [("split", "s"), ("n", "i"), ("min_id", "i"), ("max_id", "i")],
     "x_sample_stratified": [("source", "s"), ("n", "i"), ("min_id", "i"), ("max_id", "i")],
     "x_clean_pii": [("c_custkey", "i"), ("n_email", "i"), ("n_phone", "i"), ("n_ip", "i"), ("redacted", "s")],

@@ -1320,3 +1320,47 @@ def x_events_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return time_range_moving_agg(ev, "ts", "event_type", "value", days=7)
+
+
+# ------------------------------------------------ sequence packing
+@register(
+    "x_sample_pack",
+    """
+    WITH lens AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS l,
+             CAST(concat('0x', substr(md5('pk' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               / CAST(16 ** 15 AS DOUBLE) AS u
+      FROM documents
+      WHERE len(string_split(text, ' ')) > 0
+    ),
+    placed AS (
+      SELECT doc_id, l, SUM(l) OVER (ORDER BY u, doc_id) - l AS strt FROM lens
+    ),
+    spans AS (
+      SELECT doc_id, l, strt, t.seq_id
+      FROM placed, unnest(generate_series(
+             CAST(floor(strt / 256) AS BIGINT),
+             CAST(floor((strt + l - 1) / 256) AS BIGINT))) t(seq_id)
+    )
+    SELECT doc_id, seq_id,
+           GREATEST(strt, seq_id * 256) - strt AS doc_offset,
+           GREATEST(strt, seq_id * 256) - seq_id * 256 AS seq_offset,
+           LEAST(strt + l, seq_id * 256 + 256) - GREATEST(strt, seq_id * 256) AS span_len
+    FROM spans
+    """,
+)
+def x_sample_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing of the corpus into 256-token
+    sequences (deterministic hash shuffle order; straddling docs
+    split across sequences). The Spark side computes the global
+    running offset as a distributed two-pass prefix sum (bucketed
+    window + broadcast bucket bases); the oracle uses the equivalent
+    single global window — identical placement because the bucket
+    order refines the same (u, id) total order."""
+    from mfdb_hafro_etl_spark.operators import sampling as sp
+    from mfdb_hafro_etl_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tok", token_count(F.col("text"))
+    )
+    return sp.pack_sequences(docs, "doc_id", "n_tok", max_len=256, salt="pk")

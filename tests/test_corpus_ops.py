@@ -434,3 +434,58 @@ def test_kmeans_assign_moves_boundary_point(spark):
     assert a1[5] == 1            # after the update, with the moved centroid
     # determinism
     assert a1 == {r["vec_id"]: r["cid"] for r in sim.kmeans_assign(df, k=2, iters=1).collect()}
+
+
+# ------------------------------------------------ sequence packing
+def test_pack_sequences_invariants(spark):
+    rows = [(i, 10 + (i * 7) % 90) for i in range(50)]
+    df = spark.createDataFrame(rows, "id BIGINT, n_tok INT")
+    out = sp.pack_sequences(df, "id", "n_tok", max_len=64, salt="t").collect()
+    lens = dict(rows)
+
+    # spans reassemble each doc exactly: contiguous doc_offsets, total = len
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["id"], []).append(r)
+    assert set(by_doc) == set(lens)
+    for did, spans in by_doc.items():
+        spans = sorted(spans, key=lambda r: r["doc_offset"])
+        assert spans[0]["doc_offset"] == 0
+        pos = 0
+        for s in spans:
+            assert s["doc_offset"] == pos
+            pos += s["span_len"]
+        assert pos == lens[did]
+
+    # every sequence except the last is filled to exactly max_len,
+    # with non-overlapping contiguous seq_offsets
+    by_seq: dict[int, list] = {}
+    for r in out:
+        by_seq.setdefault(r["seq_id"], []).append(r)
+    last = max(by_seq)
+    for sid, spans in by_seq.items():
+        spans = sorted(spans, key=lambda r: r["seq_offset"])
+        pos = 0
+        for s in spans:
+            assert s["seq_offset"] == pos
+            pos += s["span_len"]
+        if sid != last:
+            assert pos == 64
+    assert sorted(by_seq) == list(range(last + 1))
+
+    # placement invariant under physical layout
+    again = sp.pack_sequences(
+        df.repartition(11), "id", "n_tok", max_len=64, salt="t"
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_pack_sequences_prefix_sum_is_distributed(spark):
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 50 + 1).alias("n_tok")
+    )
+    plan = _plan(sp.pack_sequences(df, "id", "n_tok", max_len=128, buckets=64))
+    # the corpus-sized window must partition by bucket; the only
+    # allowed SinglePartition exchange is the buckets-count totals table
+    assert "hashpartitioning(__b__" in plan
+    assert plan.count("SinglePartition") <= 1

@@ -325,3 +325,33 @@ def test_sql_surface_plans_like_dataframe(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan[:2000]
     assert _count(r"BroadcastHashJoin", plan) >= 1
     assert "PushedFilters: [" in plan
+
+
+def test_tfidf_pairs_no_cartesian_and_gated_join(spark, sf_dir):
+    """The TF-IDF pair join must be a term equi-join (never a
+    cartesian / nested-loop), with the max_df gate applied on both
+    join inputs before the pair fan-out."""
+    from mfdb_hafro_etl_spark.catalog import load_table
+    from mfdb_hafro_etl_spark.operators import search as srch
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    plan = _plan(srch.tfidf_similar_pairs(docs, threshold=0.3, max_df=50))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kmeans_assignment_is_map_only(spark, sf_dir):
+    """The k-means final assignment (after driver-side centroid
+    refinement) is a narrow Arrow map over the vectors: the plan
+    must contain the Python map node and NO shuffle exchange."""
+    from mfdb_hafro_etl_spark.catalog import load_table
+    from mfdb_hafro_etl_spark.operators.similarity import (
+        _ivf_assign_table,
+        _ivf_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _ivf_centroids(emb, 4, "vec_id", "embedding")
+    plan = _plan(_ivf_assign_table(emb, cents, "vec_id", "embedding"))
+    assert "MapInPandas" in plan or "PythonMapInArrow" in plan, plan[:1500]
+    assert "Exchange" not in plan, plan[:1500]
