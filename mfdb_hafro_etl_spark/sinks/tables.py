@@ -268,3 +268,102 @@ def compact_partitions(
         "files_before": files_before,
         "files_after": sum(after.get(d, 0) for d, _, _ in bad),
     }
+
+
+def upsert_by_key(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    partition_cols: Sequence[str],
+    tmp_dir: str | None = None,
+) -> dict:
+    """MERGE-shaped keyed upsert into a partitioned parquet table
+    without a table format: rows in ``updates`` replace existing rows
+    with the same key; new keys append. Partition-local by design —
+    an update's rows must carry their partition columns, and ONLY
+    the partitions present in ``updates`` are rewritten (dynamic
+    partition overwrite; the rest of the table is untouched bytes).
+
+    At 100 TB this is the bounded-blast-radius upsert: cost scales
+    with the touched partitions' size, not the table's. The merge
+    itself is one left-anti join (old rows whose key is NOT updated)
+    + union, shuffling only the touched partitions. Updates that
+    move a key ACROSS partitions are rejected loudly (both the old
+    and new partition would need rewriting; callers must delete +
+    re-insert explicitly), detected as the same key appearing in a
+    touched partition's old rows AND in a different partition's
+    updates — silent handling would duplicate the key.
+
+    Staged through ``tmp_dir`` (Spark refuses read+overwrite of the
+    same path in one job). Returns {"partitions": [...],
+    "updated": n, "inserted": n}.
+    """
+    import shutil
+    import tempfile
+
+    keys = list(key_cols)
+    parts = list(partition_cols)
+    touched = [tuple(r) for r in updates.select(*parts).distinct().collect()]
+    if not touched:
+        return {"partitions": [], "updated": 0, "inserted": 0}
+
+    current = spark.read.parquet(path)
+    # partition pruning: one disjunct per touched partition tuple
+    cond = None
+    for t in touched:
+        arm = None
+        for c, v in zip(parts, t):
+            e = F.col(c) == F.lit(v)
+            arm = e if arm is None else (arm & e)
+        cond = arm if cond is None else (cond | arm)
+    old = current.filter(cond)
+
+    # cross-partition key moves: the key exists ANYWHERE in the table
+    # under a different partition value. This must look beyond the
+    # touched partitions (the old copy lives elsewhere by
+    # definition), so it scans the key+partition COLUMNS of the whole
+    # table — column-pruned, metadata-light relative to the data, and
+    # the price of the no-silent-duplicates guarantee.
+    moved = (
+        current.select(*keys, *parts)
+        .join(
+            updates.select(*keys, *parts).withColumnsRenamed(
+                {c: f"__new_{c}__" for c in parts}
+            ),
+            on=keys,
+        )
+        .filter(
+            ~F.concat_ws("\x00", *[F.col(c).cast("string") for c in parts]).eqNullSafe(
+                F.concat_ws("\x00", *[F.col(f"__new_{c}__").cast("string") for c in parts])
+            )
+        )
+    )
+    n_moved = moved.limit(1).count()
+    if n_moved:
+        raise ValueError(
+            "upsert_by_key: update moves key(s) across partitions — delete + "
+            "re-insert explicitly (silent handling would leave the key "
+            "duplicated in the old partition)"
+        )
+
+    updated = old.join(updates.select(*keys), on=keys, how="left_semi")
+    n_updated = updated.count()
+    n_inserted = updates.count() - n_updated
+
+    survivors = old.join(updates.select(*keys), on=keys, how="left_anti")
+    merged = survivors.unionByName(updates.select(*current.columns))
+
+    staged = tmp_dir or tempfile.mkdtemp(prefix="upsert_")
+    try:
+        merged.hint("rebalance", *[F.col(c) for c in parts]).write.mode(
+            "overwrite"
+        ).partitionBy(*parts).parquet(staged)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        spark.read.parquet(staged).hint(
+            "rebalance", *[F.col(c) for c in parts]
+        ).write.mode("overwrite").partitionBy(*parts).parquet(path)
+    finally:
+        if tmp_dir is None:
+            shutil.rmtree(staged, ignore_errors=True)
+    return {"partitions": touched, "updated": n_updated, "inserted": int(n_inserted)}

@@ -210,3 +210,49 @@ def test_compact_partitions_only_touches_small_partitions(spark, tmp_path):
     assert content_before == sorted(
         (r["id"], r["src"]) for r in spark.read.parquet(path).collect()
     )
+
+
+def test_upsert_by_key_partition_local(spark, tmp_path):
+    from mfdb_hafro_etl_spark.sinks.tables import upsert_by_key
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0), (4, "c", 40.0)],
+        "k BIGINT, src STRING, v DOUBLE",
+    )
+    base.write.partitionBy("src").parquet(path)
+    c_files = {str(f) for f in (tmp_path / "t" / "src=c").iterdir()}
+
+    ups = spark.createDataFrame(
+        [(2, "a", 21.0), (5, "b", 50.0)], "k BIGINT, src STRING, v DOUBLE"
+    )
+    res = upsert_by_key(spark, path, ups, ["k"], ["src"])
+    assert res["updated"] == 1 and res["inserted"] == 1
+    assert sorted(res["partitions"]) == [("a",), ("b",)]
+
+    got = sorted(
+        (r["k"], r["src"], r["v"]) for r in spark.read.parquet(path).collect()
+    )
+    assert got == [
+        (1, "a", 10.0),
+        (2, "a", 21.0),
+        (3, "b", 30.0),
+        (4, "c", 40.0),
+        (5, "b", 50.0),
+    ]
+    # untouched partition keeps its physical files
+    assert {str(f) for f in (tmp_path / "t" / "src=c").iterdir()} == c_files
+
+
+def test_upsert_by_key_rejects_cross_partition_move(spark, tmp_path):
+    from mfdb_hafro_etl_spark.sinks.tables import upsert_by_key
+
+    path = str(tmp_path / "t2")
+    spark.createDataFrame(
+        [(1, "a", 10.0)], "k BIGINT, src STRING, v DOUBLE"
+    ).write.partitionBy("src").parquet(path)
+    moved = spark.createDataFrame(
+        [(1, "b", 11.0)], "k BIGINT, src STRING, v DOUBLE"
+    )
+    with pytest.raises(ValueError, match="across partitions"):
+        upsert_by_key(spark, path, moved, ["k"], ["src"])
