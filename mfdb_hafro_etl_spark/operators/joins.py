@@ -270,3 +270,68 @@ def range_join_binned(
     sel = [F.col(f"p.{c}") for c in points.columns]
     sel += [F.col(f"i.{c}") for c in intervals.columns if c not in by and c not in points.columns]
     return out.select(*sel)
+
+
+def fuzzy_trigram_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_col: str,
+    right_id: str,
+    right_col: str,
+    threshold: float = 0.35,
+    max_df: int = 100,
+) -> DataFrame:
+    """Approximate string-match join (entity resolution / record
+    linkage — the reference's vessel-name reconciliation problem
+    generalized): pairs whose lowercase character-trigram Jaccard
+    meets ``threshold``. Returns (left_id, right_id, sim), sim
+    rounded to 6.
+
+    Scale shape = the shingle-join discipline on character trigrams:
+    candidates form on a trigram equi-join (blocking), never a
+    cartesian; ``max_df`` drops trigrams shared by more than max_df
+    rows per side ("000", "ltd", " co" boilerplate) from PAIR
+    GENERATION — the k² fan-out gate — while Jaccard denominators
+    still count full trigram sets, so gated pairs' similarity is an
+    underestimate (standard stop-gram tradeoff). Trigrams come from
+    one regexp lookahead (no higher-order lambda; strings shorter
+    than 3 chars produce no trigrams and never match)."""
+    from pyspark.sql import Window
+
+    def tg(df: DataFrame, id_col: str, col: str, side: str) -> DataFrame:
+        grams = F.array_distinct(
+            F.regexp_extract_all(F.lower(F.col(col)), F.lit("(?=(.{3}))"), F.lit(1))
+        )
+        return df.select(F.col(id_col).alias(f"id_{side}"), F.explode(grams).alias("g"))
+
+    lt = tg(left, left_id, left_col, "l")
+    rt = tg(right, right_id, right_col, "r")
+    sizes_l = lt.groupBy("id_l").agg(F.count(F.lit(1)).alias("n_l"))
+    sizes_r = rt.groupBy("id_r").agg(F.count(F.lit(1)).alias("n_r"))
+    wl = Window.partitionBy("g")
+    lt_g = lt.withColumn("__df__", F.count(F.lit(1)).over(wl)).filter(
+        F.col("__df__") <= max_df
+    ).drop("__df__")
+    rt_g = rt.withColumn("__df__", F.count(F.lit(1)).over(wl)).filter(
+        F.col("__df__") <= max_df
+    ).drop("__df__")
+    inter = (
+        lt_g.join(rt_g, on="g")
+        .groupBy("id_l", "id_r")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    return (
+        inter.join(sizes_l, "id_l")
+        .join(sizes_r, "id_r")
+        .withColumn(
+            "sim",
+            F.round(F.col("i") / (F.col("n_l") + F.col("n_r") - F.col("i")), 6),
+        )
+        .filter(F.col("sim") >= threshold)
+        .select(
+            F.col("id_l").alias(left_id),
+            F.col("id_r").alias(right_id),
+            "sim",
+        )
+    )

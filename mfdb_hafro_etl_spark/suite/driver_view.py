@@ -68,6 +68,7 @@ COMBOS: dict[str, list[str]] = {
         "j11_salted_skew_join",
         "j12_asof_join",
         "j13_range_join_binned",
+        "j14_fuzzy_join",
     ],
     "w_windows": [
         "w1_sequential_id",
@@ -84,7 +85,7 @@ COMBOS: dict[str, list[str]] = {
     ],
     "ou_order_union": ["o1_topk", "u1_union_missing_cols"],
     "c_scalars": ["c1_decode_chain", "c2_string_funcs", "c3_date_funcs"],
-    "c_domain": ["c4_binning_allometric", "c6_pivot", "c8_range_bucket"],
+    "c_domain": ["c4_binning_allometric", "c6_pivot", "c6_unpivot", "c8_range_bucket"],
     "d_transforms": [
         "d3_timing_bump",
         "d5_count_scaling",
@@ -236,6 +237,7 @@ _ARM_COLS: dict[str, list[tuple[str, str]]] = {
     "j11_salted_skew_join": [("label", "s"), ("n", "i"), ("sum_qty", "d")],
     "j12_asof_join": [("o_custkey", "i"), ("o_orderdate", "s"), ("o_orderkey", "i"), ("credit_limit_asof", "d")],
     "j13_range_join_binned": [("band_id", "i"), ("n", "i"), ("sum_qty", "d")],
+    "j14_fuzzy_join": [("pid", "i"), ("match_name", "s"), ("sim", "d")],
     "w1_sequential_id": [("id", "i"), ("n_name", "s")],
     "w3_alternating_dedupe": [("l_returnflag", "s"), ("n", "i"), ("sum_qty", "d")],
     "a3_keep_first": [("l_orderkey", "i"), ("l_linenumber", "i"), ("l_quantity", "d")],
@@ -252,6 +254,7 @@ _ARM_COLS: dict[str, list[tuple[str, str]]] = {
     "c3_date_funcs": [("month_start", "s"), ("year", "i"), ("month", "i"), ("n", "i")],
     "c4_binning_allometric": [("qty_bin", "d"), ("n", "i"), ("avg_weight", "d")],
     "c6_pivot": [("year", "i"), ("F", "d"), ("O", "d"), ("P", "d")],
+    "c6_unpivot": [("year", "i"), ("status", "s"), ("total", "d")],
     "c8_range_bucket": [("division", "i"), ("n", "i")],
     "d3_timing_bump": [("month_adj", "i"), ("year_adj", "i"), ("n", "i")],
     "d5_count_scaling": [("l_returnflag", "s"), ("scaled_count", "d")],

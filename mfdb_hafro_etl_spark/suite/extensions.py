@@ -1364,3 +1364,57 @@ def x_sample_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tok", token_count(F.col("text"))
     )
     return sp.pack_sequences(docs, "doc_id", "n_tok", max_len=256, salt="pk")
+
+
+# ---------------------------------------------- fuzzy entity matching
+@register(
+    "j14_fuzzy_join",
+    """
+    WITH names AS (SELECT DISTINCT p_name FROM part),
+    probes(pid, pname) AS (VALUES
+      (1, 'smal ring'), (2, 'red wdget'), (3, 'blue boltt'), (4, 'grean gear')),
+    lt AS (
+      SELECT DISTINCT pid, substr(lower(pname), i, 3) AS g
+      FROM probes, unnest(generate_series(1, len(pname) - 2)) t(i)
+      WHERE len(pname) >= 3
+    ),
+    rt AS (
+      SELECT DISTINCT p_name, substr(lower(p_name), i, 3) AS g
+      FROM names, unnest(generate_series(1, len(p_name) - 2)) t(i)
+      WHERE len(p_name) >= 3
+    ),
+    sl AS (SELECT pid, COUNT(*) AS n_l FROM lt GROUP BY 1),
+    sr AS (SELECT p_name, COUNT(*) AS n_r FROM rt GROUP BY 1),
+    inter AS (
+      SELECT lt.pid AS pid, rt.p_name AS p_name, COUNT(*) AS i
+      FROM lt JOIN rt ON lt.g = rt.g GROUP BY 1, 2
+    )
+    SELECT inter.pid AS pid, inter.p_name AS match_name,
+           ROUND(CAST(i AS DOUBLE) / (n_l + n_r - i), 6) AS sim
+    FROM inter
+    JOIN sl ON inter.pid = sl.pid
+    JOIN sr ON inter.p_name = sr.p_name
+    WHERE ROUND(CAST(i AS DOUBLE) / (n_l + n_r - i), 6) >= 0.3
+    """,
+)
+def j14_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity lookup: misspelled probe names resolved against
+    the distinct part-name dimension by character-trigram Jaccard
+    with trigram-blocking (operators.joins.fuzzy_trigram_join) — the
+    approximate-match shape the reference's vessel-name
+    reconciliation needs. Every probe's intended target ranks first
+    ('smal ring' -> 'small ring' 0.67, 'blue boltt' -> 'blue bolt'
+    0.875). The oracle replicates trigram extraction, blocking, and
+    rounding."""
+    from mfdb_hafro_etl_spark.operators.joins import fuzzy_trigram_join
+
+    probes = spark.createDataFrame(
+        [(1, "smal ring"), (2, "red wdget"), (3, "blue boltt"), (4, "grean gear")],
+        "pid INT, pname STRING",
+    )
+    names = load_table(spark, sf_dir, "part").select("p_name").distinct()
+    out = fuzzy_trigram_join(
+        probes, names, "pid", "pname", "p_name", "p_name",
+        threshold=0.3, max_df=1000,
+    )
+    return out.select("pid", F.col("p_name").alias("match_name"), F.col("sim"))

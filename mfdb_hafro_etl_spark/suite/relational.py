@@ -1316,3 +1316,35 @@ def sql1_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 10
         """
     )
+
+
+# ------------------------------------------------------------------------ C7
+@register(
+    "c6_unpivot",
+    """
+    WITH wide AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS year,
+             ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS F,
+             ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 2) AS O,
+             ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END), 2) AS P
+      FROM orders GROUP BY 1
+    )
+    SELECT year, 'F' AS status, F AS total FROM wide
+    UNION ALL SELECT year, 'O', O FROM wide
+    UNION ALL SELECT year, 'P', P FROM wide
+    """,
+)
+def c6_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (the inverse of C6's spread — the
+    reference's gather() direction, R/shrimp_support_tables.R
+    gather/spread round trip): DataFrame.unpivot melts the pivoted
+    year × status matrix back to (year, status, total) in one
+    projection — no shuffle beyond the aggregation that built the
+    wide frame."""
+    wide = c6_pivot(spark, sf_dir)
+    return wide.unpivot(
+        ids=["year"],
+        values=["F", "O", "P"],
+        variableColumnName="status",
+        valueColumnName="total",
+    )

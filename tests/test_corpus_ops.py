@@ -489,3 +489,31 @@ def test_pack_sequences_prefix_sum_is_distributed(spark):
     # allowed SinglePartition exchange is the buckets-count totals table
     assert "hashpartitioning(__b__" in plan
     assert plan.count("SinglePartition") <= 1
+
+
+# ------------------------------------------------ fuzzy trigram join
+def test_fuzzy_trigram_join_blocks_and_gates(spark):
+    from mfdb_hafro_etl_spark.operators.joins import fuzzy_trigram_join
+
+    left = spark.createDataFrame(
+        [(1, "acme corp"), (2, "zz")], "lid INT, lname STRING"
+    )
+    right = spark.createDataFrame(
+        [(10, "acme corp."), (11, "bolt ltd"), (12, "zz")],
+        "rid INT, rname STRING",
+    )
+    out = {
+        (r["lid"], r["rid"]): r["sim"]
+        for r in fuzzy_trigram_join(
+            left, right, "lid", "lname", "rid", "rname", threshold=0.3
+        ).collect()
+    }
+    assert (1, 10) in out and out[(1, 10)] > 0.8   # near-identical
+    assert all(rid != 11 for _, rid in out)         # disjoint never pairs
+    assert all(lid != 2 for lid, _ in out)          # <3 chars → no trigrams
+    # plan: equi-join blocking, never a cartesian
+    plan = _plan(
+        fuzzy_trigram_join(left, right, "lid", "lname", "rid", "rname")
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
