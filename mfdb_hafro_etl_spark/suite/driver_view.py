@@ -129,7 +129,12 @@ COMBOS: dict[str, list[str]] = {
         "x_sketch_histq",
         "x_sketch_kmv",
     ],
-    "x_events_windows": ["x_events_tumbling", "x_events_props_json", "x_events_moving"],
+    "x_events_windows": [
+        "x_events_tumbling",
+        "x_events_props_json",
+        "x_events_moving",
+        "x_events_retention",
+    ],
     "x_multimodal_meta_all": [
         "x_multimodal_meta",
         "x_multimodal_decode_meta",
@@ -291,6 +296,7 @@ _ARM_COLS: dict[str, list[tuple[str, str]]] = {
     "x_events_tumbling": [("window_start", "s"), ("event_type", "s"), ("n", "i"), ("sum_value", "d")],
     "x_events_props_json": [("k_bucket", "i"), ("n", "i"), ("sum_value", "d")],
     "x_events_moving": [("event_type", "s"), ("day", "s"), ("n", "i"), ("daily", "d"), ("moving7", "d")],
+    "x_events_retention": [("cohort", "i"), ("week_offset", "i"), ("n_active", "i")],
     "x_multimodal_meta": [("media_id", "i"), ("mime", "s"), ("n_bytes", "i"), ("sha256", "s")],
     "x_multimodal_decode_meta": [("media_id", "i"), ("width", "i"), ("height", "i"), ("channels", "i")],
     "x_multimodal_real_meta": [("media_id", "i"), ("width", "i"), ("height", "i"), ("channels", "i")],

@@ -1418,3 +1418,42 @@ def j14_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.3, max_df=1000,
     )
     return out.select("pid", F.col("p_name").alias("match_name"), F.col("sim"))
+
+
+# ------------------------------------------------ cohort retention
+@register(
+    "x_events_retention",
+    """
+    WITH act AS (
+      SELECT DISTINCT user_id,
+             datediff('week', DATE '1970-01-05', CAST(ts AS DATE)) AS week_i
+      FROM events
+    ),
+    firsts AS (SELECT user_id, MIN(week_i) AS cohort FROM act GROUP BY 1)
+    SELECT f.cohort, a.week_i - f.cohort AS week_offset,
+           COUNT(*) AS n_active
+    FROM act a JOIN firsts f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def x_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention — first-seen week per user vs later
+    active weeks, the standard product-analytics triangle. Week
+    index = whole weeks since Monday 1970-01-05, so both engines
+    bucket identically without ISO-week edge cases. Plan shape: one
+    distinct over (user, week) — the only corpus-sized shuffle —
+    then a min-aggregate and a user-keyed broadcast-size join; the
+    output is cohort² sized."""
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id",
+        F.floor(
+            F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-05"))) / 7
+        ).cast("bigint").alias("week_i"),
+    ).distinct()
+    firsts = act.groupBy("user_id").agg(F.min("week_i").alias("cohort"))
+    return (
+        act.join(firsts, on="user_id")
+        .groupBy("cohort", (F.col("week_i") - F.col("cohort")).alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
