@@ -134,6 +134,7 @@ COMBOS: dict[str, list[str]] = {
         "x_events_props_json",
         "x_events_moving",
         "x_events_retention",
+        "x_events_sessionize",
     ],
     "x_multimodal_meta_all": [
         "x_multimodal_meta",
@@ -172,6 +173,7 @@ ORDER: list[str] = [
     "p9_shrimp_ldist",
     "p10_statlant",
     "p11_old_landings",
+    "p12_corpus_build",
     # query API (mfdb_sample_* shapes)
     "m6_sample_count",
     "m6_totalweight_meanlength",
@@ -209,7 +211,6 @@ ORDER: list[str] = [
     "x_sketches",
     "x_cleaning",
     "x_sampling",
-    "x_events_sessionize",
     "x_events_windows",
     "x_multimodal_meta_all",
     "x_stream_windows",
@@ -297,6 +298,7 @@ _ARM_COLS: dict[str, list[tuple[str, str]]] = {
     "x_events_props_json": [("k_bucket", "i"), ("n", "i"), ("sum_value", "d")],
     "x_events_moving": [("event_type", "s"), ("day", "s"), ("n", "i"), ("daily", "d"), ("moving7", "d")],
     "x_events_retention": [("cohort", "i"), ("week_offset", "i"), ("n_active", "i")],
+    "x_events_sessionize": [("user_id", "i"), ("session_no", "i"), ("n_events", "i"), ("duration_s", "d")],
     "x_multimodal_meta": [("media_id", "i"), ("mime", "s"), ("n_bytes", "i"), ("sha256", "s")],
     "x_multimodal_decode_meta": [("media_id", "i"), ("width", "i"), ("height", "i"), ("channels", "i")],
     "x_multimodal_real_meta": [("media_id", "i"), ("width", "i"), ("height", "i"), ("channels", "i")],

@@ -1457,3 +1457,160 @@ def x_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort", (F.col("week_i") - F.col("cohort")).alias("week_offset"))
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+# ---------------------------------------- corpus-build flagship (p12)
+def _p12_sql() -> str:
+    k, rpb = 8, 2
+    sig_cols = ",\n             ".join(
+        f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(k)
+    )
+    band_selects = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {val} AS val FROM sig".format(
+            b=b, val=" || ".join(f"h{b * rpb + r}" for r in range(rpb))
+        )
+        for b in range(k // rpb)
+    )
+    return f"""
+    WITH RECURSIVE
+    arr AS (SELECT doc_id, text, string_split(text, ' ') AS a FROM documents),
+    bi_all AS (
+      SELECT doc_id, concat_ws(' ', a[i], a[i + 1]) AS bg
+      FROM arr, unnest(generate_series(1, len(a) - 1)) t(i) WHERE len(a) >= 2
+    ),
+    bi AS (
+      SELECT doc_id, MAX(cnt) AS top_bi_cnt
+      FROM (SELECT doc_id, bg, COUNT(*) AS cnt FROM bi_all GROUP BY doc_id, bg)
+      GROUP BY doc_id
+    ),
+    m AS (
+      SELECT arr.doc_id, arr.text,
+             len(a) AS n_tokens,
+             CAST(len(list_distinct(a)) AS DOUBLE) / greatest(len(a), 1) AS ttr,
+             CAST(COALESCE(bi.top_bi_cnt, 0) AS DOUBLE) / greatest(len(a) - 1, 1) AS top_bigram,
+             CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+               / greatest(len(a), 1) AS sym_ratio
+      FROM arr LEFT JOIN bi ON arr.doc_id = bi.doc_id
+    ),
+    keepers AS (
+      SELECT doc_id, text FROM m
+      WHERE n_tokens >= 5 AND n_tokens <= 10000
+        AND ttr >= 0.2 AND top_bigram <= 0.25 AND sym_ratio <= 0.5
+    ),
+    ex AS (SELECT MIN(doc_id) AS doc_id FROM keepers GROUP BY md5(text)),
+    s1 AS (SELECT k2.doc_id, k2.text FROM keepers k2 JOIN ex USING (doc_id)),
+    arr2 AS (SELECT doc_id, string_split(text, ' ') AS a FROM s1),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(list_slice(a, i, i + 2), ' ') AS shingle
+           FROM arr2, unnest(generate_series(1, len(a) - 2)) t(i) WHERE len(a) >= 3),
+    sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+    bands AS ({band_selects}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS i
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.id_a
+      JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT i.id_a, i.id_b
+      FROM inter i JOIN sz sa ON i.id_a = sa.doc_id JOIN sz sb ON i.id_b = sb.doc_id
+      WHERE ROUND(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 6) >= 0.6
+    ),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(node, lab) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    clus AS (SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node),
+    s2 AS (
+      SELECT s1.doc_id, s1.text FROM s1 LEFT JOIN clus ON s1.doc_id = clus.doc_id
+      WHERE clus.doc_id IS NULL OR clus.cluster_id = s1.doc_id
+    ),
+    sp AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS ntok,
+             CASE WHEN u < 0.9 THEN 'train' WHEN u < 0.95 THEN 'valid' ELSE 'test' END AS split
+      FROM (SELECT doc_id, text,
+                   CAST(concat('0x', substr(md5('cb' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                     / CAST(16 ** 15 AS DOUBLE) AS u
+            FROM s2) t
+    ),
+    placed AS (
+      SELECT SUM(ntok) OVER (
+        ORDER BY CAST(concat('0x', substr(md5('cbp' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                   / CAST(16 ** 15 AS DOUBLE), doc_id) AS e
+      FROM sp WHERE split = 'train' AND ntok > 0
+    ),
+    nseq AS (SELECT COALESCE(CAST(CEIL(CAST(MAX(e) AS DOUBLE) / 256) AS BIGINT), 0) AS n FROM placed)
+    SELECT split, COUNT(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+           CASE WHEN split = 'train' THEN (SELECT n FROM nseq) ELSE 0 END AS n_seqs
+    FROM sp GROUP BY split
+    """
+
+
+@register("p12_corpus_build", _p12_sql())
+def p12_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus build — the extension-surface
+    flagship, composing the pipeline a 100 TB pretraining corpus
+    actually runs:
+
+      quality filter (Gopher rules, Arrow kernel, map-only)
+      → exact dedup (hash groupBy, keep smallest id)
+      → near-dup removal (MinHash-LSH pairs → connected components →
+        keep each cluster's representative)
+      → deterministic train/valid/test split (hash, leak-proof)
+      → sequence packing of the train split (distributed prefix sum)
+
+    Output: per-split doc/token counts + packed train sequence count.
+    Every stage is the already-verified operator; the oracle composes
+    the same stages in one SQL chain (recursive CTE for the
+    components), so the INTEGRATION is hash-verified too — stage
+    wiring bugs (filtering after split, packing before dedup) would
+    flip the counts."""
+    from mfdb_hafro_etl_spark.operators import cleaning as cl
+    from mfdb_hafro_etl_spark.operators import sampling as sp
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = cl.gopher_metrics_table(docs, "doc_id", "text")
+    keep = (
+        (F.col("n_tokens") >= 5)
+        & (F.col("n_tokens") <= 10000)
+        & (F.col("ttr") >= 0.2)
+        & (F.col("top_bigram") <= 0.25)
+        & (F.col("sym_ratio") <= 0.5)
+    )
+    kept = docs.join(m.filter(keep).select("doc_id"), "doc_id")
+    ex = kept.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("doc_id"))
+    s1 = kept.join(ex.select("doc_id"), "doc_id").cache()
+    pairs = dd.minhash_lsh_pairs(
+        s1, "doc_id", "text", n=3, k=8, rows_per_band=2, threshold=0.6
+    )
+    clus = dd.duplicate_clusters(pairs)
+    dupes = clus.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    s2 = s1.join(dupes, "doc_id", "left_anti")
+    split_df = sp.hash_split(
+        s2, "doc_id", {"train": 0.9, "valid": 0.05, "test": 0.05}, salt="cb"
+    )
+    with_tok = split_df.withColumn("n_tok", tx.token_count(F.col("text")))
+    packed = sp.pack_sequences(
+        with_tok.filter(F.col("split") == "train"), "doc_id", "n_tok",
+        max_len=256, salt="cbp",
+    )
+    nseq = packed.agg(F.countDistinct("seq_id").alias("n_seqs")).withColumn(
+        "split", F.lit("train")
+    )
+    summary = with_tok.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+    )
+    return summary.join(nseq, "split", "left").select(
+        "split", "n_docs", "n_tokens",
+        F.coalesce(F.col("n_seqs"), F.lit(0)).cast("long").alias("n_seqs"),
+    )
