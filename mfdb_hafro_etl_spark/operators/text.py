@@ -236,3 +236,80 @@ def winnow_fingerprint_table(
     src = df.select(id_col, text_col)
     id_type = src.schema[id_col].dataType.simpleString()
     return src.mapInPandas(gen, schema=f"{id_col} {id_type}, fp bigint")
+
+
+def content_defined_chunks(
+    df, id_col: str, text_col: str, k: int = 5, divisor: int = 64
+):
+    """Content-defined chunking (FastCDC/rsync-style, on text): cut a
+    document AFTER every character k-gram whose rolling hash ≡ 0
+    (mod ``divisor``) — boundaries are a pure function of LOCAL
+    content, so an edit reshapes only its own chunk instead of
+    shifting every later boundary (the fixed-size-chunking failure
+    mode that breaks RAG-chunk caching and chunk-level dedup).
+    Expected chunk length ≈ divisor chars.
+
+    Returns (id, chunk_id, start, length, chunk_hash) — start is
+    1-based (SQL substr convention), chunk_hash = md5 of the chunk
+    text (the content address a chunk-level dedup/cache keys on).
+
+    Same gram hash as the winnowing family (first 8 hex of md5 as a
+    bigint — engine-portable, no RNG), same Arrow-kernel execution
+    rationale as winnow_fingerprint_table; the SQL oracle replicates
+    boundaries with the identical hash rule. Map-only: no shuffle,
+    chunking 100 TB is embarrassingly parallel."""
+    import hashlib as _hl
+
+    import pandas as _pd
+
+    from mfdb_hafro_etl_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(df.sparkSession)
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            ids, cids, starts, lens, hashes = [], [], [], [], []
+            for did, t in zip(pdf[id_col], pdf[text_col]):
+                t = t or ""
+                L = len(t)
+                if L == 0:
+                    continue
+                cuts = sorted(
+                    {
+                        j + k + 1
+                        for j in range(L - k + 1)
+                        if int(
+                            _hl.md5(t[j : j + k].encode("utf-8")).hexdigest()[:8], 16
+                        )
+                        % divisor
+                        == 0
+                    }
+                    | {L + 1}
+                )
+                start = 1
+                for cid, cut in enumerate(cuts):
+                    if cut <= start:
+                        continue
+                    chunk = t[start - 1 : cut - 1]
+                    ids.append(did)
+                    cids.append(cid)
+                    starts.append(start)
+                    lens.append(len(chunk))
+                    hashes.append(_hl.md5(chunk.encode("utf-8")).hexdigest())
+                    start = cut
+            yield _pd.DataFrame(
+                {
+                    id_col: ids,
+                    "chunk_id": cids,
+                    "start": starts,
+                    "length": lens,
+                    "chunk_hash": hashes,
+                }
+            )
+
+    src = df.select(id_col, text_col)
+    id_type = src.schema[id_col].dataType.simpleString()
+    return src.mapInPandas(
+        gen,
+        schema=f"{id_col} {id_type}, chunk_id int, start int, length int, chunk_hash string",
+    )

@@ -99,7 +99,7 @@ COMBOS: dict[str, list[str]] = {
         "x_dedup_winnow",
         "x_dedup_incremental",
     ],
-    "x_fingerprints": ["x_text_fingerprint", "x_text_winnow"],
+    "x_fingerprints": ["x_text_fingerprint", "x_text_winnow", "x_text_chunks"],
     "x_search_topk": [
         "x_embed_cosine_topk",
         "x_ann_lsh_topk",
@@ -108,7 +108,12 @@ COMBOS: dict[str, list[str]] = {
         "x_search_termstats",
         "x_search_tfidf",
     ],
-    "x_embed_neardup_sem": ["x_embed_neardup", "x_semantic_dedup", "x_kmeans_embed"],
+    "x_embed_neardup_sem": [
+        "x_embed_neardup",
+        "x_semantic_dedup",
+        "x_kmeans_embed",
+        "x_embed_quantize",
+    ],
     "x_sampling": [
         "x_sample_hash_split",
         "x_sample_stratified",
@@ -287,6 +292,8 @@ _ARM_COLS: dict[str, list[tuple[str, str]]] = {
     "x_clean_decontam": [("doc_id", "i"), ("n_shared_ngrams", "i")],
     "x_text_fingerprint": [("doc_id", "i"), ("fingerprint", "s")],
     "x_text_winnow": [("doc_id", "i"), ("fp", "i")],
+    "x_text_chunks": [("doc_id", "i"), ("chunk_id", "i"), ("start", "i"), ("length", "i"), ("chunk_hash", "s")],
+    "x_embed_quantize": [("vec_id", "i"), ("code_l1", "i"), ("max_err", "d")],
     "x_embed_cosine_topk": [("vec_id", "i"), ("cos_sim", "d")],
     "x_ann_lsh_topk": [("vec_id", "i"), ("cos_sim", "d")],
     "x_ann_knn_join": [("query_id", "i"), ("vec_id", "i"), ("cos_sim", "d")],

@@ -1614,3 +1614,76 @@ def p12_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         "split", "n_docs", "n_tokens",
         F.coalesce(F.col("n_seqs"), F.lit(0)).cast("long").alias("n_seqs"),
     )
+
+
+# ------------------------------------------- content-defined chunking
+@register(
+    "x_text_chunks",
+    """
+    WITH g AS (SELECT doc_id, text, length(text) AS L FROM documents WHERE length(text) > 0),
+    cutj AS (
+      SELECT doc_id, i + 5 AS cut
+      FROM g, unnest(generate_series(1, L - 4)) t(i)
+      WHERE L >= 5
+        AND CAST(concat('0x', substr(md5(substr(text, CAST(i AS INT), 5)), 1, 8)) AS BIGINT) % 64 = 0
+    ),
+    cuts AS (
+      SELECT doc_id, cut FROM cutj
+      UNION
+      SELECT doc_id, L + 1 FROM g
+    ),
+    segs AS (
+      SELECT doc_id, cut,
+             COALESCE(LAG(cut) OVER (PARTITION BY doc_id ORDER BY cut), 1) AS strt,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cut) - 1 AS chunk_id
+      FROM cuts
+    )
+    SELECT s.doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           CAST(strt AS INT) AS start,
+           CAST(cut - strt AS INT) AS length,
+           md5(substr(g.text, CAST(strt AS INT), CAST(cut - strt AS INT))) AS chunk_hash
+    FROM segs s JOIN g ON s.doc_id = g.doc_id
+    """,
+)
+def x_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (FastCDC-style): boundaries where the
+    char-5-gram rolling hash ≡ 0 mod 64 — edits reshape only their
+    own chunk (the RAG-chunk-cache / chunk-dedup property fixed-size
+    chunking lacks). Arrow kernel, map-only; oracle replicates the
+    boundary rule with the identical md5-8hex gram hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.content_defined_chunks(docs, "doc_id", "text", k=5, divisor=64)
+
+
+# ------------------------------------------- embedding quantization
+@register(
+    "x_embed_quantize",
+    """
+    WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    ex AS (SELECT vec_id, t.d AS d, v[t.d] AS x
+           FROM emb, unnest(generate_series(1, 64)) t(d)),
+    st AS (SELECT d, MIN(x) AS lo, MAX(x) AS hi FROM ex GROUP BY d),
+    q AS (
+      SELECT ex.vec_id,
+             CASE WHEN hi > lo
+                  THEN LEAST(GREATEST(FLOOR((x - lo) / ((hi - lo) / 255.0) + 0.5), 0), 255)
+                  ELSE 0 END AS code,
+             CASE WHEN hi > lo THEN (hi - lo) / 255.0 ELSE 0.0 END AS scale,
+             lo, x
+      FROM ex JOIN st ON ex.d = st.d
+    )
+    SELECT vec_id,
+           CAST(SUM(code) AS BIGINT) AS code_l1,
+           ROUND(MAX(ABS(lo + code * scale - x)), 6) AS max_err
+    FROM q GROUP BY vec_id
+    """,
+)
+def x_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of the embedding corpus (per-dim
+    min/max affine codes) with per-vector code-sum and max
+    reconstruction error — the 4× memory cut an ANN index takes at
+    scale. floor(x+0.5) code rounding on both engines (no
+    half-to-even divergence); the dimension stats are the only
+    driver-collected state (64 rows)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.quantize_embeddings(emb)
