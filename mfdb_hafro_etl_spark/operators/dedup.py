@@ -368,6 +368,7 @@ def duplicate_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 30,
+    driver_max_edges: int = 4_000_000,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs → duplicate
     clusters: every doc that appears in a pair gets
@@ -385,6 +386,20 @@ def duplicate_clusters(
     The driver loop is control-only (driver-side LOOP, never
     driver-side DATA).
 
+    Broadcast-sized graphs take a driver fast path: when the
+    materialized edge list is under ``driver_max_edges`` (default 4M
+    edges ≈ the same 64 MB the session allows a broadcast join's
+    build side — the identical runtime-size decision), the edges are
+    collected and solved with union-find + path compression, and the
+    node-count-sized result returns as a JVM local relation. The
+    distributed loop below pays ~1.5 s of scheduling per round
+    regardless of data size, so a small pair graph (the common case:
+    pair generation is already threshold-gated) costs seconds for
+    nothing; at corpus scale the edge list blows the gate and the
+    O(log d) loop is the only path that works. Both paths are pinned
+    to agree with a pure union-find reference on random graphs
+    (tests/test_corpus_property.py).
+
     Round 1 is fused into the init: label(v) = min(v, min N(v)) is
     a single aggregation over the edge list, no join. The symmetric
     edge union cannot produce duplicate rows from (a<b) input pairs
@@ -397,9 +412,52 @@ def duplicate_clusters(
     min-groupBy, so "did anything change" is a filter over the
     already-checkpointed result, no second join.
     """
-    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-    edges = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    edges = edges.localCheckpoint(eager=True)
+    # checkpoint the ONE-orientation pair list before the symmetric
+    # union: each union branch otherwise re-evaluates the (expensive,
+    # shuffle-heavy) pair-generation plan feeding `pairs` — measured
+    # 2× the whole operator's cost on the LSH pair graph
+    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")).localCheckpoint(
+        eager=True
+    )
+    # runtime size gate (the checkpoint makes the count free): small
+    # graph → exact driver union-find, one job, no iteration, and the
+    # symmetric union is never built
+    if 2 * e.count() <= driver_max_edges:
+        try:
+            rows = e.collect()
+        finally:
+            _unpersist_checkpoint(e)
+        parent: dict = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in rows:
+            ra, rb = find(r[0]), find(r[1])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        from pyspark.sql import types as T
+
+        from mfdb_hafro_etl_spark.localrel import local_df
+
+        id_type = pairs.schema[id_a].dataType
+        return local_df(
+            pairs.sparkSession,
+            sorted((n, find(n)) for n in parent),
+            T.StructType(
+                [
+                    T.StructField("doc_id", id_type),
+                    T.StructField("cluster_id", id_type),
+                ]
+            ),
+        )
+    edges = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    _unpersist_checkpoint(e)
     labels = (
         edges.groupBy("a")
         .agg(F.least(F.col("a"), F.min("b")).alias("label"))

@@ -106,7 +106,14 @@ def test_duplicate_clusters_matches_union_find(spark, edges):
     pairs = spark.createDataFrame(
         [(min(a, b), max(a, b)) for a, b in edges], "id_a BIGINT, id_b BIGINT"
     )
+    # driver_max_edges=0 forces the distributed O(log d) loop;
+    # the default takes the broadcast-sized driver union-find path —
+    # both must agree with the reference
     got = {
+        (r.doc_id, r.cluster_id)
+        for r in dd.duplicate_clusters(pairs, max_iter=30, driver_max_edges=0).collect()
+    }
+    got_driver = {
         (r.doc_id, r.cluster_id)
         for r in dd.duplicate_clusters(pairs, max_iter=30).collect()
     }
@@ -125,6 +132,7 @@ def test_duplicate_clusters_matches_union_find(spark, edges):
             parent[max(ra, rb)] = min(ra, rb)
     expect = {(n, find(n)) for n in parent}
     assert got == expect
+    assert got_driver == expect
 
 
 @given(
