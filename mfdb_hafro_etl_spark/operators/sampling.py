@@ -215,3 +215,58 @@ def pack_sequences(
         (span_lo - chunk_lo).alias("seq_offset"),
         (span_hi - span_lo).alias("span_len"),
     )
+
+
+def temperature_rates(
+    df: DataFrame,
+    source_col: str,
+    temperature: float,
+    target_frac: float = 1.0,
+) -> dict[str, float]:
+    """Per-source keep rates for temperature-based corpus mixing
+    (the multilingual-sampling rule: p_s ∝ n_s^(1/T)). T=1 keeps the
+    natural distribution; T→∞ equalizes sources; ``target_frac``
+    scales the expected surviving fraction of the whole corpus.
+
+    rate_s = min(1, target_frac · N · (w_s / Z) / n_s),
+    w_s = n_s^(1/T), Z = Σ w_s — rounded HALF_UP to 6dp so the rate
+    literals are engine-portable (an oracle recomputing them in SQL
+    rounds to the same 6dp; T=2 keeps the power a correctly-rounded
+    sqrt on every engine).
+
+    One count aggregation (source cardinality is policy-sized —
+    thousands at most against a 100 TB corpus); the returned dict
+    feeds stratified_sample, whose CASE-literal filter is the only
+    corpus-side work.
+    """
+    import math
+
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_total = sum(counts.values())
+    weights = {s: float(n) ** (1.0 / temperature) for s, n in counts.items()}
+    z = math.fsum(weights[s] for s in sorted(weights))
+    return {
+        s: math.floor(min(1.0, target_frac * n_total * (weights[s] / z) / counts[s]) * 1e6 + 0.5) / 1e6
+        for s in counts
+    }
+
+
+def temperature_sample(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    temperature: float,
+    target_frac: float = 1.0,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic temperature mixing: compute per-source rates
+    (temperature_rates) and keep rows via the hash-unit filter —
+    membership a pure function of (id, salt), one codegen'd filter
+    over the corpus, no join, no shuffle."""
+    rates = temperature_rates(df, source_col, temperature, target_frac)
+    return stratified_sample(df, id_col, source_col, rates, salt=salt)

@@ -174,3 +174,52 @@ def tfidf_similar_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    k_rrf: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two top-k candidate lists — the
+    standard hybrid-retrieval combiner (sparse BM25 + dense cosine):
+
+        rrf(d) = Σ_lists 1 / (k_rrf + rank_list(d))
+
+    Inputs are (id, score) frames that are ALREADY top-k bounded by
+    their retrievers (bm25_topk / cosine_topk) — candidate lists, not
+    corpora. Because both sides are k-sized by contract, the
+    unpartitioned row_number window and the full-outer join are
+    single-task over k rows no matter the corpus size behind them;
+    the expensive work happened in the retrievers, which scale by
+    their own plans. Ranks tie-break on id over 6dp-rounded scores,
+    so fusion is deterministic and engine-portable.
+
+    Returns (id, rank_a, rank_b, rrf_score) — ranks NULL where a doc
+    appears in only one list — ordered by rrf_score desc, id asc,
+    limited to ``k``.
+    """
+    from pyspark.sql import Window
+
+    def _ranks(df: DataFrame, out: str) -> DataFrame:
+        w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+        return df.select(F.col(id_col), F.row_number().over(w).alias(out))
+
+    ra = _ranks(ranked_a, "rank_a")
+    rb = _ranks(ranked_b, "rank_b")
+    fused = ra.join(rb, on=id_col, how="full")
+    contrib_a = F.coalesce(1.0 / (F.lit(k_rrf) + F.col("rank_a")), F.lit(0.0))
+    contrib_b = F.coalesce(1.0 / (F.lit(k_rrf) + F.col("rank_b")), F.lit(0.0))
+    return (
+        fused.select(
+            F.col(id_col),
+            F.col("rank_a"),
+            F.col("rank_b"),
+            F.round(contrib_a + contrib_b, 6).alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc(id_col))
+        .limit(k)
+    )

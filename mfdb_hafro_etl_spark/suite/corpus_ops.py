@@ -342,3 +342,87 @@ def x_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "vec_id", F.col("kept").cast("int").alias("kept"), "dup_of"
     )
+
+
+# ------------------------------------------------ hybrid retrieval (RRF)
+_RRF_SQL = f"""
+    WITH bm AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+      FROM ( {_bm25_sql(_BM25_TERMS, k=20)} ) t
+    ),
+    dn AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id) AS r
+      FROM (
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id AS doc_id,
+               ROUND(
+                 list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv) /
+                 (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+                  sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+        FROM embeddings e, q WHERE e.vec_id <> 0
+        ORDER BY cos_sim DESC, doc_id LIMIT 20
+      ) t
+    )
+    SELECT COALESCE(bm.doc_id, dn.doc_id) AS doc_id,
+           bm.r AS rank_a, dn.r AS rank_b,
+           ROUND(COALESCE(CAST(1.0 AS DOUBLE) / (60 + bm.r), 0.0) +
+                 COALESCE(CAST(1.0 AS DOUBLE) / (60 + dn.r), 0.0), 6) AS rrf_score
+    FROM bm FULL OUTER JOIN dn ON bm.doc_id = dn.doc_id
+    ORDER BY rrf_score DESC, doc_id LIMIT 10
+"""
+
+
+@register("x_search_hybrid_rrf", _RRF_SQL)
+def x_search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 (sparse) and cosine (dense) top-20
+    candidate lists fused with reciprocal-rank fusion (k_rrf=60) —
+    the standard RAG retrieval combiner. The expensive work happens
+    in the two retrievers (each with its own scale-safe plan); the
+    fusion itself is a single-task full-outer join over two k-sized
+    lists. The oracle recomputes both rank lists and the identical
+    1/(60+r) sums."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    bm = srch.bm25_topk(docs, _BM25_TERMS, k=20)
+    dn = sim.cosine_topk(emb, list(qvec), k=20, exclude_id=0).select(
+        F.col("vec_id").alias("doc_id"), F.col("cos_sim").alias("score")
+    )
+    return srch.rrf_fuse(bm, dn, id_col="doc_id", score_col="score", k_rrf=60, k=10)
+
+
+# ---------------------------------------------- temperature mixing
+@register(
+    "x_sample_temperature",
+    """
+    WITH n AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS ns FROM documents GROUP BY source),
+    tot AS (SELECT SUM(ns) AS N, SUM(sqrt(ns)) AS Z FROM n),
+    r AS (SELECT source, ROUND(LEAST(1.0, 0.5 * N * (sqrt(ns) / Z) / ns), 6) AS rate
+          FROM n, tot),
+    kept AS (
+      SELECT d.source, d.doc_id
+      FROM documents d JOIN r ON d.source = r.source
+      WHERE CAST(concat('0x', substr(md5('tmix' || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+              / CAST(16 ** 15 AS DOUBLE) < rate
+    )
+    SELECT source, COUNT(*) AS n_kept, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM kept GROUP BY source
+    """,
+)
+def x_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based corpus mixing (p_s ∝ n_s^(1/T), T=2,
+    target_frac=0.5): one policy-sized count aggregation derives the
+    per-source keep rates, then membership is the same codegen'd
+    hash-unit filter as every sampling operator — no join, no
+    shuffle on the corpus side. T=2 keeps the power a correctly-
+    rounded sqrt on both engines; rates round HALF_UP to 6dp on both
+    sides (operators/sampling.py:temperature_rates)."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = sp.temperature_sample(
+        docs, "doc_id", "source", temperature=2.0, target_frac=0.5, salt="tmix"
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )

@@ -107,6 +107,7 @@ COMBOS: dict[str, list[str]] = {
         "x_search_bm25",
         "x_search_termstats",
         "x_search_tfidf",
+        "x_search_hybrid_rrf",
     ],
     "x_embed_neardup_sem": [
         "x_embed_neardup",
@@ -119,6 +120,7 @@ COMBOS: dict[str, list[str]] = {
         "x_sample_stratified",
         "x_sample_pergroup",
         "x_sample_pack",
+        "x_sample_temperature",
     ],
     "x_cleaning": ["x_clean_pii", "x_clean_gopher", "x_clean_decontam"],
     "x_text_all": [
@@ -282,11 +284,13 @@ _ARM_COLS: dict[str, list[tuple[str, str]]] = {
     "x_search_bm25": [("doc_id", "i"), ("score", "d")],
     "x_search_termstats": [("term", "s"), ("df", "i")],
     "x_search_tfidf": [("id_a", "i"), ("id_b", "i"), ("cos_sim", "d")],
+    "x_search_hybrid_rrf": [("doc_id", "i"), ("rank_a", "i"), ("rank_b", "i"), ("rrf_score", "d")],
     "x_kmeans_embed": [("cid", "i"), ("n", "i"), ("min_vec", "i")],
     "x_sample_pergroup": [("source", "s"), ("doc_id", "i")],
     "x_sample_pack": [("doc_id", "i"), ("seq_id", "i"), ("doc_offset", "i"), ("seq_offset", "i"), ("span_len", "i")],
     "x_sample_hash_split": [("split", "s"), ("n", "i"), ("min_id", "i"), ("max_id", "i")],
     "x_sample_stratified": [("source", "s"), ("n", "i"), ("min_id", "i"), ("max_id", "i")],
+    "x_sample_temperature": [("source", "s"), ("n_kept", "i"), ("min_id", "i"), ("max_id", "i")],
     "x_clean_pii": [("c_custkey", "i"), ("n_email", "i"), ("n_phone", "i"), ("n_ip", "i"), ("redacted", "s")],
     "x_clean_gopher": [("doc_id", "i"), ("n_tokens", "i"), ("ttr", "d"), ("top_bigram", "d"), ("sym_ratio", "d"), ("keep", "i")],
     "x_clean_decontam": [("doc_id", "i"), ("n_shared_ngrams", "i")],

@@ -517,3 +517,66 @@ def test_fuzzy_trigram_join_blocks_and_gates(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ------------------------------------------------ hybrid RRF fusion
+def test_rrf_fuse_arithmetic_and_missing_ranks(spark):
+    from mfdb_hafro_etl_spark.operators.search import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 0.9), (2, 0.8), (3, 0.7)], "doc_id INT, score DOUBLE"
+    )
+    b = spark.createDataFrame(
+        [(2, 0.95), (4, 0.5)], "doc_id INT, score DOUBLE"
+    )
+    rows = {r["doc_id"]: r for r in rrf_fuse(a, b, k_rrf=60, k=10).collect()}
+    # doc 2 appears in both lists: rank 2 sparse, rank 1 dense
+    assert rows[2]["rank_a"] == 2 and rows[2]["rank_b"] == 1
+    assert rows[2]["rrf_score"] == round(1 / 62 + 1 / 61, 6)
+    # single-list docs keep a NULL rank on the missing side
+    assert rows[1]["rank_b"] is None
+    assert rows[1]["rrf_score"] == round(1 / 61, 6)
+    assert rows[4]["rank_a"] is None
+    # both-lists doc outranks every single-list doc here
+    top = max(rows.values(), key=lambda r: r["rrf_score"])
+    assert top["doc_id"] == 2
+
+
+def test_rrf_fuse_ties_break_on_id(spark):
+    from mfdb_hafro_etl_spark.operators.search import rrf_fuse
+
+    a = spark.createDataFrame([(5, 0.5), (3, 0.5)], "doc_id INT, score DOUBLE")
+    b = spark.createDataFrame([], "doc_id INT, score DOUBLE")
+    out = [r["doc_id"] for r in rrf_fuse(a, b, k=2).collect()]
+    assert out == [3, 5]  # equal scores -> id ascending gets the better rank
+
+
+# -------------------------------------------- temperature mixing rates
+def test_temperature_rates_limits(spark):
+    from mfdb_hafro_etl_spark.operators.sampling import temperature_rates
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 900 else "small") for i in range(1000)],
+        "doc_id INT, source STRING",
+    )
+    # T=1 with target_frac=1 keeps everything (natural distribution)
+    assert temperature_rates(df, "source", 1.0) == {"big": 1.0, "small": 1.0}
+    # T=1, half the corpus: every source keeps the same fraction
+    r = temperature_rates(df, "source", 1.0, target_frac=0.5)
+    assert r == {"big": 0.5, "small": 0.5}
+    # higher temperature shifts rate from the big source to the small
+    r2 = temperature_rates(df, "source", 2.0, target_frac=0.5)
+    assert r2["small"] > 0.5 > r2["big"]
+    # rates are probabilities
+    assert all(0.0 <= v <= 1.0 for v in r2.values())
+
+
+def test_temperature_sample_is_deterministic(spark):
+    from mfdb_hafro_etl_spark.operators.sampling import temperature_sample
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(300)], "doc_id INT, source STRING"
+    )
+    kept1 = {r["doc_id"] for r in temperature_sample(df, "doc_id", "source", 2.0, 0.5, salt="t").collect()}
+    kept2 = {r["doc_id"] for r in temperature_sample(df.repartition(7), "doc_id", "source", 2.0, 0.5, salt="t").collect()}
+    assert kept1 == kept2 and 0 < len(kept1) < 300
