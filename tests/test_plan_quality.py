@@ -355,3 +355,34 @@ def test_kmeans_assignment_is_map_only(spark, sf_dir):
     plan = _plan(_ivf_assign_table(emb, cents, "vec_id", "embedding"))
     assert "MapInPandas" in plan or "PythonMapInArrow" in plan, plan[:1500]
     assert "Exchange" not in plan, plan[:1500]
+
+
+def test_temperature_sample_corpus_side_is_filter_only(spark, sf_dir):
+    """Temperature mixing must cost the corpus ONE codegen'd filter:
+    the rate table is resolved to literals driver-side (policy-sized
+    count agg), so the returned plan may contain no Join and no
+    Exchange — at 100 TB the corpus never shuffles for mixing."""
+    from mfdb_hafro_etl_spark.catalog import load_table
+    from mfdb_hafro_etl_spark.operators.sampling import temperature_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = temperature_sample(docs, "doc_id", "source", 2.0, 0.5, salt="t")
+    plan = _plan(out)
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+
+
+def test_rrf_fuse_never_touches_the_corpus(spark):
+    """RRF fusion operates on k-sized candidate lists: its plan must
+    contain scans of the two inputs only — no additional source scan,
+    and the windows are over the bounded lists, not a corpus."""
+    from mfdb_hafro_etl_spark.operators.search import rrf_fuse
+
+    a = spark.range(5).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 0.1).alias("score")
+    )
+    b = spark.range(3).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 0.2).alias("score")
+    )
+    plan = _plan(rrf_fuse(a, b, k=10))
+    assert _count(r"Scan|Range", plan) <= 2
