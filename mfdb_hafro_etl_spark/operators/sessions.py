@@ -78,3 +78,46 @@ def tumbling_window_agg(
             "sum_value",
         )
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel: per user, the earliest time of each step that
+    falls STRICTLY AFTER the user's previous-step time (view →
+    click → purchase — a later click does not count toward an
+    earlier purchase). Returns one row per user who entered the
+    funnel: (user, t_1 .. t_k) with t_i NULL from the first step the
+    user never completed in order.
+
+    Plan shape: step 1 is a type-filtered min-aggregate; every later
+    step is the type-filtered event stream joined against the
+    user-count-sized prior-times frame, filtered on the ordering,
+    then min-aggregated — k-1 user-keyed shuffles over streams the
+    type filter has already cut down (the filter pushes to the
+    scan). No window over the raw event stream, no per-user
+    collection; at 100 TB each step costs one filtered
+    shuffle-aggregate."""
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    out = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t_1"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        prev = f"t_{i - 1}"
+        reached = (
+            events.filter(F.col(type_col) == step)
+            .select(user_col, F.col(ts_col).alias("__ts__"))
+            .join(out.select(user_col, prev), on=user_col)
+            .filter(F.col("__ts__") > F.col(prev))
+            .groupBy(user_col)
+            .agg(F.min("__ts__").alias(f"t_{i}"))
+        )
+        out = out.join(reached, on=user_col, how="left")
+    return out

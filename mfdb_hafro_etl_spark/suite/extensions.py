@@ -1459,6 +1459,45 @@ def x_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------ ordered funnel
+@register(
+    "x_events_funnel",
+    """
+    WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY 1),
+    s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+           JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+    s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+           JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+    SELECT 1 AS step_idx, 'view' AS step, (SELECT COUNT(*) FROM s1) AS n_users
+    UNION ALL
+    SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+    UNION ALL
+    SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
+    """,
+)
+def x_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: per-step
+    user counts where each step must occur strictly after the user's
+    previous step (operators/sessions.py:funnel). The oracle chains
+    the same min-after-previous aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    f = sess.funnel(ev, ["view", "click", "purchase"])
+    agg = f.agg(
+        F.count("t_1").alias("c1"),
+        F.count("t_2").alias("c2"),
+        F.count("t_3").alias("c3"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(3, 1, 'view', c1, 2, 'click', c2, 3, 'purchase', c3) "
+            "AS (step_idx, step, n_users)"
+        )
+    )
+
+
 # ---------------------------------------- corpus-build flagship (p12)
 def _p12_sql() -> str:
     k, rpb = 8, 2

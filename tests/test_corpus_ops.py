@@ -580,3 +580,35 @@ def test_temperature_sample_is_deterministic(spark):
     kept1 = {r["doc_id"] for r in temperature_sample(df, "doc_id", "source", 2.0, 0.5, salt="t").collect()}
     kept2 = {r["doc_id"] for r in temperature_sample(df.repartition(7), "doc_id", "source", 2.0, 0.5, salt="t").collect()}
     assert kept1 == kept2 and 0 < len(kept1) < 300
+
+
+# ---------------------------------------------------- ordered funnel
+def test_funnel_enforces_step_order(spark):
+    from datetime import datetime
+
+    from mfdb_hafro_etl_spark.operators.sessions import funnel
+
+    rows = [
+        # user 1: full ordered funnel
+        (1, datetime(2024, 1, 1, 10), "view"),
+        (1, datetime(2024, 1, 1, 11), "click"),
+        (1, datetime(2024, 1, 1, 12), "purchase"),
+        # user 2: purchase BEFORE click — purchase must not count
+        (2, datetime(2024, 1, 1, 10), "view"),
+        (2, datetime(2024, 1, 1, 11), "purchase"),
+        (2, datetime(2024, 1, 1, 12), "click"),
+        # user 3: never viewed — not in the funnel at all
+        (3, datetime(2024, 1, 1, 10), "click"),
+        # user 4: view only
+        (4, datetime(2024, 1, 1, 10), "view"),
+        # user 5: click at the SAME instant as view — strictly-after
+        (5, datetime(2024, 1, 1, 10), "view"),
+        (5, datetime(2024, 1, 1, 10), "click"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id INT, ts TIMESTAMP, event_type STRING")
+    out = {r["user_id"]: r for r in funnel(ev, ["view", "click", "purchase"]).collect()}
+    assert set(out) == {1, 2, 4, 5}
+    assert out[1]["t_3"] is not None
+    assert out[2]["t_2"] is not None and out[2]["t_3"] is None
+    assert out[4]["t_2"] is None
+    assert out[5]["t_2"] is None  # same-instant click is not "after"
