@@ -612,3 +612,16 @@ def test_funnel_enforces_step_order(spark):
     assert out[2]["t_2"] is not None and out[2]["t_3"] is None
     assert out[4]["t_2"] is None
     assert out[5]["t_2"] is None  # same-instant click is not "after"
+
+
+def test_duplicate_clusters_preserves_string_id_type(spark):
+    from mfdb_hafro_etl_spark.operators import dedup as dd
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "id_a STRING, id_b STRING"
+    )
+    for gate in (0, 4_000_000):  # distributed loop and driver fast path
+        out = dd.duplicate_clusters(pairs, driver_max_edges=gate)
+        assert dict(out.dtypes) == {"doc_id": "string", "cluster_id": "string"}
+        got = {(r["doc_id"], r["cluster_id"]) for r in out.collect()}
+        assert got == {("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")}
