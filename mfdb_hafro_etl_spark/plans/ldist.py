@@ -131,15 +131,19 @@ def skala_med_toldum2(
             "__int_rn__": F.row_number().over(w_int.orderBy(F.lit(1))),
         }
     )
+    # interval^b quantized to 6 dp AT THE SOURCE: Java Math.pow and C
+    # libm pow disagree by 1 ulp on ~10% of inputs (measured on the
+    # shrimp exponent), and that ulp rides through the whole
+    # mean-weight chain to occasionally flip the final 6 dp rounding
+    # (1-in-46k rows at sf0.1). Quantizing the pow output makes every
+    # downstream double bit-identical across engines; the 6 dp loss
+    # (relative ~1e-10 at shrimp magnitudes) is far below the data's
+    # precision. The oracle applies the identical ROUND(POW(..), 6).
+    powc = F.round(F.pow("lengd_interval", F.col("b")), 6)
     fpw = F.when(
-        F.col("fjoldi_sum") * F.col("a") * F.pow("lengd_interval", F.col("b")) == 0,
+        F.col("fjoldi_sum") * F.col("a") * powc == 0,
         null_d,
-    ).otherwise(
-        F.col("fjoldi_by_int")
-        / F.col("fjoldi_sum")
-        * F.col("a")
-        * F.pow("lengd_interval", F.col("b"))
-    )
+    ).otherwise(F.col("fjoldi_by_int") / F.col("fjoldi_sum") * F.col("a") * powc)
     stage = stage.withColumn("fjoldi_prop_weighted", fpw).withColumn(
         "fjoldi_prop_weighted_sum",
         F.sum(
@@ -156,11 +160,22 @@ def skala_med_toldum2(
     biom_spp = sorted(biom_teg)
     out = (
         stage.withColumn(
+            # mean_wt quantized to 6 dp (both engines): downstream
+            # weight formulas divide it by round decimals (towcount
+            # 100, towlength) which can land EXACTLY on a 6 dp
+            # rounding tie (measured: mean_wt 50.87685 / 100 =
+            # 0.5087685) — at a tie, the rounding direction hinges on
+            # sub-ulp summation-order noise and the engines disagree.
+            # Quantizing here makes the doubles entering that chain
+            # bit-identical, so even exact ties round identically.
             "mean_wt",
-            F.col("biom_prop")
-            * (
-                F.when(F.col("vigt_synis") == 0, null_d).otherwise(F.col("vigt_synis"))
-                / F.when(F.col("fjoldi_by_int") == 0, null_d).otherwise(F.col("fjoldi_by_int"))
+            F.round(
+                F.col("biom_prop")
+                * (
+                    F.when(F.col("vigt_synis") == 0, null_d).otherwise(F.col("vigt_synis"))
+                    / F.when(F.col("fjoldi_by_int") == 0, null_d).otherwise(F.col("fjoldi_by_int"))
+                ),
+                6,
             ),
         )
         .withColumn(

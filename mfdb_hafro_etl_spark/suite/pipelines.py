@@ -487,8 +487,8 @@ grp AS (
 ),
 ivw AS (
   SELECT i.synis_id, i.tegund, i.lengd_interval, i.fjoldi_by_int,
-         CASE WHEN g.fjoldi_sum * bm.a * POW(i.lengd_interval, bm.b) = 0 THEN NULL
-              ELSE i.fjoldi_by_int / g.fjoldi_sum * bm.a * POW(i.lengd_interval, bm.b)
+         CASE WHEN g.fjoldi_sum * bm.a * ROUND(POW(i.lengd_interval, bm.b), 6) = 0 THEN NULL
+              ELSE i.fjoldi_by_int / g.fjoldi_sum * bm.a * ROUND(POW(i.lengd_interval, bm.b), 6)
          END AS fpw
   FROM iv i
   JOIN grp g ON i.synis_id = g.synis_id AND i.tegund = g.tegund
@@ -499,9 +499,9 @@ grpw AS (
 ),
 mw AS (
   SELECT i.synis_id, i.tegund, i.lengd_interval,
-         (CASE WHEN g.fpw_sum = 0 THEN NULL ELSE i.fpw / g.fpw_sum END)
+         ROUND((CASE WHEN g.fpw_sum = 0 THEN NULL ELSE i.fpw / g.fpw_sum END)
          * (CASE WHEN rt.vigt_synis = 0 THEN NULL ELSE rt.vigt_synis END
-            / CASE WHEN i.fjoldi_by_int = 0 THEN NULL ELSE i.fjoldi_by_int END) AS mean_wt
+            / CASE WHEN i.fjoldi_by_int = 0 THEN NULL ELSE i.fjoldi_by_int END), 6) AS mean_wt
   FROM ivw i
   JOIN grpw g ON i.synis_id = g.synis_id AND i.tegund = g.tegund
   LEFT JOIN ratio rt ON i.synis_id = rt.synis_id AND i.tegund = rt.tegund
@@ -528,12 +528,12 @@ SELECT tow, year, month, areacell, sampling_type, skiki, fjardarreitur, togtimi,
   CASE WHEN kynthroski > 1 THEN 2 WHEN kynthroski = 1 THEN 1 ELSE NULL END AS maturity_stage,
   0 AS age,
   CASE WHEN mean_wt IS NULL OR towcount IS NULL THEN NULL
-       ELSE ROUND(
+       ELSE FLOOR(
          (mean_wt / COALESCE(CASE WHEN sampling_type IN ('XS', 'XINS', 'SEA')
                                   THEN 1.0 ELSE toglengd END, 1.0))
          / towcount
          * COALESCE(CASE WHEN sampling_type IN ('XS', 'XINS', 'SEA')
-                         THEN 1.0 ELSE size END, 1.0), 6)
+                         THEN 1.0 ELSE size END, 1.0) * 1000000.0 + 0.5) / 1000000.0
   END AS weight,
   'iceland-ldist-infjord' AS data_source
 FROM joined
@@ -608,13 +608,23 @@ def p9_shrimp_ldist(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_index = F.col("sampling_type").isin("XS", "XINS", "SEA")
     towlen_eff = F.when(is_index, F.lit(1.0)).otherwise(F.col("toglengd"))
     size_eff = F.when(is_index, F.lit(1.0)).otherwise(F.col("size"))
+    # floor(x*1e6 + 0.5)/1e6, NOT F.round: Spark's round() rounds the
+    # double's SHORTEST DECIMAL REPRESENTATION (BigDecimal.valueOf)
+    # while DuckDB rounds the exact binary value — at an exact decimal
+    # tie (mean_wt 50.87685 / towcount 100 = 0.5087685, whose nearest
+    # double is just BELOW the half) the engines systematically
+    # disagree (0.508769 vs 0.508768). The floor construction is the
+    # same correctly-rounded IEEE multiply/add/floor/divide on both
+    # engines, so ties resolve identically; the oracle mirrors it.
     weight = F.when(
         F.col("mean_wt").isNull() | F.col("towcount").isNull(), F.lit(None).cast("double")
     ).otherwise(
-        F.round(
-            shrimp_weight_for_index(F.col("mean_wt"), towlen_eff, F.col("towcount"), size_eff),
-            6,
+        F.floor(
+            shrimp_weight_for_index(F.col("mean_wt"), towlen_eff, F.col("towcount"), size_eff)
+            * 1000000.0
+            + 0.5
         )
+        / 1000000.0
     )
     out = (
         j.filter(~F.col("tow").isin(100000, 400000))
