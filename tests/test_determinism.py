@@ -259,3 +259,35 @@ def test_hash_split_stable_and_exhaustive(spark, sf_dir):
     # different salt → (overwhelmingly) different membership
     s3 = {r.doc_id for r in sp.deterministic_sample(docs, "doc_id", 0.2, salt="other").collect()}
     assert s1 != s3
+
+
+def test_tie_rounding_floor_construction_is_engine_portable(spark):
+    """The double nearest 0.5087685 sits just BELOW the exact decimal
+    half. Spark's round() rounds the shortest decimal representation
+    (BigDecimal.valueOf -> "0.5087685" -> HALF_UP -> 0.508769);
+    DuckDB rounds the exact binary value (-> 0.508768). The
+    floor(x*1e6 + 0.5)/1e6 construction is pure correctly-rounded
+    IEEE arithmetic and agrees everywhere — the remedy used for
+    tie-prone rounded outputs (p9 weight chain). This test documents
+    the divergence class so nobody 'simplifies' the floor back to
+    round()."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    v = 0.5087685
+    floor_spark = (
+        spark.range(1).select((F.floor(F.lit(v) * 1e6 + 0.5) / 1e6).alias("w")).first()["w"]
+    )
+    con = duckdb.connect(":memory:")
+    # CAST to DOUBLE: a bare decimal literal parses as DECIMAL in
+    # DuckDB and computes the product EXACTLY — the engine pipelines
+    # this models carry doubles, not decimals
+    floor_duck = con.sql(
+        f"SELECT FLOOR(CAST({v!r} AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0"
+    ).fetchone()[0]
+    assert floor_spark == floor_duck == 0.508768
+    round_spark = spark.range(1).select(F.round(F.lit(v), 6).alias("w")).first()["w"]
+    round_duck = con.sql(f"SELECT ROUND(CAST({v!r} AS DOUBLE), 6)").fetchone()[0]
+    con.close()
+    assert round_spark == 0.508769 and round_duck == 0.508768  # the trap
