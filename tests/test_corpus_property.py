@@ -171,3 +171,20 @@ def test_shingles_regex_equals_lambda_construction(spark, texts, n):
     }
     for doc_id, (new, ref) in got.items():
         assert new == ref, (doc_id, new, ref)
+
+
+def test_deep_path_graph_converges_in_log_rounds(spark):
+    """A 200-edge path graph (diameter 200) must converge through the
+    DISTRIBUTED path-halving loop (driver fast path disabled) well
+    inside max_iter=30: propagation alone would need ~200 rounds,
+    pointer jumping needs ~log2(200) ≈ 8 — this pins the O(log d)
+    claim with a graph deeper than hypothesis generates."""
+    from mfdb_hafro_etl_spark.operators import dedup as dd
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "id_a BIGINT, id_b BIGINT"
+    )
+    out = dd.duplicate_clusters(pairs, max_iter=30, driver_max_edges=0)
+    rows = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+    assert len(rows) == 201
+    assert set(rows.values()) == {0}
