@@ -121,3 +121,49 @@ def funnel(
         )
         out = out.join(reached, on=user_col, how="left")
     return out
+
+
+def daily_count_anomalies(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Per-user daily-activity anomalies: days whose event count sits
+    more than ``z_threshold`` sample standard deviations from the
+    user's own mean — the data-quality monitor a pipeline runs over
+    its event stream.
+
+    Variance is computed from EXACT integer sums (n, Σc, Σc²) rather
+    than stddev_samp: engines implement streaming one-pass moments
+    whose accumulation order varies, while integer sums are exact and
+    the closed form ((Σc² − (Σc)²/n)/(n−1)) is then the identical
+    correctly-rounded IEEE expression everywhere — the engine-
+    portability discipline the oracle hash depends on.
+
+    Plan shape: one (user, day) count aggregation, then the user-level
+    moments as a window over the user partitioning (one shuffle
+    chain); output is anomaly-sized. Users with a single active day or
+    zero variance have no defined z and are excluded."""
+    from pyspark.sql import Window
+
+    daily = (
+        events.select(F.col(user_col), F.to_date(F.col(ts_col)).alias("day"))
+        .groupBy(user_col, "day")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = Window.partitionBy(user_col)
+    cnt = F.col("n_events").cast("double")
+    n = F.count(F.lit(1)).over(w).cast("double")
+    s = F.sum("n_events").over(w).cast("double")
+    sq = F.sum(F.col("n_events") * F.col("n_events")).over(w).cast("double")
+    var = (sq - s * s / n) / (n - 1)
+    z = (cnt - s / n) / F.sqrt(var)
+    return (
+        daily.withColumn("__n__", n)
+        .withColumn("__var__", var)
+        .filter((F.col("__n__") > 1) & (F.col("__var__") > 0))
+        .withColumn("z", F.round(z, 6))
+        .filter(F.abs(F.col("z")) > z_threshold)
+        .select(user_col, F.date_format("day", "yyyy-MM-dd").alias("day"), "n_events", "z")
+    )

@@ -143,6 +143,7 @@ COMBOS: dict[str, list[str]] = {
         "x_events_retention",
         "x_events_sessionize",
         "x_events_funnel",
+        "x_events_anomaly",
     ],
     "x_multimodal_meta_all": [
         "x_multimodal_meta",
@@ -311,6 +312,7 @@ _ARM_COLS: dict[str, list[tuple[str, str]]] = {
     "x_events_moving": [("event_type", "s"), ("day", "s"), ("n", "i"), ("daily", "d"), ("moving7", "d")],
     "x_events_retention": [("cohort", "i"), ("week_offset", "i"), ("n_active", "i")],
     "x_events_funnel": [("step_idx", "i"), ("step", "s"), ("n_users", "i")],
+    "x_events_anomaly": [("user_id", "i"), ("day", "s"), ("n_events", "i"), ("z", "d")],
     "x_events_sessionize": [("user_id", "i"), ("session_no", "i"), ("n_events", "i"), ("duration_s", "d")],
     "x_multimodal_meta": [("media_id", "i"), ("mime", "s"), ("n_bytes", "i"), ("sha256", "s")],
     "x_multimodal_decode_meta": [("media_id", "i"), ("width", "i"), ("height", "i"), ("channels", "i")],

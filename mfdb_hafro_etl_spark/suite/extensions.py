@@ -1459,6 +1459,42 @@ def x_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------- daily activity anomalies
+@register(
+    "x_events_anomaly",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(n_events) AS DOUBLE) AS s,
+             CAST(SUM(n_events * n_events) AS DOUBLE) AS sq
+      FROM daily GROUP BY 1
+    ),
+    z AS (
+      SELECT d.user_id, d.day, d.n_events,
+             ROUND((CAST(d.n_events AS DOUBLE) - m.s / m.n)
+                   / sqrt((m.sq - m.s * m.s / m.n) / (m.n - 1)), 6) AS z
+      FROM daily d JOIN m ON d.user_id = m.user_id
+      WHERE m.n > 1 AND (m.sq - m.s * m.s / m.n) / (m.n - 1) > 0
+    )
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day, n_events, z
+    FROM z WHERE ABS(z) > 2.0
+    """,
+)
+def x_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily-activity outliers (|z| > 2 vs the user's own
+    daily mean) — the data-quality monitor over the event stream.
+    Variance comes from exact integer sums so the z expression is the
+    identical correctly-rounded IEEE arithmetic on both engines
+    (operators/sessions.py:daily_count_anomalies)."""
+    ev = load_table(spark, sf_dir, "events")
+    return sess.daily_count_anomalies(ev, z_threshold=2.0)
+
+
 # ------------------------------------------------ ordered funnel
 @register(
     "x_events_funnel",

@@ -625,3 +625,27 @@ def test_duplicate_clusters_preserves_string_id_type(spark):
         assert dict(out.dtypes) == {"doc_id": "string", "cluster_id": "string"}
         got = {(r["doc_id"], r["cluster_id"]) for r in out.collect()}
         assert got == {("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")}
+
+
+# ------------------------------------------ daily activity anomalies
+def test_daily_count_anomalies_semantics(spark):
+    from datetime import datetime
+
+    from mfdb_hafro_etl_spark.operators.sessions import daily_count_anomalies
+
+    rows = []
+    # user 1: nine quiet days (1 event) + one burst day (20 events)
+    for d in range(1, 10):
+        rows.append((1, datetime(2024, 1, d, 12)))
+    for h in range(20):
+        rows.append((1, datetime(2024, 1, 10, h % 24)))
+    # user 2: constant activity -> zero variance -> no z defined
+    for d in range(1, 6):
+        rows.append((2, datetime(2024, 1, d, 12)))
+    # user 3: single active day -> no variance sample
+    rows.append((3, datetime(2024, 1, 1, 12)))
+    ev = spark.createDataFrame(rows, "user_id INT, ts TIMESTAMP")
+    out = daily_count_anomalies(ev, z_threshold=2.0).collect()
+    assert {r["user_id"] for r in out} == {1}
+    burst = [r for r in out if r["day"] == "2024-01-10"]
+    assert len(burst) == 1 and burst[0]["n_events"] == 20 and burst[0]["z"] > 2
