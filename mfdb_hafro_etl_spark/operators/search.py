@@ -223,3 +223,40 @@ def rrf_fuse(
         .orderBy(F.desc("rrf_score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def phrase_search(
+    corpus: DataFrame,
+    phrase: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase search over whitespace tokens via positional
+    postings: a doc matches where phrase[i] occurs at position p+i
+    for every i. Returns (id, n_matches) per matching doc.
+
+    Plan shape — the positional inverted-index probe: the token
+    stream is posexploded once and FILTERED TO THE PHRASE'S TERMS
+    before any shuffle (the isin pushes into the projection), then
+    the match is len(phrase)-1 equi-joins on (id, adjusted position)
+    between term-sliced postings — each join's inputs are the
+    phrase-term postings only, orders of magnitude smaller than the
+    corpus. No regex over the raw text (a regex can't use an index
+    at scale and backtracks on adversarial input); no window over
+    the full token stream."""
+    if not phrase:
+        raise ValueError("phrase_search needs at least one term")
+    postings = corpus.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "term"),
+    ).filter(F.col("term").isin(phrase))
+    matches = (
+        postings.filter(F.col("term") == phrase[0])
+        .select(id_col, F.col("pos").alias("p0"))
+    )
+    for i, term in enumerate(phrase[1:], start=1):
+        nxt = postings.filter(F.col("term") == term).select(
+            F.col(id_col), (F.col("pos") - i).alias("p0")
+        )
+        matches = matches.join(nxt, on=[id_col, "p0"])
+    return matches.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_matches"))

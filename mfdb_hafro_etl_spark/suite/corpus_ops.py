@@ -426,3 +426,32 @@ def x_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
     )
+
+
+# ------------------------------------------------ exact phrase search
+@register(
+    "x_search_phrase",
+    """
+    WITH post AS (
+      SELECT doc_id, a[i] AS term, CAST(i AS BIGINT) - 1 AS pos
+      FROM (SELECT doc_id, string_split(text, ' ') AS a FROM documents) t,
+           unnest(generate_series(1, len(a))) u(i)
+      WHERE a[i] IN ('data', 'spark')
+    ),
+    m AS (
+      SELECT a.doc_id, a.pos AS p0
+      FROM post a JOIN post b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      WHERE a.term = 'data' AND b.term = 'spark'
+    )
+    SELECT doc_id, COUNT(*) AS n_matches FROM m GROUP BY doc_id
+    """,
+)
+def x_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search ('data spark') via positional postings —
+    term-filtered before any shuffle, one adjacency equi-join per
+    phrase gap, no regex over raw text
+    (operators/search.py:phrase_search). The oracle replays the
+    identical positional join."""
+    docs = load_table(spark, sf_dir, "documents")
+    return srch.phrase_search(docs, ["data", "spark"], "doc_id", "text")

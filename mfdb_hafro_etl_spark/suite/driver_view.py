@@ -108,6 +108,7 @@ COMBOS: dict[str, list[str]] = {
         "x_search_termstats",
         "x_search_tfidf",
         "x_search_hybrid_rrf",
+        "x_search_phrase",
     ],
     "x_embed_neardup_sem": [
         "x_embed_neardup",
@@ -287,6 +288,7 @@ _ARM_COLS: dict[str, list[tuple[str, str]]] = {
     "x_search_termstats": [("term", "s"), ("df", "i")],
     "x_search_tfidf": [("id_a", "i"), ("id_b", "i"), ("cos_sim", "d")],
     "x_search_hybrid_rrf": [("doc_id", "i"), ("rank_a", "i"), ("rank_b", "i"), ("rrf_score", "d")],
+    "x_search_phrase": [("doc_id", "i"), ("n_matches", "i")],
     "x_kmeans_embed": [("cid", "i"), ("n", "i"), ("min_vec", "i")],
     "x_sample_pergroup": [("source", "s"), ("doc_id", "i")],
     "x_sample_pack": [("doc_id", "i"), ("seq_id", "i"), ("doc_offset", "i"), ("seq_offset", "i"), ("span_len", "i")],

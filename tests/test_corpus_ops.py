@@ -649,3 +649,24 @@ def test_daily_count_anomalies_semantics(spark):
     assert {r["user_id"] for r in out} == {1}
     burst = [r for r in out if r["day"] == "2024-01-10"]
     assert len(burst) == 1 and burst[0]["n_events"] == 20 and burst[0]["z"] > 2
+
+
+# ------------------------------------------------ exact phrase search
+def test_phrase_search_positions_and_counts(spark):
+    from mfdb_hafro_etl_spark.operators.search import phrase_search
+
+    df = spark.createDataFrame(
+        [
+            (1, "big data spark rules"),          # one match
+            (2, "data spark data spark"),          # two matches
+            (3, "spark data"),                      # reversed — no match
+            (4, "data big spark"),                  # gap — no match
+            (5, "data data spark"),                 # overlap start — one match
+        ],
+        "doc_id INT, text STRING",
+    )
+    out = {r["doc_id"]: r["n_matches"] for r in phrase_search(df, ["data", "spark"]).collect()}
+    assert out == {1: 1, 2: 2, 5: 1}
+    # three-term phrase chains two adjacency joins
+    out3 = {r["doc_id"]: r["n_matches"] for r in phrase_search(df, ["data", "spark", "data"]).collect()}
+    assert out3 == {2: 1}
