@@ -619,3 +619,68 @@ def dedup_against(
         F.col(id_col), F.lit("near").alias("dup_kind"), "match_id"
     )
     return exact.unionByName(near)
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_df: int = 2,
+    max_df: int = 10000,
+) -> DataFrame:
+    """Exact duplicate-span detection (the substring-dedup method of
+    'Deduplicating Training Data Makes Language Models Better'): for
+    every doc, the maximal token spans all of whose n-grams occur in
+    at least ``min_df`` documents. A pipeline CUTS these spans rather
+    than dropping whole documents — boilerplate headers/footers and
+    licence blocks repeat across docs that are otherwise unique.
+
+    Plan shape: positional n-grams (token index kept), md5-bucketed
+    df count, hot-gram gate at ``max_df`` (the same stop-fingerprint
+    discipline as winnow/ngram pairs — one licence block shared by a
+    million docs must not fan out), then adjacent duplicated
+    positions merge into maximal spans with the islands trick
+    (pos − row_number is constant within a run) — one window pass
+    per doc, integer arithmetic only, so the oracle hash has no
+    float hazards. Shuffles: gram-hash groupBy + doc-keyed window.
+
+    Returns (id, span_start, span_end, n_dup_grams): token indices,
+    0-based, span_end inclusive of the last token of the last
+    duplicated n-gram.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.md5(F.concat_ws(" ", F.slice(toks, i + 1, n))).alias("h"),
+        ),
+    )
+    pos_grams = (
+        _spread_by_id(df.select(id_col, text_col), id_col)
+        .filter(F.size(toks) >= n)
+        .select(F.col(id_col), F.explode(grams).alias("g"))
+        .select(F.col(id_col), F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+    )
+    dfs = (
+        pos_grams.groupBy("h")
+        .agg(F.countDistinct(id_col).alias("gdf"))
+        .filter((F.col("gdf") >= min_df) & (F.col("gdf") <= max_df))
+    )
+    hits = pos_grams.join(dfs, on="h").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = hits.withColumn(
+        "__isl__", F.col("pos") - F.row_number().over(w)
+    )
+    return (
+        islands.groupBy(id_col, "__isl__")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + n - 1).alias("span_end"),
+            F.count(F.lit(1)).alias("n_dup_grams"),
+        )
+        .drop("__isl__")
+    )

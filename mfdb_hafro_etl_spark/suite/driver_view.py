@@ -98,6 +98,7 @@ COMBOS: dict[str, list[str]] = {
         "x_dedup_ngram_jaccard",
         "x_dedup_winnow",
         "x_dedup_incremental",
+        "x_dedup_spans",
     ],
     "x_fingerprints": ["x_text_fingerprint", "x_text_winnow", "x_text_chunks"],
     "x_search_topk": [
@@ -281,6 +282,7 @@ _ARM_COLS: dict[str, list[tuple[str, str]]] = {
     "x_dedup_minhash_lsh": [("id_a", "i"), ("id_b", "i"), ("jaccard", "d")],
     "x_dedup_winnow": [("id_a", "i"), ("id_b", "i"), ("n_shared", "i")],
     "x_dedup_incremental": [("doc_id", "i"), ("dup_kind", "s"), ("match_id", "i")],
+    "x_dedup_spans": [("doc_id", "i"), ("span_start", "i"), ("span_end", "i"), ("n_dup_grams", "i")],
     "x_dedup_ngram_jaccard": [("id_a", "i"), ("id_b", "i"), ("jaccard", "d")],
     "x_embed_neardup": [("id_a", "i"), ("id_b", "i"), ("cos_sim", "d")],
     "x_semantic_dedup": [("vec_id", "i"), ("kept", "i"), ("dup_of", "i")],

@@ -1762,3 +1762,39 @@ def x_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-collected state (64 rows)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return sim.quantize_embeddings(emb)
+
+
+# -------------------------------------------- exact duplicate spans
+@register(
+    "x_dedup_spans",
+    """
+    WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+    pg AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+             md5(array_to_string(list_slice(a, i, i + 4), ' ')) AS h
+      FROM arr, unnest(generate_series(1, len(a) - 4)) t(i)
+      WHERE len(a) >= 5
+    ),
+    dfs AS (
+      SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS gdf FROM pg GROUP BY h)
+      WHERE gdf >= 2 AND gdf <= 10000
+    ),
+    hits AS (SELECT pg.doc_id, pg.pos FROM pg JOIN dfs USING (h)),
+    isl AS (
+      SELECT doc_id, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM hits
+    )
+    SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 4 AS span_end,
+           COUNT(*) AS n_dup_grams
+    FROM isl GROUP BY doc_id, grp
+    """,
+)
+def x_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-span detection (substring dedup, Lee et al.):
+    maximal token spans whose 5-grams each occur in >= 2 documents —
+    the spans a pipeline cuts instead of dropping whole docs
+    (operators/dedup.py:duplicate_spans). Integer-only output, so
+    the oracle hash has no float hazards."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.duplicate_spans(docs, "doc_id", "text", n=5, min_df=2)

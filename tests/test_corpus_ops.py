@@ -670,3 +670,28 @@ def test_phrase_search_positions_and_counts(spark):
     # three-term phrase chains two adjacency joins
     out3 = {r["doc_id"]: r["n_matches"] for r in phrase_search(df, ["data", "spark", "data"]).collect()}
     assert out3 == {2: 1}
+
+
+# --------------------------------------------- exact duplicate spans
+def test_duplicate_spans_merges_maximal_runs(spark):
+    from mfdb_hafro_etl_spark.operators.dedup import duplicate_spans
+
+    shared = "one two three four five six"          # 6 tokens, two 5-grams
+    df = spark.createDataFrame(
+        [
+            (1, f"{shared} unique tail here alpha"),
+            (2, f"prefix beta {shared} gamma"),
+            (3, "totally different words entirely okay yes"),
+        ],
+        "doc_id INT, text STRING",
+    )
+    out = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["n_dup_grams"])
+        for r in duplicate_spans(df, "doc_id", "text", n=5, min_df=2).collect()
+    }
+    # doc 1: shared block at tokens 0..5 — two overlapping 5-grams merge
+    assert out[1] == (0, 5, 2)
+    # doc 2: same block shifted by the 2-token prefix
+    assert out[2] == (2, 7, 2)
+    # doc 3: nothing repeated
+    assert 3 not in out
