@@ -388,10 +388,17 @@ def duplicate_clusters(
 
     Broadcast-sized graphs take a driver fast path: when the
     materialized edge list is under ``driver_max_edges`` (default 4M
-    edges ≈ the same 64 MB the session allows a broadcast join's
-    build side — the identical runtime-size decision), the edges are
-    collected and solved with union-find + path compression, and the
-    node-count-sized result returns as a JVM local relation. The
+    edges — the same order as a broadcast join's build side), the
+    edges come to the driver via Arrow (``toPandas``, no per-row
+    ``Row`` objects), endpoints are factorized to sorted integer
+    codes, and union-find + path compression runs over a single
+    int64 numpy parent array; the node-count-sized result returns
+    as a JVM local relation. Driver footprint at the 4M gate is
+    therefore ~2 numpy int64 code arrays (32 MB each) + one parent
+    array + each distinct id stored ONCE (pandas uniques) — tens to
+    low hundreds of MB even for long string ids, not the multi-GB a
+    naive ``collect()`` of Row objects plus a dict-based union-find
+    would cost. The
     distributed loop below pays ~1.5 s of scheduling per round
     regardless of data size, so a small pair graph (the common case:
     pair generation is already threshold-gated) costs seconds for
@@ -424,29 +431,47 @@ def duplicate_clusters(
     # symmetric union is never built
     if 2 * e.count() <= driver_max_edges:
         try:
-            rows = e.collect()
+            pdf = e.toPandas()
         finally:
             _unpersist_checkpoint(e)
-        parent: dict = {}
+        import numpy as np
+        import pandas as pd
 
-        def find(x):
-            while parent.setdefault(x, x) != x:
+        # factorize BOTH endpoint columns over one concatenated
+        # series with sort=True: codes then order exactly like the
+        # id values, so min-code == min-id and the canonical
+        # representative survives the integer translation. Each
+        # distinct id is stored once (uniques); the union-find state
+        # is one int64 array.
+        combined = pd.concat(
+            [pdf.iloc[:, 0], pdf.iloc[:, 1]], ignore_index=True
+        )
+        codes, uniques = pd.factorize(combined, sort=True)
+        m = len(pdf)
+        parent = np.arange(len(uniques), dtype=np.int64)
+
+        def find(x: int) -> int:
+            while parent[x] != x:
                 parent[x] = parent[parent[x]]
                 x = parent[x]
             return x
 
-        for r in rows:
-            ra, rb = find(r[0]), find(r[1])
+        for ca, cb in zip(codes[:m].tolist(), codes[m:].tolist()):
+            ra, rb = find(ca), find(cb)
             if ra != rb:
-                parent[max(ra, rb)] = min(ra, rb)
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
         from pyspark.sql import types as T
 
         from mfdb_hafro_etl_spark.localrel import local_df
 
         id_type = pairs.schema[id_a].dataType
+        node_ids = uniques.tolist()
         return local_df(
             pairs.sparkSession,
-            sorted((n, find(n)) for n in parent),
+            [(node_ids[c], node_ids[find(c)]) for c in range(len(node_ids))],
             T.StructType(
                 [
                     T.StructField("doc_id", id_type),

@@ -168,15 +168,24 @@ def skala_med_toldum2(
             # sub-ulp summation-order noise and the engines disagree.
             # Quantizing here makes the doubles entering that chain
             # bit-identical, so even exact ties round identically.
+            # floor(x*1e6+0.5)/1e6, NOT F.round: Spark rounds the
+            # double's shortest decimal repr while DuckDB rounds the
+            # exact binary value, so values like biom_prop*(vigt/
+            # fjoldi) = 0.0192125 (7 places ending in 5) diverge
+            # between engines under round(); the floor construction
+            # is the same correctly-rounded IEEE multiply/add/floor/
+            # divide on both and mean_wt is nonnegative.
             "mean_wt",
-            F.round(
+            F.floor(
                 F.col("biom_prop")
                 * (
                     F.when(F.col("vigt_synis") == 0, null_d).otherwise(F.col("vigt_synis"))
                     / F.when(F.col("fjoldi_by_int") == 0, null_d).otherwise(F.col("fjoldi_by_int"))
-                ),
-                6,
-            ),
+                )
+                * 1000000.0
+                + 0.5
+            )
+            / 1000000.0,
         )
         .withColumn(
             "fjoldi",

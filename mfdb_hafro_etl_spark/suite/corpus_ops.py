@@ -397,7 +397,9 @@ def x_search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH n AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS ns FROM documents GROUP BY source),
     tot AS (SELECT SUM(ns) AS N, SUM(sqrt(ns)) AS Z FROM n),
-    r AS (SELECT source, ROUND(LEAST(1.0, 0.5 * N * (sqrt(ns) / Z) / ns), 6) AS rate
+    r AS (SELECT source,
+                 FLOOR(LEAST(1.0, 0.5 * N * (sqrt(ns) / Z) / ns) * 1000000.0 + 0.5)
+                   / 1000000.0 AS rate
           FROM n, tot),
     kept AS (
       SELECT d.source, d.doc_id
@@ -415,8 +417,15 @@ def x_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-source keep rates, then membership is the same codegen'd
     hash-unit filter as every sampling operator — no join, no
     shuffle on the corpus side. T=2 keeps the power a correctly-
-    rounded sqrt on both engines; rates round HALF_UP to 6dp on both
-    sides (operators/sampling.py:temperature_rates)."""
+    rounded sqrt on both engines; rates quantize via the same
+    floor(x*1e6+0.5)/1e6 construction on both sides
+    (operators/sampling.py:temperature_rates) — NOT ROUND(), whose
+    shortest-decimal-vs-exact-binary tie handling differs between
+    engines. Ordering note: the operator sums Z with math.fsum over
+    sorted sources while the oracle uses SUM(sqrt(ns)); source
+    cardinality is policy-sized (a handful here, thousands at most
+    in production) so the summation-order ulp noise is far below
+    the 1e-6 quantum, and the matching floor form absorbs it."""
     docs = load_table(spark, sf_dir, "documents")
     kept = sp.temperature_sample(
         docs, "doc_id", "source", temperature=2.0, target_frac=0.5, salt="tmix"

@@ -499,9 +499,10 @@ grpw AS (
 ),
 mw AS (
   SELECT i.synis_id, i.tegund, i.lengd_interval,
-         ROUND((CASE WHEN g.fpw_sum = 0 THEN NULL ELSE i.fpw / g.fpw_sum END)
+         FLOOR((CASE WHEN g.fpw_sum = 0 THEN NULL ELSE i.fpw / g.fpw_sum END)
          * (CASE WHEN rt.vigt_synis = 0 THEN NULL ELSE rt.vigt_synis END
-            / CASE WHEN i.fjoldi_by_int = 0 THEN NULL ELSE i.fjoldi_by_int END), 6) AS mean_wt
+            / CASE WHEN i.fjoldi_by_int = 0 THEN NULL ELSE i.fjoldi_by_int END)
+         * 1000000.0 + 0.5) / 1000000.0 AS mean_wt
   FROM ivw i
   JOIN grpw g ON i.synis_id = g.synis_id AND i.tegund = g.tegund
   LEFT JOIN ratio rt ON i.synis_id = rt.synis_id AND i.tegund = rt.tegund
