@@ -264,6 +264,28 @@ def encode_png(img: np.ndarray) -> bytes:
     )
 
 
+def decode_pixels(data: bytes) -> np.ndarray:
+    """Dispatching pixel decode → uint8 (h, w, channels) for every
+    format this environment can decode without an external library:
+    PNG (stdlib zlib, :func:`decode_png`) and baseline-sequential
+    JPEG (pure-numpy Huffman+IDCT, :func:`jpegcodec.decode_jpeg`).
+    GIF/BMP and progressive JPEG raise NotImplementedError with the
+    reason; unrecognized payloads too."""
+    hdr = parse_header(data)
+    if hdr is None:
+        raise NotImplementedError("payload is not a recognized image format")
+    if hdr["format"] == "png":
+        return decode_png(data)
+    if hdr["format"] == "jpeg":
+        from mfdb_hafro_etl_spark.operators import jpegcodec as jc
+
+        return jc.decode_jpeg(data)
+    raise NotImplementedError(
+        f"{hdr['format']} pixel decode needs an external codec "
+        "(PNG and baseline JPEG decode in pure Python/numpy)"
+    )
+
+
 def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
     """Nearest-neighbor resample to (height, width, channels)."""
     h, w = img.shape[:2]

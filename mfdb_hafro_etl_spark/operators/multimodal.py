@@ -8,12 +8,16 @@ Python worker sees pyarrow-backed pandas batches, and partitioning is
 by content hash so hot keys spread.
 
 Codec availability: the container ships no image libraries, but PNG
-needs only stdlib ``zlib`` — so ``mode='real'`` is genuinely
-implemented via :mod:`.imagecodec` (pure-Python/numpy): header
-metadata for PNG/JPEG/GIF/BMP, full pixel decode + feature extraction
-+ nearest-neighbor resize for non-interlaced 8-bit PNGs. Formats that
-do require an external codec (JPEG pixels, audio, video) raise
-NotImplementedError at the decode call. ``mode='fake'`` remains the
+needs only stdlib ``zlib`` and baseline JPEG needs only integer
+Huffman + an 8x8 IDCT — so ``mode='real'`` is genuinely implemented
+via :mod:`.imagecodec` / :mod:`.jpegcodec` (pure-Python/numpy):
+header metadata for PNG/JPEG/GIF/BMP, full pixel decode + feature
+extraction + nearest-neighbor resize for non-interlaced 8-bit PNGs
+AND baseline-sequential JPEGs (ITU-T T.81 SOF0/SOF1, any h/v
+sampling, restart markers). Formats that genuinely require an
+external codec (progressive JPEG, GIF/BMP pixels, compressed
+audio/video) raise NotImplementedError at the decode call.
+``mode='fake'`` remains the
 deterministic sha256-derived stub whose math is reproducible in ANSI
 SQL — the mode the DuckDB oracles replicate exactly.
 """
@@ -80,21 +84,16 @@ def _fake_features(data: bytes) -> list[float]:
 
 
 def _real_features(data: bytes) -> list[float]:
-    """Decoded-pixel features (PNG only — the one format stdlib zlib
-    can decode): dimensions, channel count, and global intensity
-    statistics, each scaled into [0,1]-ish ranges. Deterministic
-    integer→float math, no RNG."""
+    """Decoded-pixel features (PNG via stdlib zlib, baseline JPEG via
+    the pure-numpy jpegcodec): dimensions, channel count, and global
+    intensity statistics, each scaled into [0,1]-ish ranges.
+    Deterministic integer→float math, no RNG."""
     from mfdb_hafro_etl_spark.operators import imagecodec as ic
 
     hdr = ic.parse_header(data)
     if hdr is None:
         raise NotImplementedError("payload is not a recognized image format")
-    if hdr["format"] != "png":
-        raise NotImplementedError(
-            f"{hdr['format']} pixel decode needs an external codec; "
-            "only PNG decodes with stdlib zlib"
-        )
-    img = ic.decode_png(data).astype(np.float64)
+    img = ic.decode_pixels(data).astype(np.float64)
     return [
         hdr["width"] / 4096.0,
         hdr["height"] / 4096.0,
@@ -201,6 +200,61 @@ def decode_media_meta(media: DataFrame, mode: str = "fake") -> DataFrame:
     return media.select("media_id", "content").mapInPandas(gen, schema=DECODED_META_SCHEMA)
 
 
+IMAGE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("mean_px", T.DoubleType()),
+    ]
+)
+
+
+def decode_image_stats(media: DataFrame) -> DataFrame:
+    """REAL pixel decode → per-image statistics, Arrow-batched: every
+    payload runs through :func:`imagecodec.decode_pixels` (PNG via
+    stdlib zlib, baseline JPEG via the pure-numpy Huffman+IDCT
+    jpegcodec) and reports decoded dimensions + global mean
+    intensity. The mean quantizes floor(x*1e6+0.5)/1e6 so an oracle
+    recomputing it from known pixel values lands on the identical
+    double (uint8 sums are exact in float64; scaling num/denom by a
+    power of two preserves IEEE quotients, so block-mean == pixel-
+    mean bit-for-bit). Undecodable payloads raise — decode filters
+    that need tolerance should header-screen with decode_media_meta
+    first."""
+    import math
+
+    from mfdb_hafro_etl_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(media.sparkSession)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mfdb_hafro_etl_spark.operators import imagecodec as ic
+
+        for pdf in batches:
+            w_, h_, ch_, mean_ = [], [], [], []
+            for b in pdf["content"]:
+                img = ic.decode_pixels(bytes(b))
+                h_.append(img.shape[0])
+                w_.append(img.shape[1])
+                ch_.append(img.shape[2])
+                mean_.append(math.floor(float(img.mean()) * 1e6 + 0.5) / 1e6)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": w_,
+                    "height": h_,
+                    "channels": ch_,
+                    "mean_px": mean_,
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        gen, schema=IMAGE_STATS_SCHEMA
+    )
+
+
 RESIZED_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -237,12 +291,7 @@ def resize_media(
     def _real_resize(data: bytes) -> bytes:
         from mfdb_hafro_etl_spark.operators import imagecodec as ic
 
-        hdr = ic.parse_header(data)
-        if hdr is None or hdr["format"] != "png":
-            raise NotImplementedError(
-                "real resize decodes PNG only (other formats need an external codec)"
-            )
-        img = ic.to_channels(ic.decode_png(data), channels)
+        img = ic.to_channels(ic.decode_pixels(data), channels)
         return ic.resize_nearest(img, width, height).tobytes()
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

