@@ -313,3 +313,127 @@ def content_defined_chunks(
         gen,
         schema=f"{id_col} {id_type}, chunk_id int, start int, length int, chunk_hash string",
     )
+
+
+def bpe_word_freq(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace-tokenized distinct-word frequency table — the ONE
+    corpus-scale shuffle BPE training needs. Everything after this
+    operates on the vocabulary (distinct words), which is orders of
+    magnitude smaller than the corpus at any scale: 100 TB of text is
+    still single-digit-millions of distinct words."""
+    return (
+        df.select(F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _bpe_pair_col(seg: Column) -> Column:
+    """Adjacent-symbol pairs of a space-joined segmentation, as
+    'x y' strings (symbols never contain spaces, so the join is
+    unambiguous). Guarded for single-symbol words: sequence(1, 0)
+    DESCENDS in Spark, which would index past the array."""
+    arr = F.split(seg, " ")
+    return F.when(
+        F.size(arr) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(arr, i), F.element_at(arr, i + 1)
+            ),
+        ),
+    ).otherwise(F.expr("cast(array() as array<string>)"))
+
+
+def bpe_train(
+    df: DataFrame, text_col: str = "text", n_merges: int = 5
+) -> DataFrame:
+    """Distributed byte-pair-encoding tokenizer training (Sennrich et
+    al. 2016 / GPT-2 style, over whitespace-pretokenized words):
+    learn the ``n_merges`` highest-frequency adjacent-symbol merges,
+    greedy left-to-right within each word, ties broken by pair
+    string ascending (deterministic, engine-portable).
+
+    Returns (rank, pair, freq): the k-th learned merge and the
+    weighted count of adjacent occurrences it had when chosen.
+
+    Scale shape: ONE corpus-wide shuffle builds the distinct-word
+    frequency table (bpe_word_freq); each merge round then runs
+    entirely on the vocabulary — a Column-algebra pair explode +
+    one policy-sized aggregation whose single top row comes to the
+    driver (driver-side LOOP over k rounds, never driver-side DATA).
+    The greedy within-word merge is a pure ``aggregate`` fold over
+    the symbol array (element-exact comparisons — no substring
+    false-positives a string replace() would hit once symbols grow
+    past one character), so re-segmentation is map-only over the
+    vocabulary. At 100 TB the per-round cost is independent of
+    corpus size.
+
+    Counting semantics: a round counts ADJACENT POSITIONS (so 'aaa'
+    contributes 2 to pair 'a a'), and the fold then merges greedy
+    left-to-right ('aaa' → ['aa','a']) — the reference BPE behavior.
+    """
+    from mfdb_hafro_etl_spark.localrel import local_df
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    vocab = (
+        bpe_word_freq(df, text_col)
+        .select(
+            "freq",
+            # 'w o r d': one space between every character
+            F.rtrim(F.regexp_replace(F.col("word"), "(.)", "$1 ")).alias("seg"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[int, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        top = (
+            vocab.select("freq", F.explode(_bpe_pair_col(F.col("seg"))).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("freq"))
+            .orderBy(F.col("freq").desc(), F.col("pair").asc())
+            .first()
+        )
+        if top is None:
+            break
+        pair, freq = top["pair"], int(top["freq"])
+        merges.append((rank, pair, freq))
+        x, y = pair.split(" ")
+        merged = x + y
+        folded = F.aggregate(
+            F.split(F.col("seg"), " "),
+            F.expr("cast(array() as array<string>)"),
+            lambda acc, t: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == x)
+                & (t == y),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+                ),
+            ).otherwise(F.concat(acc, F.array(t))),
+        )
+        new_vocab = vocab.select(
+            "freq", F.array_join(folded, " ").alias("seg")
+        ).localCheckpoint(eager=True)
+        try:  # free the superseded round's blocks (long-session hygiene)
+            vocab._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:
+            pass
+        vocab = new_vocab
+    try:
+        vocab._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+    return local_df(
+        spark,
+        merges,
+        T.StructType(
+            [
+                T.StructField("rank", T.IntegerType()),
+                T.StructField("pair", T.StringType()),
+                T.StructField("freq", T.LongType()),
+            ]
+        ),
+    )

@@ -464,3 +464,71 @@ def x_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical positional join."""
     docs = load_table(spark, sf_dir, "documents")
     return srch.phrase_search(docs, ["data", "spark"], "doc_id", "text")
+
+
+# -------------------------------------------- BPE tokenizer training
+def _bpe_oracle_sql(n: int = 5) -> str:
+    """Generated oracle for bpe_train: n merge rounds, each = pair
+    counting via positional adjacency self-join + a recursive-CTE
+    greedy left-to-right fold (the exact semantics of the Spark
+    side's aggregate() fold — element-exact symbol comparisons, no
+    substring false-positives). Round CTEs are MATERIALIZED: DuckDB
+    otherwise inlines each reference, and five chained rounds
+    re-evaluate transitively — measured as an EMFILE blowup from
+    re-opening the parquet once per leaf of the expansion tree."""
+    parts = [
+        """WITH RECURSIVE words AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+            FROM documents)
+      WHERE word <> '' GROUP BY word
+    ),
+    lists0 AS MATERIALIZED (SELECT word, freq,
+                      string_split(rtrim(regexp_replace(word, '(.)', '\\1 ', 'g')), ' ') AS toks
+               FROM words)"""
+    ]
+    for k in range(n):
+        parts.append(f""",
+    toks{k} AS MATERIALIZED (SELECT l.word, l.freq, l.toks[i] AS tok, i
+                FROM lists{k} l, unnest(generate_series(1, len(l.toks))) u(i)),
+    pairs{k} AS (SELECT a.tok || ' ' || b.tok AS pair, SUM(a.freq) AS freq
+                 FROM toks{k} a JOIN toks{k} b ON a.word = b.word AND b.i = a.i + 1
+                 GROUP BY 1),
+    top{k} AS MATERIALIZED (SELECT pair, split_part(pair, ' ', 1) AS x,
+                      split_part(pair, ' ', 2) AS y, freq
+               FROM pairs{k} ORDER BY freq DESC, pair LIMIT 1),
+    fold{k} AS (
+      SELECT word, freq, toks, 1 AS i, CAST([] AS VARCHAR[]) AS acc FROM lists{k}
+      UNION ALL
+      SELECT word, freq, toks,
+        CASE WHEN i < len(toks) AND toks[i] = (SELECT x FROM top{k})
+                  AND toks[i+1] = (SELECT y FROM top{k})
+             THEN i + 2 ELSE i + 1 END,
+        CASE WHEN i < len(toks) AND toks[i] = (SELECT x FROM top{k})
+                  AND toks[i+1] = (SELECT y FROM top{k})
+             THEN list_append(acc, (SELECT x || y FROM top{k}))
+             ELSE list_append(acc, toks[i]) END
+      FROM fold{k} WHERE i <= len(toks)
+    ),
+    lists{k + 1} AS MATERIALIZED (SELECT word, freq, acc AS toks
+                     FROM fold{k} WHERE i = len(toks) + 1)""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {k + 1} AS rank, pair, freq FROM top{k}" for k in range(n)
+    )
+    return "".join(parts) + "\n" + sel
+
+
+@register("x_bpe_train", _bpe_oracle_sql(5))
+def x_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training over the corpus: the 5
+    highest-frequency adjacent-symbol merges, greedy left-to-right
+    re-segmentation per round, ties by pair string
+    (operators/text.py:bpe_train). One corpus-scale shuffle total
+    (the distinct-word frequency table); every merge round is
+    vocabulary-sized — the shape that trains a tokenizer on 100 TB
+    without ever re-reading the corpus. The oracle replays the exact
+    fold with recursive CTEs."""
+    from mfdb_hafro_etl_spark.operators import text as tx
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.bpe_train(docs, "text", n_merges=5)

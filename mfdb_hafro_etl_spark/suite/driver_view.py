@@ -130,6 +130,7 @@ COMBOS: dict[str, list[str]] = {
         "x_text_quality",
         "x_text_langid",
         "x_text_langid_ngram",
+        "x_bpe_train",
     ],
     "x_sketches": [
         "x_sketch_hll",
@@ -312,6 +313,7 @@ _ARM_COLS: dict[str, list[tuple[str, str]]] = {
     "x_text_quality": [("doc_id", "i"), ("n_tokens", "i"), ("n_bpe", "i"), ("quality", "d")],
     "x_text_langid": [("doc_id", "i"), ("lang_guess", "s")],
     "x_text_langid_ngram": [("doc_id", "i"), ("lang_guess", "s")],
+    "x_bpe_train": [("rank", "i"), ("pair", "s"), ("freq", "i")],
     "x_events_tumbling": [("window_start", "s"), ("event_type", "s"), ("n", "i"), ("sum_value", "d")],
     "x_events_props_json": [("k_bucket", "i"), ("n", "i"), ("sum_value", "d")],
     "x_events_moving": [("event_type", "s"), ("day", "s"), ("n", "i"), ("daily", "d"), ("moving7", "d")],

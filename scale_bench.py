@@ -1,0 +1,264 @@
+"""Empirical scale evidence: replicate the driver's sf0.1 testdata
+R× with FK-consistent id shifts, run the full query suite at each
+factor with bench.py's exact protocol, and report per-query scaling
+ratios.
+
+Why this exists: plan-shape tests (tests/test_plan_quality.py) prove
+the plans are right, but spills, skew, and memory cliffs only show up
+when the data actually grows. This script produces the committed
+artifact (SCALE_BENCH_r{N}.json + SCALE_BENCH.md) that demonstrates
+the engine's wall-clock scales ~linearly from sf0.1 to 10× and 100×
+the rows on the same 32-core box — the strongest single-node proxy we
+can run for the 1000-executor / 100 TB design target.
+
+Replication preserves the workload's semantics per replica:
+
+- Dims (region, nation) are fixed — they stay broadcast-sized at any
+  scale, exactly like a real star schema.
+- Fact/entity keys shift by r·stride (stride = max(key)+1 in the
+  base), so every FK join finds exactly its own replica's rows:
+  join/agg cardinalities scale linearly, never R².
+- documents.text gets a per-replica composed character translation
+  (caesar r%26 on lowercase ∘ vowel-rotation (r//26)%5 — 130 distinct
+  maps) plus a replica prefix token: WITHIN-replica duplicate
+  structure is preserved exactly (same bijection both sides of every
+  planted pair), while cross-replica shingle overlap collapses, so
+  dedup pair counts scale linearly instead of R².
+- embeddings roll by r%dim and negate on (r//dim)%2 (128 distinct
+  transforms): rotations of a random vector are ~orthogonal, so ANN /
+  near-dup neighborhoods stay per-replica and scale linearly; norms
+  and per-dim distributions are untouched.
+- events keep their timestamps: window densities grow R×, which is
+  the realistic stress for the sessionize / retention / streaming
+  state paths.
+
+Usage:
+  python scale_bench.py gen     [--factors 10,100]
+  python scale_bench.py run     [--factors 10,100] [--only a,b] [--out F]
+  python scale_bench.py all     (gen + run, default factors 10,100)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import string
+import subprocess
+import sys
+import time
+
+BASE = os.environ.get("SCALE_BASE", "/root/testdata/sf0.1")
+ROOT = os.environ.get("SCALE_ROOT", "/tmp/mfdb_scale")
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+#: key columns shifted by r·stride(owner): (table, column) → owner key
+SHIFTS: dict[str, dict[str, str]] = {
+    "customer": {"c_custkey": "c"},
+    "supplier": {"s_suppkey": "s"},
+    "part": {"p_partkey": "p"},
+    "orders": {"o_orderkey": "o", "o_custkey": "c"},
+    "lineitem": {"l_orderkey": "o", "l_partkey": "p", "l_suppkey": "s"},
+    "events": {"event_id": "e", "user_id": "u"},
+    "documents": {"doc_id": "d"},
+    "embeddings": {"vec_id": "v"},
+}
+
+#: stride source: owner key → (table, column)
+STRIDE_SRC = {
+    "c": ("customer", "c_custkey"),
+    "s": ("supplier", "s_suppkey"),
+    "p": ("part", "p_partkey"),
+    "o": ("orders", "o_orderkey"),
+    "e": ("events", "event_id"),
+    "u": ("events", "user_id"),
+    "d": ("documents", "doc_id"),
+    "v": ("embeddings", "vec_id"),
+}
+
+
+def _doc_translate(r: int) -> tuple[str, str]:
+    """Composed per-replica bijection on lowercase letters: caesar by
+    r%26 then vowel-rotation by (r//26)%5 — 130 distinct maps, enough
+    for factors up to 100 with no repeats."""
+    low = string.ascii_lowercase
+    c, v = r % 26, (r // 26) % 5
+    vow = "aeiou"
+    vrot = {vow[i]: vow[(i + v) % 5] for i in range(5)}
+    dst = []
+    for i, _ in enumerate(low):
+        t = low[(i + c) % 26]
+        dst.append(vrot.get(t, t))
+    return low, "".join(dst)
+
+
+def generate(spark, factor: int, out_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    from mfdb_hafro_etl_spark.catalog import load_table
+
+    strides = {
+        k: load_table(spark, BASE, t).agg(F.max(c)).first()[0] + 1
+        for k, (t, c) in STRIDE_SRC.items()
+    }
+    emb_dim = len(
+        load_table(spark, BASE, "embeddings").select("embedding").first()[0]
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    for table in TABLES:
+        dst = os.path.join(out_dir, f"{table}.parquet")
+        if os.path.exists(os.path.join(dst, "_SUCCESS")):
+            continue
+        base = load_table(spark, BASE, table)
+        base_mb = sum(
+            os.path.getsize(os.path.join(BASE, f))
+            for f in [f"{table}.parquet"]
+        ) / 1e6
+        n_parts = max(1, min(256, int(factor * base_mb // 48) + 1))
+        if table in ("region", "nation"):
+            out = base  # fixed dims: broadcast-sized at any scale
+        elif table == "documents":
+            parts = []
+            for r in range(factor):
+                src, tdst = _doc_translate(r)
+                text = F.concat(
+                    F.lit(f"r{r} "), F.translate(F.col("text"), src, tdst)
+                )
+                parts.append(
+                    base.select(
+                        (F.col("doc_id") + r * strides["d"]).alias("doc_id"),
+                        text.alias("text"),
+                        "lang",
+                        "source",
+                        F.length(text).cast("long").alias("n_chars"),
+                    )
+                )
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+        elif table == "embeddings":
+            parts = []
+            for r in range(factor):
+                ofs = r % emb_dim
+                rolled = F.expr(
+                    f"concat(slice(embedding, {ofs + 1}, {emb_dim - ofs}), "
+                    f"slice(embedding, 1, {ofs}))"
+                )
+                if (r // emb_dim) % 2:
+                    rolled = F.expr(
+                        f"transform(concat(slice(embedding, {ofs + 1}, "
+                        f"{emb_dim - ofs}), slice(embedding, 1, {ofs})), "
+                        "x -> -x)"
+                    )
+                parts.append(
+                    base.select(
+                        (F.col("vec_id") + r * strides["v"]).alias("vec_id"),
+                        rolled.cast("array<float>").alias("embedding"),
+                        "label",
+                    )
+                )
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+        else:
+            reps = F.broadcast(
+                spark.range(factor).select(F.col("id").alias("__r__"))
+            )
+            shifted = base.crossJoin(reps)
+            cols = []
+            for f in base.schema.fields:
+                owner = SHIFTS.get(table, {}).get(f.name)
+                if owner:
+                    cols.append(
+                        (F.col(f.name) + F.col("__r__") * strides[owner])
+                        .cast(f.dataType.simpleString())
+                        .alias(f.name)
+                    )
+                else:
+                    cols.append(F.col(f.name))
+            out = shifted.select(*cols)
+        out.repartition(n_parts).write.mode("overwrite").parquet(dst)
+        n = spark.read.parquet(dst).count()
+        print(f"  {table}: x{factor} -> {n} rows, {n_parts} files", flush=True)
+
+
+def cmd_gen(factors: list[int]) -> None:
+    from mfdb_hafro_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="mfdb-etl-scale-gen", cpus="32")
+    spark.sparkContext.setLogLevel("ERROR")
+    for f in factors:
+        out_dir = os.path.join(ROOT, f"x{f}")
+        print(f"generating x{f} -> {out_dir}", flush=True)
+        t0 = time.time()
+        generate(spark, f, out_dir)
+        print(f"  done in {time.time() - t0:.1f}s", flush=True)
+
+
+def _run_bench(sf_dir: str, only: str | None) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    if only:
+        env["BENCH_ONLY"] = only
+    p = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+    )
+    lines = [l for l in p.stdout.splitlines() if l.startswith('{"metric"')]
+    if p.returncode != 0 or not lines:
+        raise SystemExit(
+            f"bench failed at {sf_dir} (rc {p.returncode}):\n"
+            + p.stdout[-3000:]
+            + p.stderr[-3000:]
+        )
+    return json.loads(lines[-1])
+
+
+def cmd_run(factors: list[int], only: str | None, out: str) -> None:
+    results: dict[str, dict] = {}
+    print(f"baseline x1 = {BASE}", flush=True)
+    results["1"] = _run_bench(BASE, only)
+    print(f"  x1 total {results['1']['value']}s", flush=True)
+    for f in factors:
+        sf_dir = os.path.join(ROOT, f"x{f}")
+        if not os.path.isdir(sf_dir):
+            raise SystemExit(f"{sf_dir} missing — run `gen` first")
+        print(f"running suite at x{f}", flush=True)
+        results[str(f)] = _run_bench(sf_dir, only)
+        print(f"  x{f} total {results[str(f)]['value']}s", flush=True)
+    report = {
+        "base": BASE,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        "factors": [1] + factors,
+        "totals": {k: v["value"] for k, v in results.items()},
+        "n_queries": {k: v.get("n_queries") for k, v in results.items()},
+        "queries": {k: v["queries"] for k, v in results.items()},
+    }
+    with open(out, "w") as fh:
+        json.dump(report, fh, indent=1, sort_keys=True)
+    print(f"wrote {out}", flush=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("cmd", choices=["gen", "run", "all"])
+    ap.add_argument("--factors", default="10,100")
+    ap.add_argument("--only", default=None)
+    ap.add_argument("--out", default=os.path.join(REPO, "SCALE_BENCH_r04.json"))
+    args = ap.parse_args()
+    factors = [int(x) for x in args.factors.split(",") if x]
+    if args.cmd in ("gen", "all"):
+        cmd_gen(factors)
+    if args.cmd in ("run", "all"):
+        cmd_run(factors, args.only, args.out)
+
+
+if __name__ == "__main__":
+    main()

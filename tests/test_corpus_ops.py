@@ -695,3 +695,72 @@ def test_duplicate_spans_merges_maximal_runs(spark):
     assert out[2] == (2, 7, 2)
     # doc 3: nothing repeated
     assert 3 not in out
+
+
+def test_bpe_train_matches_reference_bpe(spark):
+    """bpe_train vs an independent pure-Python BPE (Sennrich-style:
+    count adjacent positions, merge greedy left-to-right, ties by
+    pair string). Corpus includes repeated-symbol runs ('aaa' →
+    ['aa','a']), single-char words (no pairs), and enough structure
+    that merged multi-char symbols participate in later rounds."""
+    import itertools
+
+    from mfdb_hafro_etl_spark.operators import text as tx
+
+    texts = [
+        "aaa aab abab bb b a low lower lowest",
+        "newer newest wider wide wide new new new",
+        "abab abab aaa lowest b a a",
+        "banana bandana ana ana anna",
+    ]
+
+    def ref_bpe(word_freqs: dict, k: int):
+        segs = {w: list(w) for w in word_freqs}
+        merges = []
+        for rank in range(1, k + 1):
+            counts: dict = {}
+            for w, f in word_freqs.items():
+                s = segs[w]
+                for i in range(len(s) - 1):
+                    p = (s[i], s[i + 1])
+                    counts[p] = counts.get(p, 0) + f
+            if not counts:
+                break
+            (x, y), f = min(
+                counts.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}")
+            )
+            merges.append((rank, f"{x} {y}", f))
+            for w, s in segs.items():
+                out, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == x and s[i + 1] == y:
+                        out.append(x + y)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                segs[w] = out
+        return merges
+
+    freqs: dict = {}
+    for w in itertools.chain.from_iterable(t.split() for t in texts):
+        freqs[w] = freqs.get(w, 0) + 1
+    expected = ref_bpe(freqs, 6)
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = [
+        (r["rank"], r["pair"], r["freq"])
+        for r in tx.bpe_train(df, "text", n_merges=6).orderBy("rank").collect()
+    ]
+    assert got == expected
+
+
+def test_bpe_word_freq_is_single_shuffle(spark):
+    """The corpus only ever feeds ONE aggregation (the distinct-word
+    frequency table); each merge round must plan against that
+    vocabulary, not re-scan the corpus."""
+    from mfdb_hafro_etl_spark.operators import text as tx
+
+    df = spark.createDataFrame([(1, "a b a")], "doc_id long, text string")
+    plan = tx.bpe_word_freq(df, "text")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
