@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
 
 from mfdb_hafro_etl_spark.operators.text import tokens
 
@@ -174,6 +175,7 @@ def minhash_lsh_pairs(
     k: int = 8,
     rows_per_band: int = 2,
     threshold: float = 0.6,
+    max_bucket_df: int = 100_000,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs, verified.
 
@@ -187,6 +189,16 @@ def minhash_lsh_pairs(
     standard MinHash-LSH construction; because hashes are content-
     derived, the (rare) banding misses are deterministic and
     reproduced by the SQL oracle.
+
+    ``max_bucket_df`` is the hot-bucket gate (the max_df discipline
+    of the other pair generators, applied to band buckets): a bucket
+    shared by B docs fans out B²/2 candidate pairs INSIDE ONE TASK —
+    the self-join hashes on (band, val), so a million-doc boilerplate
+    bucket is a half-trillion-row task no executor survives. Buckets
+    over the gate are dropped before the join; their members are
+    exact/boilerplate duplicates that exact_dedup (or a lower gate +
+    duplicate_spans) handles at linear cost. The gate is one window
+    count over the band shuffle the join needs anyway.
     """
     assert k % rows_per_band == 0
     # the shingle table feeds both signature generation and candidate
@@ -207,6 +219,16 @@ def minhash_lsh_pairs(
     )
     exploded = sig.select(F.col(id_col), F.explode(bands).alias("bv")).select(
         F.col(id_col), F.col("bv.band").alias("band"), F.col("bv.val").alias("val")
+    )
+    from pyspark.sql import Window
+
+    exploded = (
+        exploded.withColumn(
+            "__bdf__",
+            F.count(F.lit(1)).over(Window.partitionBy("band", "val")),
+        )
+        .filter(F.col("__bdf__") <= max_bucket_df)
+        .drop("__bdf__")
     )
     left = exploded.select(F.col(id_col).alias("id_a"), "band", "val")
     right = exploded.select(F.col(id_col).alias("id_b"), "band", "val")
@@ -369,6 +391,7 @@ def duplicate_clusters(
     id_b: str = "id_b",
     max_iter: int = 30,
     driver_max_edges: int = 4_000_000,
+    driver_max_bytes: int = 256 << 20,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs → duplicate
     clusters: every doc that appears in a pair gets
@@ -388,7 +411,11 @@ def duplicate_clusters(
 
     Broadcast-sized graphs take a driver fast path: when the
     materialized edge list is under ``driver_max_edges`` (default 4M
-    edges — the same order as a broadcast join's build side), the
+    edges — the same order as a broadcast join's build side) AND,
+    for string ids, the total id characters in the edge list are
+    under ``driver_max_bytes``/2 (default 256 MB, so ~128 MB of raw
+    chars ≈ ≤256 MB of Arrow+pandas footprint — wide ids can't ride
+    a small edge count into an 8 g driver), the
     edges come to the driver via Arrow (``toPandas``, no per-row
     ``Row`` objects), endpoints are factorized to sorted integer
     codes, and union-find + path compression runs over a single
@@ -428,8 +455,21 @@ def duplicate_clusters(
     )
     # runtime size gate (the checkpoint makes the count free): small
     # graph → exact driver union-find, one job, no iteration, and the
-    # symmetric union is never built
-    if 2 * e.count() <= driver_max_edges:
+    # symmetric union is never built. The edge-COUNT gate alone is
+    # blind to id width — 4M edges of 1 KB string ids is ~8 GB of
+    # Arrow payload before factorize even runs, enough to OOM an 8 g
+    # driver — so string-keyed graphs also pass a BYTES gate computed
+    # from the checkpointed edges (one cheap agg, no extra scan of
+    # the pair-generation plan). Fixed-width ids skip the agg.
+    n_edges = e.count()
+    within_gate = 2 * n_edges <= driver_max_edges
+    if within_gate and isinstance(pairs.schema[id_a].dataType, StringType):
+        id_bytes = e.agg(
+            F.sum(F.length("a") + F.length("b")).alias("b")
+        ).collect()[0]["b"] or 0
+        # Arrow transfer + pandas object overhead ≈ 2× raw chars
+        within_gate = 2 * id_bytes <= driver_max_bytes
+    if within_gate:
         try:
             pdf = e.toPandas()
         finally:

@@ -459,7 +459,7 @@ def build_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     rebuild: bool = False,
-    kmeans_iters: int = 0,
+    kmeans_iters: int = 2,
 ) -> list[tuple[int, list[float]]]:
     """Materialize the IVF index: assign every vector to its nearest
     centroid and WRITE the table partitioned by ``__cid__``, plus the
@@ -564,7 +564,7 @@ def knn_join(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
-    kmeans_iters: int = 0,
+    kmeans_iters: int = 2,
 ) -> DataFrame:
     """Bulk approximate kNN join: top-k corpus neighbors for EVERY
     query row at once (the batch companion to the one-query
@@ -692,6 +692,7 @@ def semantic_dedup(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kmeans_iters: int = 2,
 ) -> DataFrame:
     """SemDeDup-shaped semantic deduplication: assign every vector to
     its nearest IVF centroid, then mark as a duplicate every vector
@@ -730,6 +731,7 @@ def semantic_dedup(
     ensure_package_shipped(emb.sparkSession)
 
     cents = _ivf_centroids(emb, n_centroids, id_col, vec_col)
+    cents = _kmeans_refine(emb, cents, kmeans_iters, id_col, vec_col)
     assigned = _ivf_assign_table(
         emb.repartition(emb.sparkSession.sparkContext.defaultParallelism),
         cents,

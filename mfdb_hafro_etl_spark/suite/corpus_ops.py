@@ -338,7 +338,8 @@ def x_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate. The cluster key turns all-pairs into per-cluster
     blocks — the published SemDeDup recipe."""
     emb = load_table(spark, sf_dir, "embeddings")
-    out = sim.semantic_dedup(emb, threshold=0.4, n_centroids=16)
+    # kmeans_iters=0 pins seed centroids for oracle parity
+    out = sim.semantic_dedup(emb, threshold=0.4, n_centroids=16, kmeans_iters=0)
     return out.select(
         "vec_id", F.col("kept").cast("int").alias("kept"), "dup_of"
     )

@@ -76,9 +76,16 @@ def x_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------- minhash + LSH
-def _minhash_ctes(k: int = 8, rows_per_band: int = 2, threshold: float = 0.6) -> str:
+def _minhash_ctes(
+    k: int = 8,
+    rows_per_band: int = 2,
+    threshold: float = 0.6,
+    max_bucket_df: int = 100_000,
+) -> str:
     """CTE chain ending in ``pairs(id_a, id_b, jaccard)`` — shared by
-    the pair query and the clustering oracle."""
+    the pair query and the clustering oracle. ``max_bucket_df``
+    mirrors the operator's hot-bucket gate (dedup.minhash_lsh_pairs)
+    exactly — an integer COUNT(*) window, no float hazard."""
     sig_cols = ",\n           ".join(
         f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(k)
     )
@@ -92,7 +99,14 @@ def _minhash_ctes(k: int = 8, rows_per_band: int = 2, threshold: float = 0.6) ->
     )
     return f"""{_SH_SQL},
     sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
-    bands AS ({band_selects}),
+    bands0 AS ({band_selects}),
+    bands AS (
+      SELECT doc_id, band, val FROM (
+        SELECT doc_id, band, val,
+               COUNT(*) OVER (PARTITION BY band, val) AS bdf
+        FROM bands0
+      ) WHERE bdf <= {max_bucket_df}
+    ),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM bands a JOIN bands b ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
@@ -461,7 +475,9 @@ def x_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     tok = os.path.basename(sf_dir.rstrip("/"))
     path = os.path.join("/tmp/mfdb_suite", f"ivf_index_{tok}")
-    sim.build_ivf_index(emb, path, n_centroids=16)
+    # explicit kmeans_iters=0: the DuckDB oracle mirrors the seed
+    # (lowest-id) centroids; refinement is the production default
+    sim.build_ivf_index(emb, path, n_centroids=16, kmeans_iters=0)
     return sim.ann_ivf_topk_indexed(
         spark, path, [float(x) for x in qvec], k=10, n_probe=4, exclude_id=0
     )
@@ -517,7 +533,8 @@ def x_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id").between(100, 104)).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return sim.knn_join(emb, queries, k=5, n_centroids=16, n_probe=4)
+    # kmeans_iters=0 pins seed centroids for oracle parity
+    return sim.knn_join(emb, queries, k=5, n_centroids=16, n_probe=4, kmeans_iters=0)
 
 
 # ------------------------------------------- multimodal decode + resize

@@ -218,7 +218,19 @@ def _run_bench(sf_dir: str, only: str | None) -> dict:
             + p.stdout[-3000:]
             + p.stderr[-3000:]
         )
-    return json.loads(lines[-1])
+    summary = json.loads(lines[-1])
+    # bench.py's final line keeps only the 8 slowest queries so a
+    # tail-capture window never truncates it; the full per-query map
+    # streams as one {"query": ..., "sec": ...} line each — collect
+    # those so the scale artifact has ratios for EVERY query.
+    per_query: dict[str, float] = {}
+    for l in p.stdout.splitlines():
+        if l.startswith('{"query"'):
+            row = json.loads(l)
+            per_query[row["query"]] = row["sec"]
+    if per_query:
+        summary["queries"] = per_query
+    return summary
 
 
 def cmd_run(factors: list[int], only: str | None, out: str) -> None:
@@ -241,9 +253,79 @@ def cmd_run(factors: list[int], only: str | None, out: str) -> None:
         "n_queries": {k: v.get("n_queries") for k, v in results.items()},
         "queries": {k: v["queries"] for k, v in results.items()},
     }
+    base_q = results["1"]["queries"]
+    ratios: dict[str, dict[str, float]] = {}
+    for f in factors:
+        fq = results[str(f)]["queries"]
+        ratios[str(f)] = {
+            n: round(fq[n] / max(base_q[n], 0.05), 2)
+            for n in sorted(fq)
+            if n in base_q
+        }
+    report["ratios"] = ratios
     with open(out, "w") as fh:
         json.dump(report, fh, indent=1, sort_keys=True)
     print(f"wrote {out}", flush=True)
+    _write_md(report, os.path.splitext(out)[0] + ".md")
+
+
+def _write_md(report: dict, path: str) -> None:
+    """Human-readable scaling analysis: totals, the per-query ratio
+    distribution, and a named list of any query whose wall-clock grew
+    faster than the data (ratio > factor)."""
+    factors = [f for f in report["factors"] if f != 1]
+    lines = [
+        "# Scale bench — sf0.1 replicated R× (FK-consistent)",
+        "",
+        f"Base: `{report['base']}` on local[{report['cpus']}]. Generated by",
+        "`scale_bench.py` (replication design in its docstring); each factor",
+        "runs the full suite via bench.py's own protocol in a fresh JVM.",
+        "",
+        "| factor | rows | suite total (s) | total ratio | queries |",
+        "|---|---|---|---|---|",
+    ]
+    for f in report["factors"]:
+        t = report["totals"][str(f)]
+        r = round(t / report["totals"]["1"], 2)
+        lines.append(
+            f"| x{f} | {f}× | {t} | {r}× | {report['n_queries'][str(f)]} |"
+        )
+    for f in factors:
+        rat = report["ratios"][str(f)]
+        if not rat:
+            continue
+        vals = sorted(rat.values())
+        med = vals[len(vals) // 2]
+        lines += [
+            "",
+            f"## x{f} per-query ratios ({len(rat)} queries)",
+            "",
+            f"median {med}×, p90 {vals[int(len(vals) * 0.9)]}×, "
+            f"max {vals[-1]}× — data grew {f}×, so any ratio well under "
+            f"{f}× means the plan scales sub-linearly on the same cores.",
+            "",
+        ]
+        over = {n: r for n, r in rat.items() if r > f}
+        if over:
+            lines.append(f"Super-linear (> {f}×):")
+            lines.append("")
+            for n, r in sorted(over.items(), key=lambda kv: -kv[1]):
+                lines.append(
+                    f"- `{n}` {r}× "
+                    f"({report['queries']['1'][n]}s → "
+                    f"{report['queries'][str(f)][n]}s)"
+                )
+        else:
+            lines.append(f"Super-linear (> {f}×): **none**.")
+        slow = sorted(
+            report["queries"][str(f)].items(), key=lambda kv: -kv[1]
+        )[:10]
+        lines += ["", f"Slowest at x{f}:", ""]
+        for n, s in slow:
+            lines.append(f"- `{n}` {s}s (x1: {report['queries']['1'].get(n)}s, ratio {rat.get(n)}×)")
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print(f"wrote {path}", flush=True)
 
 
 def main() -> None:

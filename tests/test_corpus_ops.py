@@ -317,6 +317,23 @@ def test_ivf_kmeans_refinement_recall(spark, sf_dir):
     r_seed, r_ref = avg_recall(seeds), avg_recall(refined)
     assert r_ref >= r_seed, (r_seed, r_ref)
 
+    # the production entry points default to refined centroids (the
+    # suite pins kmeans_iters=0 explicitly for oracle parity); the
+    # default refinement must also be recall-≥-seed
+    import inspect
+
+    defaults = {
+        fn: inspect.signature(getattr(sim, fn)).parameters["kmeans_iters"].default
+        for fn in ("build_ivf_index", "semantic_dedup", "knn_join")
+    }
+    assert all(d >= 2 for d in defaults.values()), defaults
+    r_def = avg_recall(
+        sim._kmeans_refine(
+            emb, seeds, defaults["build_ivf_index"], "vec_id", "embedding"
+        )
+    )
+    assert r_def >= r_seed, (r_seed, r_def)
+
 
 def test_semantic_dedup_no_cartesian_product(spark):
     df = spark.createDataFrame(
@@ -625,6 +642,38 @@ def test_duplicate_clusters_preserves_string_id_type(spark):
         assert dict(out.dtypes) == {"doc_id": "string", "cluster_id": "string"}
         got = {(r["doc_id"], r["cluster_id"]) for r in out.collect()}
         assert got == {("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")}
+
+
+def test_duplicate_clusters_bytes_gate_wide_ids(spark, monkeypatch):
+    """Wide string ids must not ride a small edge COUNT onto the
+    driver: the bytes gate routes them to the distributed loop even
+    when the edge count is tiny (VERDICT r3 item 4)."""
+    from mfdb_hafro_etl_spark import localrel
+    from mfdb_hafro_etl_spark.operators import dedup as dd
+
+    wide = "w" * 1000
+    pairs = spark.createDataFrame(
+        [(wide + "a", wide + "b"), (wide + "b", wide + "c")],
+        "id_a STRING, id_b STRING",
+    )
+    called = {"n": 0}
+    orig = localrel.local_df
+
+    def counting(*a, **k):
+        called["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(localrel, "local_df", counting)
+    # 2 edges is far under the edge gate, but ~4 KB of id chars blows
+    # a 1 KB byte gate -> distributed path (local_df never called)
+    out = dd.duplicate_clusters(pairs, driver_max_bytes=1024)
+    got = {(r["doc_id"][-1], r["cluster_id"][-1]) for r in out.collect()}
+    assert got == {("a", "a"), ("b", "a"), ("c", "a")}
+    assert called["n"] == 0
+    # same graph under the default byte gate -> driver fast path
+    out2 = dd.duplicate_clusters(pairs)
+    assert {(r["doc_id"][-1], r["cluster_id"][-1]) for r in out2.collect()} == got
+    assert called["n"] == 1
 
 
 # ------------------------------------------ daily activity anomalies

@@ -309,10 +309,12 @@ def test_ivf_index_rebuilds_on_param_change(spark, sf_dir, tmp_path):
 
     emb = load_table(spark, sf_dir, "embeddings")
     path = str(tmp_path / "ivf")
-    seed = sim.build_ivf_index(emb, path, n_centroids=4)
-    again = sim.build_ivf_index(emb, path, n_centroids=4)
+    seed = sim.build_ivf_index(emb, path, n_centroids=4, kmeans_iters=0)
+    again = sim.build_ivf_index(emb, path, n_centroids=4, kmeans_iters=0)
     assert again == seed  # same params → served from cache
-    refined = sim.build_ivf_index(emb, path, n_centroids=4, kmeans_iters=2)
+    # default kmeans_iters is now >0 (Lloyd-refined for recall), so
+    # the no-arg call must see different params and rebuild
+    refined = sim.build_ivf_index(emb, path, n_centroids=4)
     assert refined != seed, "param change must trigger a rebuild"
     assert [cid for cid, _ in refined] == [cid for cid, _ in seed]
 
