@@ -195,10 +195,15 @@ def minhash_lsh_pairs(
     shared by B docs fans out B²/2 candidate pairs INSIDE ONE TASK —
     the self-join hashes on (band, val), so a million-doc boilerplate
     bucket is a half-trillion-row task no executor survives. Buckets
-    over the gate are dropped before the join; their members are
+    over the gate are dropped BEFORE the join; their members are
     exact/boilerplate duplicates that exact_dedup (or a lower gate +
-    duplicate_spans) handles at linear cost. The gate is one window
-    count over the band shuffle the join needs anyway.
+    duplicate_spans) handles at linear cost. The gate is a map-side
+    broadcast anti-join: bucket sizes come from a partial-aggregated
+    groupBy (every task pre-combines its share of a hot bucket, so no
+    single task ever holds the bucket), the over-gate bucket KEYS are
+    a tiny broadcast, and hot rows are dropped before they shuffle —
+    a count-WINDOW gate would itself funnel the million-row bucket
+    into one partition just to count it.
     """
     assert k % rows_per_band == 0
     # the shingle table feeds both signature generation and candidate
@@ -220,16 +225,13 @@ def minhash_lsh_pairs(
     exploded = sig.select(F.col(id_col), F.explode(bands).alias("bv")).select(
         F.col(id_col), F.col("bv.band").alias("band"), F.col("bv.val").alias("val")
     )
-    from pyspark.sql import Window
-
-    exploded = (
-        exploded.withColumn(
-            "__bdf__",
-            F.count(F.lit(1)).over(Window.partitionBy("band", "val")),
-        )
-        .filter(F.col("__bdf__") <= max_bucket_df)
-        .drop("__bdf__")
+    hot = (
+        exploded.groupBy("band", "val")
+        .agg(F.count(F.lit(1)).alias("__bdf__"))
+        .filter(F.col("__bdf__") > max_bucket_df)
+        .select("band", "val")
     )
+    exploded = exploded.join(F.broadcast(hot), on=["band", "val"], how="left_anti")
     left = exploded.select(F.col(id_col).alias("id_a"), "band", "val")
     right = exploded.select(F.col(id_col).alias("id_b"), "band", "val")
     candidates = (
@@ -385,13 +387,31 @@ def _unpersist_checkpoint(df: DataFrame) -> None:
         pass
 
 
+_MEM_SUFFIX = {"k": 10, "m": 20, "g": 30, "t": 40}
+
+
+def _driver_memory_bytes(spark) -> int:
+    """Parse ``spark.driver.memory`` ("512m", "8g", plain bytes) to
+    bytes; Spark's own default when unset is 1g."""
+    raw = str(spark.conf.get("spark.driver.memory", "1g")).strip().lower()
+    if raw and raw[-1] in _MEM_SUFFIX:
+        try:
+            return int(float(raw[:-1])) << _MEM_SUFFIX[raw[-1]]
+        except ValueError:
+            return 1 << 30
+    try:
+        return int(raw)
+    except ValueError:
+        return 1 << 30
+
+
 def duplicate_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 30,
-    driver_max_edges: int = 4_000_000,
-    driver_max_bytes: int = 256 << 20,
+    driver_max_edges: int | None = None,
+    driver_max_bytes: int | None = None,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs → duplicate
     clusters: every doc that appears in a pair gets
@@ -401,7 +421,15 @@ def duplicate_clusters(
     Min-label propagation with pointer jumping (path halving): each
     round (1) takes the min label over self + neighbors — one
     shuffle join + aggregation — then (2) replaces every label with
-    its label's label. Propagation alone needs O(diameter) rounds;
+    its label's label. Both driver gates default to ``None`` =
+    derived from the session's actual ``spark.driver.memory``: bytes
+    gate = mem/8 (clamped [64 MB, 2 GB]), edge gate = bytes gate /
+    48 B-per-edge working set (clamped [1M, 64M]) — a 2 g driver
+    stops at ~500k-edge string graphs while a 64 g driver happily
+    takes tens of millions, instead of one static threshold
+    pretending every driver is the same size. Explicit ints pin the
+    gates (tests, known deployments).
+    Propagation alone needs O(diameter) rounds;
     the jump halves remaining label-chain depth per round, so
     convergence is O(log diameter) — max_iter=30 covers components
     ~2^27 deep, deeper than any physical duplicate graph, which is
@@ -410,12 +438,11 @@ def duplicate_clusters(
     driver-side DATA).
 
     Broadcast-sized graphs take a driver fast path: when the
-    materialized edge list is under ``driver_max_edges`` (default 4M
-    edges — the same order as a broadcast join's build side) AND,
-    for string ids, the total id characters in the edge list are
-    under ``driver_max_bytes``/2 (default 256 MB, so ~128 MB of raw
-    chars ≈ ≤256 MB of Arrow+pandas footprint — wide ids can't ride
-    a small edge count into an 8 g driver), the
+    materialized edge list is under ``driver_max_edges`` AND, for
+    string ids, the total id UTF-8 bytes in the edge list are under
+    ``driver_max_bytes``/2 (so ≈ driver_max_bytes of Arrow+pandas
+    footprint — wide ids can't ride a small edge count into a small
+    driver), the
     edges come to the driver via Arrow (``toPandas``, no per-row
     ``Row`` objects), endpoints are factorized to sorted integer
     codes, and union-find + path compression runs over a single
@@ -450,8 +477,16 @@ def duplicate_clusters(
     # union: each union branch otherwise re-evaluates the (expensive,
     # shuffle-heavy) pair-generation plan feeding `pairs` — measured
     # 2× the whole operator's cost on the LSH pair graph
-    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")).localCheckpoint(
-        eager=True
+    # null endpoints are dropped up front: a null id is a malformed
+    # edge (it would never equi-join in the distributed pointer-
+    # jumping rounds anyway), and in the driver fast path a null
+    # factorizes to code -1, which numpy negative indexing would
+    # silently alias to the LAST unique id — corrupting that node's
+    # cluster instead of failing.
+    e = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .localCheckpoint(eager=True)
     )
     # runtime size gate (the checkpoint makes the count free): small
     # graph → exact driver union-find, one job, no iteration, and the
@@ -461,11 +496,22 @@ def duplicate_clusters(
     # driver — so string-keyed graphs also pass a BYTES gate computed
     # from the checkpointed edges (one cheap agg, no extra scan of
     # the pair-generation plan). Fixed-width ids skip the agg.
+    if driver_max_bytes is None or driver_max_edges is None:
+        mem = _driver_memory_bytes(pairs.sparkSession)
+        if driver_max_bytes is None:
+            driver_max_bytes = max(64 << 20, min(mem // 8, 2 << 30))
+        if driver_max_edges is None:
+            driver_max_edges = max(
+                1_000_000, min(driver_max_bytes // 48, 64_000_000)
+            )
     n_edges = e.count()
     within_gate = 2 * n_edges <= driver_max_edges
     if within_gate and isinstance(pairs.schema[id_a].dataType, StringType):
+        # octet_length (UTF-8 bytes), not length (characters): the
+        # gate reasons about Arrow/pandas MEMORY, and multibyte ids
+        # would undercount by up to 4x under a character count
         id_bytes = e.agg(
-            F.sum(F.length("a") + F.length("b")).alias("b")
+            F.sum(F.octet_length("a") + F.octet_length("b")).alias("b")
         ).collect()[0]["b"] or 0
         # Arrow transfer + pandas object overhead ≈ 2× raw chars
         within_gate = 2 * id_bytes <= driver_max_bytes

@@ -220,6 +220,8 @@ def range_join_binned(
     by: Sequence[str] = (),
     bin_width: float,
     how: str = "inner",
+    salt: int | None = None,
+    max_salt: int = 64,
 ) -> DataFrame:
     """Point-in-interval range join for a NON-broadcastable interval
     table, via bin bucketing.
@@ -238,6 +240,25 @@ def range_join_binned(
     The reference's SCD-2 probes (J7) are the broadcast special case;
     this operator is the fact-sized-registry path.
 
+    Bin-key-cardinality guard (``salt``): when the value domain spans
+    only a handful of bins (e.g. quantity ∈ [1,50] with bin_width 8 →
+    ~7 distinct bins), the shuffled hash join degenerates to ≤7 tasks
+    carrying the whole join REGARDLESS of cluster size. Salting
+    restores parallelism at identical output: points get a
+    deterministic salt = pmod(hash(all point columns), s) appended to
+    the join key, intervals are replicated s ways (one row per salt),
+    so each bin's work fans out over s tasks. ``salt=None`` (default)
+    auto-derives s from one tiny min/max aggregate over the interval
+    side: s = ceil(defaultParallelism / spanned_bins), clamped to
+    [1, max_salt] — s collapses to 1 (zero overhead, no interval
+    replication) whenever the domain already spans at least one bin
+    per core. Pass ``salt=1`` to skip the probe job entirely, or an
+    explicit s to pin it. Salting hashes the point row's full column
+    tuple, so it spreads load whenever points carry distinguishing
+    columns (ids, payloads — the normal fact-row case); a points
+    projection with few distinct tuples caps the useful spread at its
+    tuple cardinality.
+
     Only ``how`` in {'inner','left'} is supported: the interval side
     is exploded one row per overlapped bin, so a right/full outer
     join would emit an unmatched interval once PER BIN (duplicates).
@@ -252,6 +273,21 @@ def range_join_binned(
             "once per bin under right/full outer"
         )
     by = list(by)
+    if salt is None:
+        import math
+
+        span = intervals.agg(
+            F.min(F.col(lo_col)).alias("lo"), F.max(F.col(hi_col)).alias("hi")
+        ).first()
+        if span is None or span["lo"] is None:
+            salt = 1
+        else:
+            spanned_bins = int(
+                math.floor(span["hi"] / bin_width)
+                - math.floor(span["lo"] / bin_width)
+            ) + 1
+            par = points.sparkSession.sparkContext.defaultParallelism
+            salt = max(1, min(max_salt, -(-par // max(spanned_bins, 1))))
     p_bin = F.floor(F.col(point_col) / bin_width).cast("long")
     i_bins = F.when(
         F.col(lo_col) <= F.col(hi_col),
@@ -260,9 +296,21 @@ def range_join_binned(
             F.floor(F.col(hi_col) / bin_width).cast("long"),
         ),
     ).otherwise(F.array().cast("array<long>"))
-    p = points.withColumn("__bin__", p_bin).alias("p")
-    i = intervals.withColumn("__bin__", F.explode(i_bins)).alias("i")
+    p = points.withColumn("__bin__", p_bin)
+    i = intervals.withColumn("__bin__", F.explode(i_bins))
+    if salt > 1:
+        p = p.withColumn(
+            "__salt__",
+            F.pmod(F.hash(*[F.col(c) for c in points.columns]), F.lit(salt)),
+        )
+        i = i.withColumn(
+            "__salt__", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+        )
+    p = p.alias("p")
+    i = i.alias("i")
     cond = F.col("p.__bin__") == F.col("i.__bin__")
+    if salt > 1:
+        cond = cond & (F.col("p.__salt__") == F.col("i.__salt__"))
     for c in by:
         cond = cond & (F.col(f"p.{c}") == F.col(f"i.{c}"))
     cond = cond & F.col(f"p.{point_col}").between(F.col(f"i.{lo_col}"), F.col(f"i.{hi_col}"))
@@ -294,10 +342,15 @@ def fuzzy_trigram_join(
     rows per side ("000", "ltd", " co" boilerplate) from PAIR
     GENERATION — the k² fan-out gate — while Jaccard denominators
     still count full trigram sets, so gated pairs' similarity is an
-    underestimate (standard stop-gram tradeoff). Trigrams come from
-    one regexp lookahead (no higher-order lambda; strings shorter
-    than 3 chars produce no trigrams and never match)."""
-    from pyspark.sql import Window
+    underestimate (standard stop-gram tradeoff). The gate is a
+    map-side broadcast anti-join against the (tiny) over-gate gram
+    set from a partial-aggregated groupBy, so a boilerplate gram's
+    rows are dropped BEFORE any shuffle and the candidate join's
+    bucket width is bounded at max_df per side — no count-window
+    funneling the hot gram into one partition just to measure it.
+    Trigrams come from one regexp lookahead (no higher-order lambda;
+    strings shorter than 3 chars produce no trigrams and never
+    match)."""
 
     def tg(df: DataFrame, id_col: str, col: str, side: str) -> DataFrame:
         grams = F.array_distinct(
@@ -309,13 +362,18 @@ def fuzzy_trigram_join(
     rt = tg(right, right_id, right_col, "r")
     sizes_l = lt.groupBy("id_l").agg(F.count(F.lit(1)).alias("n_l"))
     sizes_r = rt.groupBy("id_r").agg(F.count(F.lit(1)).alias("n_r"))
-    wl = Window.partitionBy("g")
-    lt_g = lt.withColumn("__df__", F.count(F.lit(1)).over(wl)).filter(
-        F.col("__df__") <= max_df
-    ).drop("__df__")
-    rt_g = rt.withColumn("__df__", F.count(F.lit(1)).over(wl)).filter(
-        F.col("__df__") <= max_df
-    ).drop("__df__")
+
+    def gate(side: DataFrame, id_side: str) -> DataFrame:
+        hot = (
+            side.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("__df__"))
+            .filter(F.col("__df__") > max_df)
+            .select("g")
+        )
+        return side.join(F.broadcast(hot), on="g", how="left_anti")
+
+    lt_g = gate(lt, "id_l")
+    rt_g = gate(rt, "id_r")
     inter = (
         lt_g.join(rt_g, on="g")
         .groupBy("id_l", "id_r")

@@ -333,6 +333,18 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cs = body[1 + 2 * c]
                 td_ta = body[2 + 2 * c]
                 scan[cs] = (td_ta >> 4, td_ta & 15)
+            # _decode_scan assumes ONE interleaved scan covering every
+            # frame component (the overwhelmingly common baseline
+            # layout); a legal multi-scan baseline file (Ns < Nf, one
+            # SOS per component) would otherwise hit a raw KeyError
+            # and wrong MCU geometry — keep the honest-envelope raise
+            if set(scan) != {c["id"] for c in frame["comps"]}:
+                raise NotImplementedError(
+                    "non-interleaved JPEG scans unsupported (SOS covers "
+                    f"components {sorted(scan)} of frame components "
+                    f"{sorted(c['id'] for c in frame['comps'])}; baseline "
+                    "single interleaved scan only)"
+                )
             segments, i = _split_entropy(data, i + 2 + seg_len)
             planes = _decode_scan(frame, scan, qt, huff_dc, huff_ac, segments, restart_interval)
             continue  # i already points at the terminating marker
@@ -655,7 +667,14 @@ def encode_jpeg(
                         ).astype(np.int64)
                         # floor(x+0.5) rounds -0.5 to 0-adjacent values
                         # asymmetrically; JPEG permits any rounding, and
-                        # this one is deterministic across platforms
+                        # this one is deterministic across platforms.
+                        # Clamp to ±1023 (the 8-bit-baseline spec max,
+                        # magnitude category 10): quant values clipped
+                        # to 1 (quality>=93 / caller all-ones tables)
+                        # can push a high-contrast block's AC into
+                        # category 11, which the Annex K AC tables
+                        # don't encode — a raw KeyError without this
+                        qz = np.clip(qz, -1023, 1023)
                         coef_zz = qz.reshape(64)[ZIGZAG]
                         dc_pred[ci] = _encode_block(
                             bw, coef_zz, dc_pred[ci], dc_enc[t], ac_enc[t]

@@ -108,12 +108,19 @@ def cosine_topk(
     return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
 
 
+#: auto n_blocks target: rows per block such that one block's
+#: normalized fp64 matrix stays well under executor memory at any
+#: realistic dim (250k rows × 64 dims × 8 B ≈ 128 MB).
+_COSINE_PAIRS_BLOCK_ROWS = 250_000
+
+
 def cosine_pairs(
     emb: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_blocks: int = 4,
+    n_blocks: int | None = None,
+    target_block_rows: int = _COSINE_PAIRS_BLOCK_ROWS,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: all (a,b), a<b, with cosine ≥
     threshold.
@@ -127,20 +134,39 @@ def cosine_pairs(
     id pair lands in exactly one group, so coverage is exact with no
     dedup pass.
 
-    Scale model: all-pairs cosine is inherently O(N²) compute; the
-    grid makes the MEMORY per task O((N/n_blocks)·dim) — pick
-    n_blocks so a block fits an executor (e.g. 1e6 rows × 64 dims ×
-    8 B ≈ 0.5 GB → blocks of ≤ ~250k rows). Shuffle volume is
-    N·n_blocks rows — the price of exactness; when approximate recall
-    is acceptable, pre-bucket with lsh_bucket() and run the same
-    kernel within buckets instead.
+    Scale model: all-pairs cosine is inherently O(N²) compute — at a
+    given corpus size that compute is irreducible, so WALL-CLOCK
+    grows quadratically with rows on fixed cores no matter the plan;
+    what the grid controls is MEMORY per task, O((N/n_blocks)·dim).
+    ``n_blocks=None`` (default) derives the grid from a count so the
+    per-task block is bounded at any corpus size instead of growing
+    with N: n_blocks = max(ceil(N/target_block_rows), p) where p ≈
+    ceil(sqrt(2·defaultParallelism)) keeps the n_blocks·(n_blocks+1)/2
+    block-pair tasks at least one per core (250k rows × 64 dims ×
+    8 B ≈ 128 MB per block). The count is one cheap job (parquet
+    count-star reads footers only); pass an explicit int to skip it.
+    Output is identical for ANY n_blocks — the grid is pure physical
+    layout. Shuffle volume is N·n_blocks rows — the price of
+    exactness; when approximate recall is acceptable, pre-bucket with
+    lsh_bucket() / semantic_dedup() and run the same kernel within
+    buckets instead.
     """
+    import math
+
     import numpy as np
     import pandas as pd
 
     from mfdb_hafro_etl_spark.session import ensure_package_shipped
 
     ensure_package_shipped(emb.sparkSession)
+
+    if n_blocks is None:
+        n_rows = emb.count()
+        par = emb.sparkSession.sparkContext.defaultParallelism
+        min_for_parallelism = max(1, math.isqrt(2 * par))
+        n_blocks = max(
+            1, -(-n_rows // target_block_rows), min_for_parallelism
+        )
 
     blk = F.pmod(F.col(id_col), F.lit(n_blocks)).cast("int")
     pair_keys = F.array(

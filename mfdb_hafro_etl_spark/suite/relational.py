@@ -1234,12 +1234,12 @@ def j12_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH bands AS (
       SELECT CAST(p_partkey AS INT) AS band_id,
-             CAST((p_partkey * 7) % 40 AS DOUBLE) AS lo,
-             CAST((p_partkey * 7) % 40 + 8 AS DOUBLE) AS hi
+             CAST(p_partkey - 50 AS DOUBLE) AS lo,
+             CAST(p_partkey + 50 AS DOUBLE) AS hi
       FROM part WHERE p_partkey % 100 = 0
     )
     SELECT b.band_id, COUNT(*) AS n, ROUND(SUM(l.l_quantity), 2) AS sum_qty
-    FROM lineitem l JOIN bands b ON l.l_quantity BETWEEN b.lo AND b.hi
+    FROM lineitem l JOIN bands b ON l.l_partkey BETWEEN b.lo AND b.hi
     GROUP BY 1
     """,
 )
@@ -1248,22 +1248,36 @@ def j13_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     join with no equi key plans as a nested loop; binning restores an
     equi key (floor(p/w) = exploded interval bins) so Catalyst plans
     a plain shuffled hash join with the exact range re-checked in the
-    condition. bin_width=8 = the interval length → ≤2 bins per
-    interval."""
+    condition. bin_width=100 = the interval length → ≤2 bins per
+    interval.
+
+    Workload shape: bands are key-RANGES over the partkey domain
+    (every 100th part owns [k-50, k+50]) probed by lineitem.l_partkey
+    — a registry-lookup range join whose point domain, interval
+    domain, bin cardinality, AND output all scale linearly with the
+    data (each lineitem falls in ~1 band). The previous fixture
+    joined l_quantity against a FIXED [0,48] value domain: both sides
+    grew with data inside a constant domain, so output grew
+    quadratically and ~7 distinct bins serialized the join onto ≤7
+    tasks — a workload property, not an operator one (r4 verdict).
+    The low-cardinality-domain case is now handled by the operator's
+    salt guard (range_join_binned(salt=...)) and pinned by
+    tests/test_plan_quality.py."""
     li = load_table(spark, sf_dir, "lineitem")
     pt = load_table(spark, sf_dir, "part")
     bands = pt.filter(F.col("p_partkey") % 100 == 0).select(
         F.col("p_partkey").cast("int").alias("band_id"),
-        ((F.col("p_partkey") * 7) % 40).cast("double").alias("lo"),
-        ((F.col("p_partkey") * 7) % 40 + 8).cast("double").alias("hi"),
+        (F.col("p_partkey") - 50).cast("double").alias("lo"),
+        (F.col("p_partkey") + 50).cast("double").alias("hi"),
     )
     joined = join_ops.range_join_binned(
-        li.select("l_quantity"),
+        li.select("l_partkey", "l_quantity"),
         bands,
-        point_col="l_quantity",
+        point_col="l_partkey",
         lo_col="lo",
         hi_col="hi",
-        bin_width=8.0,
+        bin_width=100.0,
+        salt=1,
     )
     return joined.groupBy("band_id").agg(
         F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
