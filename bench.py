@@ -132,23 +132,82 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
     }
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    repo = os.path.dirname(os.path.abspath(__file__))
+    detail_path = os.path.join(repo, "BENCH_DETAIL.json")
     try:
         with open(detail_path, "w") as fh:
             json.dump(detail, fh, indent=1, sort_keys=True)
     except OSError:
         pass
+    # vs_prev: compare this run's per-query timings against the most
+    # recent FULL-suite run at the same sf recorded in
+    # BENCH_HISTORY.jsonl (BENCH_r{N}.json only keeps the 8-slowest
+    # tail, so without the history every judge had to hand-join tails
+    # to see drift). "Full" = within 10% of this run's query count —
+    # BENCH_ONLY runs neither append nor compare. The map is compact:
+    # totals over the shared queries + the 3 worst regressions.
+    vs_prev = None
+    hist_path = os.path.join(repo, "BENCH_HISTORY.jsonl")
+    is_full = not only
+    if is_full:
+        prev = None
+        try:
+            with open(hist_path) as fh:
+                for line in fh:
+                    row = json.loads(line)
+                    if row.get("sf") == sf_val and len(row.get("queries", {})) >= 0.9 * len(timings):
+                        prev = row
+        except (OSError, ValueError):
+            prev = None
+        if prev:
+            shared = sorted(set(prev["queries"]) & set(timings))
+            sp = round(sum(prev["queries"][n] for n in shared), 3)
+            sn = round(sum(timings[n] for n in shared), 3)
+            regress = sorted(
+                (
+                    (n, prev["queries"][n], timings[n])
+                    for n in shared
+                    if timings[n] > max(prev["queries"][n], 0.2) * 1.3
+                ),
+                key=lambda t: t[1] - t[2],
+            )[:3]
+            vs_prev = {
+                "n_shared": len(shared),
+                "shared_total_prev": sp,
+                "shared_total_now": sn,
+                "ratio": round(sn / sp, 3) if sp else None,
+                "worst_regressions": {n: [p, c] for n, p, c in regress},
+            }
+            detail["vs_prev"] = vs_prev
+            try:
+                with open(detail_path, "w") as fh:
+                    json.dump(detail, fh, indent=1, sort_keys=True)
+            except OSError:
+                pass
+        try:
+            with open(hist_path, "a") as fh:
+                fh.write(json.dumps({
+                    "ts": time.time(),
+                    "sf": sf_val,
+                    "total": total,
+                    "queries": timings,
+                }, sort_keys=True) + "\n")
+        except OSError:
+            pass
     for name in names:
         print(json.dumps({"query": name, "sec": timings[name]}))
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:8])
-    print(json.dumps({
+    summary = {
         "metric": "suite_total_sec",
         "value": total,
         "unit": "sec",
         "queries": slowest,
         "n_queries": len(timings),
         "sf": sf_val,
-    }))
+    }
+    if vs_prev is not None:
+        summary["vs_prev"] = vs_prev
+    print(json.dumps(summary))
     spark.stop()
 
 

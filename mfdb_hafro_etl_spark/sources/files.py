@@ -201,10 +201,13 @@ def read_jdbc(
     ``partition_column`` + bounds (numeric stride split) or explicit
     ``predicates`` (one partition per predicate, e.g. per
     data_source) so the cluster reads with num_partitions concurrent
-    cursors. This container ships no JDBC driver, so the function is
-    exercised against the parquet fixtures via the identical
-    catalog.load_table call shape; on a real deployment only the URL
-    changes.
+    cursors. Both paths are executed end-to-end against embedded
+    Derby (in Spark's own jars) by
+    tests/test_sinks_sources.py::test_jdbc_round_trip_partitioned_and_predicates
+    — write over JDBC, stride-partitioned read (partition count
+    checked), per-predicate read (note: predicates are raw SQL in
+    the source dialect — quote identifiers the writer quoted); on a
+    real deployment only the URL and driver change.
     """
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
     for k, v in (properties or {}).items():

@@ -252,6 +252,28 @@ def _session_fn(
     touched: dict[int, tuple[int, float]] = {}
     (user_id,) = key
     rows = pd.concat(list(batches), ignore_index=True)
+    # Arbitrary stateful ops do NOT get engine-side late-row
+    # filtering (verified empirically on this Spark: the watermark
+    # advances but every input row still reaches the function, even
+    # under EventTimeTimeout) — the documented contract is that the
+    # USER drops late data via the exposed watermark. Without this
+    # filter a straggler older than the watermark would merge into —
+    # or reopen — a session the pipeline considers closed. With no
+    # watermark configured the getter RAISES — treat that as 0/no-op.
+    try:
+        wm_ms = state.getCurrentWatermarkMs()
+    except Exception:
+        wm_ms = 0
+    if wm_ms > 0:
+        rows = rows[rows["ts"] >= pd.Timestamp(wm_ms, unit="ms")]
+        if rows.empty:
+            if state.exists:
+                state.update((last_ts, session_no, start_ts, n_events))
+            yield pd.DataFrame(
+                {"user_id": [], "session_no": [], "n_events": [], "duration_s": []}
+            ).astype({"user_id": "int64", "session_no": "int64",
+                      "n_events": "int64", "duration_s": "float64"})
+            return
     rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
     for ts in rows["ts"]:
         t = ts.timestamp()
@@ -260,8 +282,15 @@ def _session_fn(
             start_ts = t
             n_events = 0
         n_events += 1
-        last_ts = t
-        touched[session_no] = (n_events, round(t - start_ts, 3))
+        # out-of-order-but-within-watermark events (possible across
+        # micro-batches: the batch sort only orders WITHIN a batch)
+        # merge into the open session; duration is the session's
+        # min..max span, never negative. In-order input leaves both
+        # branches untouched (t >= last_ts >= start_ts).
+        if t < start_ts:
+            start_ts = t
+        last_ts = max(last_ts, t) if last_ts is not None else t
+        touched[session_no] = (n_events, round(last_ts - start_ts, 3))
     state.update((last_ts, session_no, start_ts, n_events))
     out = pd.DataFrame(
         {
@@ -274,7 +303,7 @@ def _session_fn(
     yield out
 
 
-def stream_sessionize(events: DataFrame) -> DataFrame:
+def stream_sessionize(events: DataFrame, watermark: str | None = None) -> DataFrame:
     """Stateful gap-based sessionization (30-min gap) via
     applyInPandasWithState — the streaming twin of
     operators/sessions.session_stats.
@@ -285,8 +314,24 @@ def stream_sessionize(events: DataFrame) -> DataFrame:
     finalize_session_updates). Production deployments add an
     event-time timeout to flush + purge closed sessions; the
     verification harness keeps NoTimeout because a finite input's
-    watermark never fires the trailing timeout anyway."""
-    return events.select("user_id", "ts", "event_id").groupBy("user_id").applyInPandasWithState(
+    watermark never fires the trailing timeout anyway.
+
+    Late-data contract (pinned by tests/test_streaming_ingest.py):
+    with ``watermark`` set, events older than the watermark at batch
+    start are dropped INSIDE the state function via
+    ``state.getCurrentWatermarkMs()`` — the engine does not filter
+    late rows for arbitrary stateful ops (verified empirically; the
+    documented contract makes lateness the user function's job). A
+    closed session is therefore never reopened or mutated by
+    straggler replays. Events late relative to the max seen but
+    within the delay reach the state function and merge into the
+    open session (duration = min..max span). ``None`` (default, the
+    verification replay) leaves the watermark at 0 and the filter a
+    no-op."""
+    src = events.select("user_id", "ts", "event_id")
+    if watermark is not None:
+        src = src.withWatermark("ts", watermark)
+    return src.groupBy("user_id").applyInPandasWithState(
         _session_fn,
         outputStructType=SESSION_OUT_DDL,
         stateStructType=SESSION_STATE_DDL,

@@ -813,3 +813,69 @@ def test_bpe_word_freq_is_single_shuffle(spark):
     df = spark.createDataFrame([(1, "a b a")], "doc_id long, text string")
     plan = tx.bpe_word_freq(df, "text")._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+# --------------------------------------------- hot-bucket gates under fire
+def test_minhash_lsh_hot_bucket_gate_under_fire(spark):
+    """Pathological corpus: 20k IDENTICAL boilerplate docs — every
+    band bucket they share holds 20k members, so the ungated LSH
+    self-join would fan out ~2·10⁸ candidate pairs inside ONE task.
+    The gate must (a) drop those buckets BEFORE the join via a
+    map-side broadcast anti-join (no count-window funneling the hot
+    bucket into one partition), (b) leave the planted small-bucket
+    pair intact, and (c) still hash-match the SQL oracle's
+    count-window formulation of the same gate."""
+    import duckdb
+
+    from mfdb_hafro_etl_spark.operators import dedup as dd
+    from mfdb_hafro_etl_spark.suite.extensions import _minhash_ctes
+
+    boiler = "terms of service apply to every document in this corpus forever"
+    hot = [(i, boiler) for i in range(20_000)]
+    planted = [
+        (100_000, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (100_001, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    ]
+    docs = spark.createDataFrame(hot + planted, "doc_id LONG, text STRING")
+    out = dd.minhash_lsh_pairs(docs, "doc_id", "text", max_bucket_df=100)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan and "Broadcast" in plan
+    rows = out.collect()
+    # ONLY the planted pair survives: 20k boilerplate docs contributed
+    # zero candidate pairs (ungated this collect would be ~2e8 pairs)
+    assert {(r.id_a, r.id_b, r.jaccard) for r in rows} == {(100_000, 100_001, 1.0)}
+
+    # oracle mirror under the same gate, same fixture
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    sql = (
+        "WITH " + _minhash_ctes(max_bucket_df=100)
+        + "\n SELECT id_a, id_b, jaccard FROM pairs"
+    )
+    orows = sorted(tuple(t) for t in con.sql(sql).fetchall())
+    assert orows == sorted((r.id_a, r.id_b, float(r.jaccard)) for r in rows)
+
+
+def test_duplicate_spans_hot_gram_gate_under_fire(spark):
+    """Same pathological corpus through duplicate_spans: every n-gram
+    of the 20k-identical docs has df=20k > max_df → gated out of span
+    formation (boilerplate this common is exact_dedup's job, at
+    linear cost), while the planted min_df=2 duplicate pair still
+    reports its full-text span."""
+    from mfdb_hafro_etl_spark.operators import dedup as dd
+
+    boiler = (
+        "terms of service apply to every document in this corpus forever "
+        "and ever without exception as stated"
+    )
+    hot = [(i, boiler) for i in range(20_000)]
+    planted_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    planted = [(100_000, planted_text), (100_001, planted_text)]
+    docs = spark.createDataFrame(hot + planted, "doc_id LONG, text STRING")
+    out = dd.duplicate_spans(docs, "doc_id", "text", n=8, min_df=2, max_df=100)
+    rows = out.collect()
+    assert {r[0] for r in rows} == {100_000, 100_001}
+    # 10 tokens, n=8 → grams at pos 0..2, all df=2 → one maximal span
+    # covering tokens 0..9
+    for r in rows:
+        assert (r[1], r[2], r[3]) == (0, 9, 3)

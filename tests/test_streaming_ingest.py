@@ -76,3 +76,146 @@ def test_replace_partitions_handler_retry_is_noop(spark, tmp_path):
         (r["k"], r["src"], r["v"]) for r in spark.read.parquet(path).collect()
     )
     assert rows == [(2, "b", 2.0), (9, "a", 9.0)]
+
+
+# ------------------------------------------------- late-data watermark pins
+# The contract under test (r3/r4 open item): with out-of-order events
+# split ACROSS micro-batches, exactly which events does the watermark
+# drop vs accept? maxFilesPerTrigger=1 forces one micro-batch per
+# input file (availableNow honors it), so the watermark computed at
+# the end of batch 1 (max event time − delay) gates batch 2.
+
+import json
+
+
+def _write_jsonl(dirpath: str, name: str, rows: list[dict], mtime: int) -> None:
+    path = os.path.join(dirpath, name)
+    with open(path, "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+    # FileStreamSource orders files oldest-modtime-first: pin the
+    # batch order explicitly instead of trusting write latency
+    os.utime(path, (mtime, mtime))
+
+
+def test_tumbling_agg_watermark_drop_vs_accept_append(spark, tmp_path):
+    """APPEND mode is where the watermark's drop guarantee is real:
+    a window whose end the watermark has passed is emitted ONCE and
+    its state evicted; a straggler arriving after that is discarded —
+    it must not resurrect the window as a duplicate output row."""
+    from mfdb_hafro_etl_spark.streaming.jobs import (
+        run_available_now,
+        stream_tumbling_agg,
+    )
+
+    src_dir = str(tmp_path / "in")
+    os.makedirs(src_dir)
+    _write_jsonl(src_dir, "f1.json", [
+        {"ts": "2024-01-01 10:00:00", "event_type": "A", "value": 1.0},
+        {"ts": "2024-01-01 10:05:00", "event_type": "A", "value": 2.0},
+        {"ts": "2024-01-01 12:00:00", "event_type": "A", "value": 1.0},
+    ], 1_700_000_000)
+    # batch 1 runs with watermark 12:00 − 10 min = 11:50
+    _write_jsonl(src_dir, "f2.json", [
+        # 11:55 ≥ 11:50 → late vs the max seen but WITHIN the delay:
+        # the hard guarantee — never dropped
+        {"ts": "2024-01-01 11:55:00", "event_type": "A", "value": 5.0},
+        {"ts": "2024-01-01 12:30:00", "event_type": "A", "value": 1.0},
+    ], 1_700_001_000)
+    # batch 2 runs with watermark 12:30 − 10 min = 12:20: windows
+    # 11:50 and 12:00 close and emit; 10:00 closed back in batch 1
+    _write_jsonl(src_dir, "f3.json", [
+        # 10:07 < 12:20 → BEYOND the watermark after its window
+        # already emitted: dropped (accepting would re-create the
+        # evicted state and emit a DUPLICATE 10:00 row)
+        {"ts": "2024-01-01 10:07:00", "event_type": "A", "value": 100.0},
+    ], 1_700_002_000)
+    stream = (
+        spark.readStream.schema("ts TIMESTAMP, event_type STRING, value DOUBLE")
+        .option("maxFilesPerTrigger", "1")
+        .json(src_dir)
+    )
+    agg = stream_tumbling_agg(stream, window="10 minutes", watermark="10 minutes")
+    out = run_available_now(agg, "late_tumbling_append", output_mode="append")
+    rows = [(r.window_start, r.n, r.sum_value) for r in out.collect()]
+    assert sorted(rows) == [
+        ("2024-01-01 10:00:00", 2, 3.0),   # closed with on-time rows only
+        ("2024-01-01 11:50:00", 1, 5.0),   # the within-delay event, counted
+        ("2024-01-01 12:00:00", 1, 1.0),
+    ]
+
+
+def test_tumbling_agg_update_mode_guarantee_is_one_sided(spark, tmp_path):
+    """UPDATE mode pins Spark's documented one-sided guarantee:
+    within-delay data is never dropped, but beyond-delay data is NOT
+    guaranteed to be dropped — this build re-aggregates a straggler
+    into a fresh state entry (10:00 reappears as n=3). Pipelines that
+    need closed-window finality must consume append output (test
+    above); update output is a changelog whose old windows can
+    resurface."""
+    from mfdb_hafro_etl_spark.streaming.jobs import (
+        run_available_now,
+        stream_tumbling_agg,
+    )
+
+    src_dir = str(tmp_path / "in")
+    os.makedirs(src_dir)
+    _write_jsonl(src_dir, "f1.json", [
+        {"ts": "2024-01-01 10:00:00", "event_type": "A", "value": 1.0},
+        {"ts": "2024-01-01 10:05:00", "event_type": "A", "value": 2.0},
+        {"ts": "2024-01-01 12:00:00", "event_type": "A", "value": 1.0},
+    ], 1_700_000_000)
+    _write_jsonl(src_dir, "f2.json", [
+        {"ts": "2024-01-01 10:07:00", "event_type": "A", "value": 100.0},
+        {"ts": "2024-01-01 11:55:00", "event_type": "A", "value": 5.0},
+    ], 1_700_001_000)
+    stream = (
+        spark.readStream.schema("ts TIMESTAMP, event_type STRING, value DOUBLE")
+        .option("maxFilesPerTrigger", "1")
+        .json(src_dir)
+    )
+    agg = stream_tumbling_agg(stream, window="10 minutes", watermark="10 minutes")
+    out = run_available_now(agg, "late_tumbling_update", output_mode="update")
+    rows = {(r.window_start, r.n, r.sum_value) for r in out.collect()}
+    assert ("2024-01-01 10:00:00", 2, 3.0) in rows   # batch-1 changelog entry
+    assert ("2024-01-01 11:50:00", 1, 5.0) in rows   # within-delay accepted
+    # the one-sided part: the beyond-delay straggler re-aggregated
+    assert ("2024-01-01 10:00:00", 3, 103.0) in rows
+
+
+def test_sessionize_watermark_drop_vs_accept(spark, tmp_path):
+    from mfdb_hafro_etl_spark.streaming.jobs import (
+        finalize_session_updates,
+        run_available_now,
+        stream_sessionize,
+    )
+
+    src_dir = str(tmp_path / "in")
+    os.makedirs(src_dir)
+    _write_jsonl(src_dir, "f1.json", [
+        {"user_id": 1, "ts": "2024-01-01 10:00:00", "event_id": 1},
+        {"user_id": 1, "ts": "2024-01-01 10:05:00", "event_id": 2},
+        {"user_id": 1, "ts": "2024-01-01 12:00:00", "event_id": 3},
+    ], 1_700_000_000)
+    # watermark after batch 1 = 11:50
+    _write_jsonl(src_dir, "f2.json", [
+        # beyond the watermark: dropped before the state function —
+        # closed session 1 must NOT be reopened (would become n=3)
+        {"user_id": 1, "ts": "2024-01-01 10:06:00", "event_id": 4},
+        # within delay: reaches the state function and merges into
+        # open session 2 (gap to 12:00 is 4 min ≤ 30 min); duration
+        # becomes the min..max span 11:56→12:00 = 240 s
+        {"user_id": 1, "ts": "2024-01-01 11:56:00", "event_id": 5},
+    ], 1_700_001_000)
+    stream = (
+        spark.readStream.schema("user_id BIGINT, ts TIMESTAMP, event_id BIGINT")
+        .option("maxFilesPerTrigger", "1")
+        .json(src_dir)
+    )
+    sess = stream_sessionize(stream, watermark="10 minutes")
+    out = run_available_now(sess, "late_sessions", output_mode="update")
+    fin = finalize_session_updates(out).collect()
+    by = {(r.user_id, r.session_no): (r.n_events, r.duration_s) for r in fin}
+    assert by[(1, 1)] == (2, 300.0)
+    assert by[(1, 2)] == (2, 240.0)
+    assert len(by) == 2
