@@ -110,8 +110,20 @@ def cosine_topk(
 
 #: auto n_blocks target: rows per block such that one block's
 #: normalized fp64 matrix stays well under executor memory at any
-#: realistic dim (250k rows × 64 dims × 8 B ≈ 128 MB).
-_COSINE_PAIRS_BLOCK_ROWS = 250_000
+#: realistic dim (100k rows × 64 dims × 8 B ≈ 51 MB; × 1024 dims ≈
+#: 820 MB). The similarity MATRIX is no longer the constraint — the
+#: kernel computes it in fixed-height row chunks (see
+#: _COSINE_PAIRS_CHUNK_ROWS), so its peak is bounded regardless of
+#: block size.
+_COSINE_PAIRS_BLOCK_ROWS = 100_000
+
+#: kernel sims-buffer budget, in ENTRIES: the A·Bᵀ product runs in
+#: row chunks of height budget//|B|, so the transient similarity
+#: buffer is ≤ 32M doubles ≈ 256 MB per task no matter how wide the
+#: blocks are. Without chunking a 25k-row block pair materializes a
+#: 25k×25k = 5 GB matrix PER TASK (plus round/mask copies), which
+#: multiplied by executor cores is an OOM at any real corpus size.
+_COSINE_PAIRS_SIMS_ENTRIES = 32 << 20
 
 
 def cosine_pairs(
@@ -212,16 +224,32 @@ def cosine_pairs(
             return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []}).astype(
                 {"id_a": "int64", "id_b": "int64", "cos_sim": "float64"}
             )
-        sims = Ma @ Mb.T
-        mask = np.round(sims, 6) >= threshold
-        if i == j:
-            mask &= ids_a[:, None] < ids_b[None, :]
-        ia, ib = np.nonzero(mask)
-        lo = np.minimum(ids_a[ia], ids_b[ib])
-        hi = np.maximum(ids_a[ia], ids_b[ib])
-        return pd.DataFrame(
-            {"id_a": lo, "id_b": hi, "cos_sim": np.round(sims[ia, ib], 6)}
-        )
+        # chunked product: the full |A|×|B| sims matrix is quadratic
+        # in block width — bound the transient buffer to
+        # _COSINE_PAIRS_SIMS_ENTRIES doubles per task instead
+        chunk = max(128, _COSINE_PAIRS_SIMS_ENTRIES // len(ids_b))
+        outs = []
+        for s in range(0, len(ids_a), chunk):
+            sims = Ma[s : s + chunk] @ Mb.T
+            np.round(sims, 6, out=sims)
+            mask = sims >= threshold
+            if i == j:
+                mask &= ids_a[s : s + chunk, None] < ids_b[None, :]
+            ia, ib = np.nonzero(mask)
+            if len(ia):
+                a_ids = ids_a[s + ia]
+                lo = np.minimum(a_ids, ids_b[ib])
+                hi = np.maximum(a_ids, ids_b[ib])
+                outs.append(
+                    pd.DataFrame(
+                        {"id_a": lo, "id_b": hi, "cos_sim": sims[ia, ib]}
+                    )
+                )
+        if not outs:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos_sim": "float64"}
+            )
+        return pd.concat(outs, ignore_index=True)
 
     return exploded.groupBy("__ba__", "__bb__").applyInPandas(
         kernel, schema="id_a bigint, id_b bigint, cos_sim double"
