@@ -96,6 +96,10 @@ def main() -> None:
         t0 = time.perf_counter()
         materialize(QUERIES[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
+        # stream the line NOW (consumers keep the LAST occurrence per
+        # query, so the canonical end-of-run reprint wins): a crash
+        # mid-suite then still shows exactly how far the run got
+        print(json.dumps({"query": name, "sec": timings[name]}), flush=True)
         release_storage()
 
     # Re-time the slow tail and keep the per-query minimum: single
@@ -115,6 +119,7 @@ def main() -> None:
             timings[name] = min(
                 timings[name], round(time.perf_counter() - t0, 3)
             )
+            print(json.dumps({"query": name, "sec": timings[name]}), flush=True)
             release_storage()
 
     total = round(sum(timings.values()), 3)

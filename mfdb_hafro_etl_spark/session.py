@@ -54,6 +54,16 @@ def get_spark(
         # 104-118s at 16-32g, and the big heap made full-GC pauses
         # long enough to swing individual queries 2-6x run-to-run.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # the bench/verify harness MATERIALIZES every result to the
+        # driver by design (the driver's collect contract) — at 100×
+        # data some row-level results exceed Spark's 1g default cap
+        # (p2_ldist x100: 1.08 GiB of Arrow batches → hard abort).
+        # 0 = uncapped for this single-box harness; production
+        # pipelines write results to sinks and should set a real cap.
+        .config(
+            "spark.driver.maxResultSize",
+            os.environ.get("SPARK_GRAFT_MAX_RESULT", "0"),
+        )
         # extra driver-JVM flags (bisect knob; e.g. JIT tier caps,
         # GC logging). Empty default = JVM defaults.
         .config(

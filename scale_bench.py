@@ -202,6 +202,11 @@ def cmd_gen(factors: list[int]) -> None:
 
 def _run_bench(sf_dir: str, only: str | None) -> dict:
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    # x100 materializes some row-level results in the GBs (the bench
+    # collects every row by protocol): give the single local[32] JVM
+    # a heap that holds them. Same value for EVERY factor, so
+    # per-factor ratios stay apples-to-apples.
+    env.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
     if only:
         env["BENCH_ONLY"] = only
     p = subprocess.run(
