@@ -202,6 +202,12 @@ def cosine_pairs(
         )
     )
 
+    # bind the budget into the closure NOW: the kernel runs in a
+    # fresh worker interpreter where module globals are re-imported,
+    # so a captured VALUE is the only way callers (and tests) can
+    # influence the chunking
+    sims_budget = _COSINE_PAIRS_SIMS_ENTRIES
+
     def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         i, j = int(key[0]), int(key[1])
 
@@ -227,7 +233,7 @@ def cosine_pairs(
         # chunked product: the full |A|×|B| sims matrix is quadratic
         # in block width — bound the transient buffer to
         # _COSINE_PAIRS_SIMS_ENTRIES doubles per task instead
-        chunk = max(128, _COSINE_PAIRS_SIMS_ENTRIES // len(ids_b))
+        chunk = max(128, sims_budget // len(ids_b))
         outs = []
         for s in range(0, len(ids_a), chunk):
             sims = Ma[s : s + chunk] @ Mb.T
@@ -740,10 +746,24 @@ def knn_join(
     )
 
 
+#: auto n_centroids target: rows per cluster. Within-cluster work is
+#: quadratic in cluster size, so k MUST grow with the corpus: at 4096
+#: rows/cluster the per-cluster S matrix is ≤ 4096² × 8 B ≈ 134 MB
+#: and total compute stays ~N·4096 (linear in N).
+_SEMANTIC_DEDUP_CLUSTER_ROWS = 4096
+
+
+def _auto_centroids(n_rows: int) -> int:
+    """k for semantic_dedup's IVF when the caller doesn't pin one:
+    clusters of ~_SEMANTIC_DEDUP_CLUSTER_ROWS rows, floored at 16 so
+    tiny corpora still get real bucketing."""
+    return max(16, -(-n_rows // _SEMANTIC_DEDUP_CLUSTER_ROWS))
+
+
 def semantic_dedup(
     emb: DataFrame,
     threshold: float = 0.95,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     kmeans_iters: int = 2,
@@ -759,9 +779,15 @@ def semantic_dedup(
     buckets, within-bucket cosine). Plan shape: one narrow map for
     assignment (same expression as ann_ivf_topk), then a self-join
     ON the cluster id — a shuffle keyed by cluster, each cluster's
-    pair block evaluated independently. At 100 TB, n_centroids scales
-    with corpus size to bound per-cluster block memory, exactly like
-    cosine_pairs' n_blocks but data-adaptive.
+    pair block evaluated independently. ``n_centroids=None``
+    (default) DERIVES k from a count — max(16, ceil(N/4096)) — so
+    clusters stay ~4096 rows and total within-cluster work stays
+    ~N·4096 (linear) at any corpus size; a FIXED k is quadratic in N
+    (measured: k=16 at 100× rows = 141× wall — the suite's
+    oracle-parity arm pins k and is annotated expected-superlinear
+    in scale_bench.EXPECTED_SUPERLINEAR). The kernel additionally
+    computes S in row chunks, so even one skewed giant cluster is
+    bounded to a ~256 MB transient buffer instead of a |C|² matrix.
 
     Cross-cluster near-duplicates are missed by construction (the
     recall/cost tradeoff SemDeDup accepts); raise n_probe-style
@@ -784,6 +810,9 @@ def semantic_dedup(
 
     ensure_package_shipped(emb.sparkSession)
 
+    if n_centroids is None:
+        n_centroids = _auto_centroids(emb.count())
+
     cents = _ivf_centroids(emb, n_centroids, id_col, vec_col)
     cents = _kmeans_refine(emb, cents, kmeans_iters, id_col, vec_col)
     assigned = _ivf_assign_table(
@@ -793,6 +822,10 @@ def semantic_dedup(
         vec_col,
     )
     id_t = assigned.schema[id_col].dataType.simpleString()
+    # captured by VALUE: the worker re-imports the module, so module
+    # globals there are the defaults — closure capture is what lets
+    # callers/tests drive the chunking
+    sims_budget = _COSINE_PAIRS_SIMS_ENTRIES
 
     def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf[id_col].to_numpy()
@@ -804,14 +837,31 @@ def semantic_dedup(
         nrm = np.linalg.norm(M, axis=1, keepdims=True)
         nrm[nrm == 0] = 1.0
         Mn = M / nrm
-        S = np.round(Mn @ Mn.T, 6)
-        hit = S >= threshold
-        # only i<j counts (ids ascending → row index < col index ⇔
-        # id_a < id_b): zero the diagonal and below
-        hit[np.tril_indices_from(hit)] = False
-        any_dup = hit.any(axis=0)
-        first = hit.argmax(axis=0)  # first True row = smallest id_a
-        dup_of = [int(ids[f]) if d else None for d, f in zip(any_dup, first)]
+        n = len(ids)
+        # chunked upper-triangle scan: for each column j, the FIRST
+        # over-threshold row with i<j is the min lower duplicate.
+        # Row chunks ascend, so the first chunk that hits a column
+        # wins — S is never materialized whole (a skewed |C|² matrix
+        # would otherwise be unbounded per task).
+        chunk = max(128, sims_budget // max(n, 1))
+        first_row = np.full(n, -1, dtype=np.int64)
+        col_idx = np.arange(n)
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            if s >= n - 1:
+                break
+            C = Mn[s:e] @ Mn.T
+            np.round(C, 6, out=C)
+            hit = C >= threshold
+            # only i<j counts (ids ascending → row index < col index
+            # ⇔ id_a < id_b)
+            hit &= np.arange(s, e)[:, None] < col_idx[None, :]
+            hit[:, first_row >= 0] = False  # column already resolved
+            any_c = hit.any(axis=0)
+            if any_c.any():
+                first_row[any_c] = s + hit.argmax(axis=0)[any_c]
+        any_dup = first_row >= 0
+        dup_of = [int(ids[f]) if f >= 0 else None for f in first_row]
         return pd.DataFrame(
             {
                 id_col: ids,

@@ -203,10 +203,13 @@ def cmd_gen(factors: list[int]) -> None:
 def _run_bench(sf_dir: str, only: str | None) -> dict:
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
     # x100 materializes some row-level results in the GBs (the bench
-    # collects every row by protocol): give the single local[32] JVM
-    # a heap that holds them. Same value for EVERY factor, so
-    # per-factor ratios stay apples-to-apples.
-    env.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
+    # collects every row by protocol) and runs 32 executor threads in
+    # ONE JVM: 8g thrashes at x100 (measured: broadcast build aborts
+    # in the LSH-clusters plan) while 32g pays long-GC jitter on
+    # mid-size runs (measured: x10 suite 446s vs ~350s). 16g passes
+    # every x100 query and keeps GC pauses short. Same value for
+    # EVERY factor, so per-factor ratios stay apples-to-apples.
+    env.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
     if only:
         env["BENCH_ONLY"] = only
     p = subprocess.run(
@@ -281,9 +284,17 @@ EXPECTED_SUPERLINEAR = {
     "x_embed_neardup": (
         "exact all-pairs cosine (cosine_pairs): compute is O(N²) by "
         "definition, so R× rows ⇒ up to R²× FLOPs on fixed cores. The "
-        "operator bounds per-task MEMORY via auto-scaled n_blocks "
-        "(ceil(N/250k)); the scale path for pipelines is "
+        "operator bounds per-task MEMORY via auto-scaled n_blocks and "
+        "a chunked BLAS product; the scale path for pipelines is "
         "semantic_dedup / LSH, which stays near-linear."
+    ),
+    "x_semantic_dedup": (
+        "this ARM pins n_centroids=16 + seed centroids so the DuckDB "
+        "oracle can replicate the clustering bit-exactly; with k fixed, "
+        "cluster sizes grow R× and within-cluster pair work grows R²×. "
+        "The operator DEFAULT (n_centroids=None) derives k from a "
+        "count — clusters stay ~4096 rows, total work ~N·4096, linear "
+        "(tests/test_corpus_ops.py pins the auto-k derivation)."
     ),
 }
 

@@ -879,3 +879,63 @@ def test_duplicate_spans_hot_gram_gate_under_fire(spark):
     # covering tokens 0..9
     for r in rows:
         assert (r[1], r[2], r[3]) == (0, 9, 3)
+
+
+# ------------------------------------------- semantic_dedup scale guards
+def test_semantic_dedup_auto_centroids_derivation():
+    """n_centroids=None derives k so clusters stay ~4096 rows: fixed
+    k is quadratic in N (within-cluster pair work), measured 141x
+    wall at 100x rows before the guard."""
+    assert sim._auto_centroids(2_000) == 16
+    assert sim._auto_centroids(65_536) == 16
+    assert sim._auto_centroids(200_000) == 49
+    assert sim._auto_centroids(10_000_000) == 2442
+
+
+def test_semantic_dedup_auto_equals_pinned_on_small_corpus(spark):
+    """The None path end-to-end: on a corpus under 16*4096 rows the
+    derived k collapses to the floor (16), so auto and pinned must
+    produce identical keep/dup decisions."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 8))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        rows.append((100 + i, [float(x) for x in v]))  # exact dup partner
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    auto = {
+        (r.vec_id, r.kept, r.dup_of)
+        for r in sim.semantic_dedup(df, threshold=0.999).collect()
+    }
+    pinned = {
+        (r.vec_id, r.kept, r.dup_of)
+        for r in sim.semantic_dedup(df, threshold=0.999, n_centroids=16).collect()
+    }
+    assert auto == pinned
+    assert any(not kept for _, kept, _ in auto)  # dups actually found
+
+
+def test_semantic_dedup_chunked_kernel_matches_unchunked(spark, monkeypatch):
+    """Force multi-chunk kernel execution (tiny sims budget) and pin
+    it against the single-chunk result: the chunked upper-triangle
+    scan must find the SAME minimal lower duplicate for every id,
+    including pairs that straddle a chunk boundary."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(150, 8))
+    rows = [(i, [float(x) for x in base[i % 150]]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    full = sorted(
+        (r.vec_id, r.kept, r.dup_of)
+        for r in sim.semantic_dedup(df, threshold=0.999, n_centroids=2).collect()
+    )
+    monkeypatch.setattr(sim, "_COSINE_PAIRS_SIMS_ENTRIES", 1)  # chunk=128 rows
+    chunked = sorted(
+        (r.vec_id, r.kept, r.dup_of)
+        for r in sim.semantic_dedup(df, threshold=0.999, n_centroids=2).collect()
+    )
+    assert chunked == full
+    assert any(not kept for _, kept, _ in full)
