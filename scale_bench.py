@@ -205,20 +205,49 @@ def _run_bench(sf_dir: str, only: str | None) -> dict:
     # x100 materializes some row-level results in the GBs (the bench
     # collects every row by protocol) and runs 32 executor threads in
     # ONE JVM: 8g thrashes at x100 (measured: broadcast build aborts
-    # in the LSH-clusters plan) while 32g pays long-GC jitter on
-    # mid-size runs (measured: x10 suite 446s vs ~350s). 16g passes
-    # every x100 query and keeps GC pauses short. Same value for
-    # EVERY factor, so per-factor ratios stay apples-to-apples.
-    env.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
+    # in the LSH-clusters plan), and 16g — stable at x10 (324-334s
+    # across runs) — ALSO dies at x100: two full-suite attempts both
+    # hit notEnoughMemoryToBuildAndBroadcastTableError mid-dedup,
+    # at DIFFERENT queries, i.e. cumulative heap from 100+ uncapped
+    # result collections, not one bad plan. 32g cleared every x100
+    # query (suite 1349s) and its x10 spread was 309-446s — the one
+    # 446s outlier drove an earlier 32g->16g switch that turned out
+    # to trade rare jitter for a hard x100 OOM. 24g: enough headroom
+    # for the x100 broadcast builds, smaller old-gen than 32g to keep
+    # full-GC pauses short. Same value for EVERY factor, so
+    # per-factor ratios stay apples-to-apples.
+    env.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+    # JDK 17's GCLocker allocation path retries only TWICE
+    # (GCLockerRetryAllocationCount=2) before throwing OOM: 32
+    # executor threads doing Arrow/Netty JNI-critical sections while
+    # a task asks for a ~13 MB buffer spuriously killed an x100 run
+    # mid-suite (gc,alloc warning "Retried waiting for GCLocker too
+    # often", then the local-mode shutdown hook wiped blockmgr under
+    # the surviving tasks). Raising the retry count makes the
+    # allocation wait out the critical section instead of dying.
+    env.setdefault(
+        "SPARK_GRAFT_DRIVER_JAVA_OPTS",
+        "-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=64",
+    )
     if only:
         env["BENCH_ONLY"] = only
-    p = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        env=env,
-        capture_output=True,
-        text=True,
-        cwd=REPO,
-    )
+    p = None
+    for attempt in (1, 2):  # one retry: a 30-min artifact run should
+        # survive a transient JVM/tmpfs flake in a single factor
+        p = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env,
+            capture_output=True,
+            text=True,
+            cwd=REPO,
+        )
+        if p.returncode == 0:
+            break
+        print(
+            f"  bench attempt {attempt} at {sf_dir} failed "
+            f"(rc {p.returncode}); tail:\n" + p.stdout[-1500:] + p.stderr[-1500:],
+            flush=True,
+        )
     lines = [l for l in p.stdout.splitlines() if l.startswith('{"metric"')]
     if p.returncode != 0 or not lines:
         raise SystemExit(
@@ -343,10 +372,33 @@ def _write_md(report: dict, path: str) -> None:
             lines.append(f"Super-linear (> {f}×), UNEXPLAINED — findings:")
             lines.append("")
             for n, r in sorted(unexplained.items(), key=lambda kv: -kv[1]):
+                note = ""
+                # marginal growth to the next factor separates a
+                # one-time constant (plan switch, GC mode) from real
+                # super-linear work: if going f→f2 multiplies wall by
+                # less than the extra data, growth is sub-linear past
+                # this point and the overshoot is not compounding
+                nxt = [g for g in factors if g > f]
+                if nxt:
+                    f2 = nxt[0]
+                    r2 = report["ratios"][str(f2)].get(n)
+                    if r2 is not None:
+                        marg = round(r2 / r, 2)
+                        data = f2 // f
+                        verdict = (
+                            "sub-linear past this point — one-time "
+                            "constant, not compounding growth"
+                            if marg <= data
+                            else "STILL super-linear — compounding"
+                        )
+                        note = (
+                            f" [x{f}→x{f2}: {marg}× wall for {data}× "
+                            f"data — {verdict}]"
+                        )
                 lines.append(
                     f"- `{n}` {r}× "
                     f"({report['queries']['1'][n]}s → "
-                    f"{report['queries'][str(f)][n]}s)"
+                    f"{report['queries'][str(f)][n]}s){note}"
                 )
         else:
             lines.append(f"Super-linear (> {f}×), unexplained: **none**.")
