@@ -183,7 +183,9 @@ def gopher_metrics_table(
                 }
             )
 
-    src = df.select(id_col, text_col)
+    from mfdb_hafro_etl_spark.session import spread_for_kernel
+
+    src = spread_for_kernel(df.select(id_col, text_col))
     id_type = src.schema[id_col].dataType.simpleString()
     return src.mapInPandas(
         gen,

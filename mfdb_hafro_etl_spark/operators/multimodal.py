@@ -33,6 +33,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from mfdb_hafro_etl_spark.session import spread_for_kernel
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -133,7 +135,7 @@ def extract_features(media: DataFrame, mode: str = "fake", batch_hint: int | Non
                 }
             )
 
-    return media.mapInPandas(gen, schema=FEATURES_SCHEMA)
+    return spread_for_kernel(media).mapInPandas(gen, schema=FEATURES_SCHEMA)
 
 
 DECODED_META_SCHEMA = T.StructType(
@@ -197,7 +199,7 @@ def decode_media_meta(media: DataFrame, mode: str = "fake") -> DataFrame:
                 }
             )
 
-    return media.select("media_id", "content").mapInPandas(gen, schema=DECODED_META_SCHEMA)
+    return spread_for_kernel(media.select("media_id", "content")).mapInPandas(gen, schema=DECODED_META_SCHEMA)
 
 
 IMAGE_STATS_SCHEMA = T.StructType(
@@ -250,7 +252,7 @@ def decode_image_stats(media: DataFrame) -> DataFrame:
                 }
             )
 
-    return media.select("media_id", "content").mapInPandas(
+    return spread_for_kernel(media.select("media_id", "content")).mapInPandas(
         gen, schema=IMAGE_STATS_SCHEMA
     )
 
@@ -312,7 +314,7 @@ def resize_media(
                 }
             )
 
-    return media.select("media_id", "content").mapInPandas(gen, schema=RESIZED_SCHEMA)
+    return spread_for_kernel(media.select("media_id", "content")).mapInPandas(gen, schema=RESIZED_SCHEMA)
 
 
 AUDIO_META_SCHEMA = T.StructType(
@@ -385,7 +387,7 @@ def decode_audio_meta(media: DataFrame, mode: str = "fake") -> DataFrame:
                 }
             )
 
-    return media.select("media_id", "content").mapInPandas(gen, schema=AUDIO_META_SCHEMA)
+    return spread_for_kernel(media.select("media_id", "content")).mapInPandas(gen, schema=AUDIO_META_SCHEMA)
 
 
 VIDEO_META_SCHEMA = T.StructType(
@@ -435,7 +437,7 @@ def decode_video_meta(media: DataFrame, mode: str = "real") -> DataFrame:
                 }
             )
 
-    return media.select("media_id", "content").mapInPandas(gen, schema=VIDEO_META_SCHEMA)
+    return spread_for_kernel(media.select("media_id", "content")).mapInPandas(gen, schema=VIDEO_META_SCHEMA)
 
 
 TAR_MEMBERS_SCHEMA = T.StructType(
@@ -471,7 +473,7 @@ def enumerate_tar_members(media: DataFrame) -> DataFrame:
                     rows["size"].append(m["size"])
             yield pd.DataFrame(rows)
 
-    return media.select("media_id", "content").mapInPandas(
+    return spread_for_kernel(media.select("media_id", "content")).mapInPandas(
         gen, schema=TAR_MEMBERS_SCHEMA
     )
 

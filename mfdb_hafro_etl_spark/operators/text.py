@@ -191,6 +191,30 @@ def winnow_fingerprints(
     return F.array_sort(F.array_distinct(mins))
 
 
+def _memo_gram_hash(max_entries: int = 500_000):
+    """Bounded memo of character-gram → first-8-hex-of-md5 bigint (the
+    engine-portable gram hash the winnow/chunk family shares). A text
+    corpus has far fewer DISTINCT k-grams than gram POSITIONS
+    (vocabulary ≪ length), so memoizing turns the dominant per-position
+    hashlib call into a dict hit; the bound caps worker memory at
+    ~45 MB even on a high-entropy corpus (cleared, not evicted — a
+    full cycle is rare and still correct)."""
+    import hashlib as _hl
+
+    cache: dict = {}
+
+    def gh(g: str) -> int:
+        v = cache.get(g)
+        if v is None:
+            if len(cache) >= max_entries:
+                cache.clear()
+            v = int(_hl.md5(g.encode("utf-8")).hexdigest()[:8], 16)
+            cache[g] = v
+        return v
+
+    return gh
+
+
 def winnow_fingerprint_table(
     df, id_col: str, text_col: str, k: int = 5, window: int = 4
 ):
@@ -204,15 +228,14 @@ def winnow_fingerprint_table(
     stays as the expression-level reference; a parity test pins the
     two to byte-identical output.
     """
-    import hashlib as _hl
-
     import pandas as _pd
 
-    from mfdb_hafro_etl_spark.session import ensure_package_shipped
+    from mfdb_hafro_etl_spark.session import ensure_package_shipped, spread_for_kernel
 
     ensure_package_shipped(df.sparkSession)
 
     def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        gh = _memo_gram_hash()
         for pdf in batches:
             out_ids, out_fps = [], []
             for did, t in zip(pdf[id_col], pdf[text_col]):
@@ -220,10 +243,7 @@ def winnow_fingerprint_table(
                 n = len(t) - k + 1
                 if n < 1:
                     continue
-                hs = [
-                    int(_hl.md5(t[j : j + k].encode("utf-8")).hexdigest()[:8], 16)
-                    for j in range(n)
-                ]
+                hs = [gh(t[j : j + k]) for j in range(n)]
                 if len(hs) >= window:
                     mins = {min(hs[j : j + window]) for j in range(len(hs) - window + 1)}
                 else:
@@ -233,7 +253,7 @@ def winnow_fingerprint_table(
                     out_fps.append(v)
             yield _pd.DataFrame({id_col: out_ids, "fp": out_fps})
 
-    src = df.select(id_col, text_col)
+    src = spread_for_kernel(df.select(id_col, text_col))
     id_type = src.schema[id_col].dataType.simpleString()
     return src.mapInPandas(gen, schema=f"{id_col} {id_type}, fp bigint")
 
@@ -256,17 +276,19 @@ def content_defined_chunks(
     Same gram hash as the winnowing family (first 8 hex of md5 as a
     bigint — engine-portable, no RNG), same Arrow-kernel execution
     rationale as winnow_fingerprint_table; the SQL oracle replicates
-    boundaries with the identical hash rule. Map-only: no shuffle,
+    boundaries with the identical hash rule. Map-only (the
+    spread_for_kernel fan-out fires only on under-split inputs):
     chunking 100 TB is embarrassingly parallel."""
     import hashlib as _hl
 
     import pandas as _pd
 
-    from mfdb_hafro_etl_spark.session import ensure_package_shipped
+    from mfdb_hafro_etl_spark.session import ensure_package_shipped, spread_for_kernel
 
     ensure_package_shipped(df.sparkSession)
 
     def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        gh = _memo_gram_hash()
         for pdf in batches:
             ids, cids, starts, lens, hashes = [], [], [], [], []
             for did, t in zip(pdf[id_col], pdf[text_col]):
@@ -278,11 +300,7 @@ def content_defined_chunks(
                     {
                         j + k + 1
                         for j in range(L - k + 1)
-                        if int(
-                            _hl.md5(t[j : j + k].encode("utf-8")).hexdigest()[:8], 16
-                        )
-                        % divisor
-                        == 0
+                        if gh(t[j : j + k]) % divisor == 0
                     }
                     | {L + 1}
                 )
@@ -307,7 +325,7 @@ def content_defined_chunks(
                 }
             )
 
-    src = df.select(id_col, text_col)
+    src = spread_for_kernel(df.select(id_col, text_col))
     id_type = src.schema[id_col].dataType.simpleString()
     return src.mapInPandas(
         gen,

@@ -642,8 +642,15 @@ def x_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mfdb_hafro_etl_spark.session import ensure_package_shipped
 
     ensure_package_shipped(spark)
-    docs = load_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").cast("long").alias("media_id")
+    from mfdb_hafro_etl_spark.session import spread_for_kernel
+
+    # codec CPU is ~10³× scan CPU: fan the id list out to the cluster
+    # BEFORE the encode kernel or a single-file documents table runs
+    # the whole codec chain on one core (see spread_for_kernel)
+    docs = spread_for_kernel(
+        load_table(spark, sf_dir, "documents").select(
+            F.col("doc_id").cast("long").alias("media_id")
+        )
     )
 
     def build(batches):

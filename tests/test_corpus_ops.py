@@ -939,3 +939,39 @@ def test_semantic_dedup_chunked_kernel_matches_unchunked(spark, monkeypatch):
     )
     assert chunked == full
     assert any(not kept for _, kept, _ in full)
+
+
+# ------------------------------------------- CPU-kernel fan-out
+def test_spread_for_kernel_fans_out_underplit_input(spark):
+    """Byte-based input splits starve CPU-dense Arrow kernels: a
+    single-file table arrives as ONE split no matter how many cores
+    exist (measured: content_defined_chunks at 10x data ran on 1 of
+    32 cores). spread_for_kernel must fan an under-split input out to
+    cluster parallelism, and must be a NO-OP (same object, no extra
+    shuffle) when the input is already split at least that wide."""
+    from mfdb_hafro_etl_spark.operators import text as tx
+    from mfdb_hafro_etl_spark.session import spread_for_kernel
+
+    par = spark.sparkContext.defaultParallelism
+    docs = spark.createDataFrame(
+        [(i, "word%d " % (i % 7) * 40) for i in range(200)],
+        "doc_id LONG, text STRING",
+    ).coalesce(1)
+
+    spread = spread_for_kernel(docs)
+    assert spread.rdd.getNumPartitions() >= par
+
+    # mapInPandas preserves its input partitioning, so the kernel
+    # stage itself runs at cluster width
+    out = tx.content_defined_chunks(docs, "doc_id", "text")
+    assert out.rdd.getNumPartitions() >= par
+
+    wide = docs.repartition(par * 4)
+    assert spread_for_kernel(wide) is wide
+
+    # fan-out must not change results: same chunks as the 1-split run
+    base = sorted(
+        map(tuple, tx.content_defined_chunks(docs, "doc_id", "text")
+            .coalesce(1).collect())
+    )
+    assert sorted(map(tuple, out.collect())) == base and len(base) > 0
