@@ -7,6 +7,7 @@ so the same semantics run incrementally. ``availableNow`` runs turn
 any of them into a verifiable batch job over the testdata."""
 
 from mfdb_hafro_etl_spark.streaming.jobs import (
+    auto_state_partitions,
     finalize_session_updates,
     read_events_stream,
     run_available_now,
@@ -18,6 +19,7 @@ from mfdb_hafro_etl_spark.streaming.jobs import (
 )
 
 __all__ = [
+    "auto_state_partitions",
     "finalize_session_updates",
     "read_events_stream",
     "run_available_now",

@@ -114,6 +114,36 @@ def run_available_now(
     return spark.table(name)
 
 
+def auto_state_partitions(spark: SparkSession, sf_dir: str) -> int:
+    """Size the stateful shuffle to the event-source volume: one
+    state partition per ~8 MB of on-disk events, clamped to
+    [8, defaultParallelism].
+
+    Both ends of the clamp are measured: 8 keeps per-microbatch fixed
+    costs (every partition is a state store + a Python worker PER
+    micro-batch) from dominating small verification inputs (32→8 was
+    a 4× wall win at sf0.1), while a fixed 8 starves big sources —
+    the 100×-data scale run put 100× the sessionizer state through 8
+    of 32 cores (x_stream_sessionize 38× wall for 100× rows). A real
+    checkpointed deployment sizes this once from key cardinality ×
+    throughput; this helper is the harness analog driven by the one
+    scale signal available up front, source bytes."""
+    src = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
+    try:
+        if os.path.isdir(src):
+            nbytes = sum(
+                os.path.getsize(os.path.join(src, f))
+                for f in os.listdir(src)
+                if not f.startswith(".") and not f.startswith("_")
+            )
+        else:
+            nbytes = os.path.getsize(src)
+    except OSError:
+        nbytes = 0
+    par = spark.sparkContext.defaultParallelism
+    return max(8, min(par, 1 + nbytes // (8 << 20)))
+
+
 def stream_tumbling_agg(
     events: DataFrame,
     *,

@@ -252,7 +252,7 @@ def x_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    return st.run_available_now(agg, _mem("stream_sliding"), output_mode="complete")
+    return st.run_available_now(agg, _mem("stream_sliding"), output_mode="complete", state_partitions=st.auto_state_partitions(spark, sf_dir))
 
 
 # ------------------------------------- stream-static enrichment join
@@ -278,7 +278,7 @@ def x_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("C"), F.col("id").cast("string")).alias("cohort"),
     )
     agg = st.stream_enriched_window_agg(ev, dim)
-    return st.run_available_now(agg, _mem("stream_enrich"), output_mode="complete")
+    return st.run_available_now(agg, _mem("stream_enrich"), output_mode="complete", state_partitions=st.auto_state_partitions(spark, sf_dir))
 
 
 # --------------------------------------- stream-stream interval join
@@ -301,4 +301,4 @@ def x_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     form. Verified against the batch self-join oracle."""
     ev = st.read_events_stream(spark, sf_dir)
     joined = st.stream_interval_join(ev)
-    return st.run_available_now(joined, _mem("stream_join"))
+    return st.run_available_now(joined, _mem("stream_join"), state_partitions=st.auto_state_partitions(spark, sf_dir))

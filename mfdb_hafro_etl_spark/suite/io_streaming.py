@@ -215,7 +215,7 @@ def x_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     execution."""
     ev = st.read_events_stream(spark, sf_dir)
     agg = st.stream_tumbling_agg(ev, window="1 hour", watermark="2 hours")
-    return st.run_available_now(agg, _mem("stream_tumbling"), output_mode="complete")
+    return st.run_available_now(agg, _mem("stream_tumbling"), output_mode="complete", state_partitions=st.auto_state_partitions(spark, sf_dir))
 
 
 @register(
@@ -232,7 +232,7 @@ def x_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     DISTINCT."""
     ev = st.read_events_stream(spark, sf_dir)
     dd = st.stream_dedup(ev, ["user_id", "event_type", "ts"], watermark="2 hours")
-    out = st.run_available_now(dd, _mem("stream_dedup"))
+    out = st.run_available_now(dd, _mem("stream_dedup"), state_partitions=st.auto_state_partitions(spark, sf_dir))
     return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
 
 
@@ -269,5 +269,5 @@ def x_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_package_shipped(spark)
     ev = st.read_events_stream(spark, sf_dir)
     updates = st.stream_sessionize(ev)
-    log = st.run_available_now(updates, _mem("stream_sessions"), output_mode="update")
+    log = st.run_available_now(updates, _mem("stream_sessions"), output_mode="update", state_partitions=st.auto_state_partitions(spark, sf_dir))
     return st.finalize_session_updates(log)
