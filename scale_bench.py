@@ -119,9 +119,21 @@ def generate(spark, factor: int, out_dir: str) -> None:
             os.path.getsize(os.path.join(BASE, f))
             for f in [f"{table}.parquet"]
         ) / 1e6
-        n_parts = max(1, min(256, int(factor * base_mb // 48) + 1))
+        # file layout must scale WITH the data or the fixture invents
+        # a bottleneck no deployment has: R× data arriving through a
+        # real pipeline lands ~R× the files (per-batch/per-partition
+        # writer outputs), while replicating a 0.6 MB documents table
+        # 100× into TWO 29 MB files starves every scan-parallel
+        # text query to 2 of 32 cores (measured: x_text_quality 44×
+        # wall at 100× rows — pure Column algebra, 2 input splits).
+        # Floor at one file per replica; keep the 48 MB/file target
+        # for tables big enough that bytes, not file count, should
+        # drive split sizing.
+        n_parts = min(256, max(factor, int(factor * base_mb // 48) + 1))
         if table in ("region", "nation"):
             out = base  # fixed dims: broadcast-sized at any scale
+            n_parts = 1  # and UNreplicated — R files of a 25-row dim
+            # would be pure scheduler noise, not layout realism
         elif table == "documents":
             parts = []
             for r in range(factor):
