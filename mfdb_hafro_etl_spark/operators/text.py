@@ -33,32 +33,64 @@ def tokens(col: Column | str, sep: str = " ") -> Column:
 
 def token_count(col: Column | str) -> Column:
     """Whitespace token count (the baseline tokenizer; a BPE-ish
-    regex tokenizer is token_count_bpe below)."""
-    return F.size(tokens(col))
+    regex tokenizer is token_count_bpe below).
+
+    Computed as separator-count + 1 via a length diff: one string
+    pass and zero allocations per token, where size(split(...))
+    materializes every token as a fresh string plus an array. Value-
+    identical to ``size(tokens(col))`` (split keeps empty tokens, so
+    count == spaces + 1; parity pinned in tests)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c) - F.length(F.replace(c, F.lit(" "), F.lit(""))) + 1
 
 
 def token_count_bpe(col: Column | str) -> Column:
     """BPE-ish sub-word proxy: splits on whitespace AND punctuation
     boundaries, counting letter-runs, digit-runs and symbols
-    separately (regex analog of a byte-pair pre-tokenizer)."""
+    separately (regex analog of a byte-pair pre-tokenizer).
+
+    The pieces of pad-punctuation-then-split are exactly the maximal
+    alnum runs plus the maximal non-space-non-alnum runs. Counted by
+    collapsing each run to one sentinel char and length-diffing —
+    regexp_count would materialize every matched run (it expands to
+    size(regexp_extract_all)), while this builds one output string.
+    The sentinel is safe for arbitrary input: a pre-existing \\x01 is
+    itself non-space-non-alnum, so it is consumed by the very run
+    replacement that emits sentinels. Parity with the array
+    formulation pinned in tests."""
     c = F.col(col) if isinstance(col, str) else col
-    pieces = F.split(F.regexp_replace(c, r"([^\sA-Za-z0-9]+)", r" $1 "), r"\s+")
-    return F.size(F.filter(pieces, lambda x: x != ""))
+    runs = F.regexp_replace(c, r"[A-Za-z0-9]+|[^\sA-Za-z0-9]+", "\x01")
+    return F.length(runs) - F.length(F.replace(runs, F.lit("\x01"), F.lit("")))
+
+
+def _word_pattern(words: list[str]) -> str:
+    """Regex matching any of ``words`` as a whole single-space token
+    (bounded by start/end or the literal ' ' separator tokens() uses
+    — NOT \\b, which would also fire inside punctuated tokens)."""
+    import re as _re
+
+    alts = "|".join(_re.escape(w) for w in words)
+    return f"(?<=^| )(?:{alts})(?= |$)"
 
 
 def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Column:
-    toks = tokens(col)
-    sw = F.array(*[F.lit(w) for w in (stopwords or STOPWORDS)])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
-    return n_stop / F.greatest(F.size(toks), F.lit(1))
+    """Share of whitespace tokens that are stopwords — one
+    regexp_count pass (lookaround-bounded alternation) instead of
+    split + an array_contains filter HOF per token; value parity
+    with the array formulation pinned in tests."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_stop = F.regexp_count(c, F.lit(_word_pattern(stopwords or STOPWORDS)))
+    return n_stop / F.greatest(token_count(c), F.lit(1))
 
 
 def mean_token_len(col: Column | str) -> Column:
-    toks = tokens(col)
-    # sum of token lengths == length of the separator-less concat —
-    # a codegen'd string op instead of an interpreted aggregate fold
-    total = F.length(F.concat_ws("", toks))
-    return total.cast("double") / F.greatest(F.size(toks), F.lit(1))
+    """Mean whitespace-token length. Sum of token lengths is just
+    length(text) minus the separator count, so both terms come from
+    the same single replace pass (no split, no concat_ws)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_sep = F.length(c) - F.length(F.replace(c, F.lit(" "), F.lit("")))
+    total = F.length(c) - n_sep
+    return total.cast("double") / F.greatest(n_sep + 1, F.lit(1))
 
 
 def quality_score(col: Column | str) -> Column:
@@ -76,12 +108,14 @@ def quality_score(col: Column | str) -> Column:
 
 
 def lang_scores(col: Column | str) -> dict[str, Column]:
-    """Marker-hit count per language (n-gram/stopword heuristic)."""
-    toks = tokens(col)
+    """Marker-hit count per language (n-gram/stopword heuristic) —
+    one regexp_count pass per language over the raw text instead of
+    split + a filter HOF per language (same single-pass trade as
+    stopword_ratio; parity pinned in tests)."""
+    c = F.col(col) if isinstance(col, str) else col
     out = {}
     for lang, markers in LANG_MARKERS.items():
-        marr = F.array(*[F.lit(w) for w in markers])
-        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(marr, t)))
+        out[lang] = F.regexp_count(c, F.lit(_word_pattern(markers)))
     return out
 
 

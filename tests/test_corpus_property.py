@@ -188,3 +188,61 @@ def test_deep_path_graph_converges_in_log_rounds(spark):
     rows = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
     assert len(rows) == 201
     assert set(rows.values()) == {0}
+
+
+# adversarial for the single-pass text rewrites: stopwords clean and
+# punctuated, empty tokens (consecutive spaces), tabs INSIDE tokens
+# (space is the only separator), CJK, marker words of other languages
+_qword = st.sampled_from(
+    ["the", "a", "of", "in", "el", "und", "x!y", "..", "a.b",
+     "", "\tthe", "the\t", "数据", "Aa1", "the.", "-the-"]
+)
+_qtext = st.lists(_qword, min_size=0, max_size=30).map(" ".join)
+
+
+@given(texts=st.lists(_qtext, min_size=1, max_size=25))
+@settings(**_SETTINGS)
+def test_text_single_pass_equals_array_formulations(spark, texts):
+    """token_count / token_count_bpe / stopword_ratio /
+    mean_token_len / lang_scores are single-pass rewrites
+    (length-diff + regexp_count) of their original token-array
+    formulations — pin value identity on adversarial text."""
+    from mfdb_hafro_etl_spark.operators import text as tx
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id INT, text STRING")
+    toks = F.split(F.col("text"), " ")
+    sw = F.array(*[F.lit(w) for w in tx.STOPWORDS])
+    pieces = F.split(
+        F.regexp_replace(F.col("text"), r"([^\sA-Za-z0-9]+)", r" $1 "), r"\s+"
+    )
+    def _marker_count(markers):
+        marr = F.array(*[F.lit(w) for w in markers])
+        return F.size(F.filter(toks, lambda t: F.array_contains(marr, t)))
+
+    lang_legacy = [
+        _marker_count(markers).alias(k)
+        for k, markers in sorted(tx.LANG_MARKERS.items())
+    ]
+    legacy = df.select(
+        "doc_id",
+        F.size(toks).alias("n"),
+        F.size(F.filter(pieces, lambda x: x != "")).alias("bpe"),
+        (
+            F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+            / F.greatest(F.size(toks), F.lit(1))
+        ).alias("swr"),
+        (
+            F.length(F.concat_ws("", toks)).cast("double")
+            / F.greatest(F.size(toks), F.lit(1))
+        ).alias("mlen"),
+        *lang_legacy,
+    )
+    new = df.select(
+        "doc_id",
+        tx.token_count("text").alias("n"),
+        tx.token_count_bpe("text").alias("bpe"),
+        tx.stopword_ratio("text").alias("swr"),
+        tx.mean_token_len("text").alias("mlen"),
+        *[v.alias(k) for k, v in sorted(tx.lang_scores("text").items())],
+    )
+    assert sorted(map(tuple, new.collect())) == sorted(map(tuple, legacy.collect()))
