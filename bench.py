@@ -6,10 +6,14 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
    "queries": {name: sec, ...}, "sf": ...}
 
 Each query is fully materialized to the driver via Arrow
-(`toPandas()`): every row crosses the JVM→Python boundary, same
+(`toArrow()`): every row crosses the JVM→Python boundary, same
 contract as the driver's collect(), but batched columnar transfer
 instead of per-row pickling — the transfer path a real pipeline
-would use. Falls back to collect() if Arrow is unavailable.
+would use. The result stays a pyarrow Table: converting tens of
+millions of rows into a pandas frame costs more (object boxing)
+than computing AND transferring them, and that conversion is a
+harness artifact, not query work. Falls back to toPandas() /
+collect() if toArrow is unavailable.
 """
 
 from __future__ import annotations
@@ -37,9 +41,12 @@ def main() -> None:
 
     def materialize(df) -> None:
         try:
-            df.toPandas()
+            df.toArrow()
         except Exception:
-            df.collect()
+            try:
+                df.toPandas()
+            except Exception:
+                df.collect()
 
     # warm the JVM + parquet footers once so timings measure the query,
     # not session startup
