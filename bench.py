@@ -29,6 +29,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # this harness materializes EVERY result to the driver by
+    # protocol — opt out of the library's driver-protection result
+    # cap (x100 row-level results exceed any sane library default)
+    os.environ.setdefault("SPARK_GRAFT_MAX_RESULT", "0")
 
     from mfdb_hafro_etl_spark.session import get_spark
     from mfdb_hafro_etl_spark.suite import QUERIES

@@ -279,7 +279,7 @@ def range_join_binned(
         span = intervals.agg(
             F.min(F.col(lo_col)).alias("lo"), F.max(F.col(hi_col)).alias("hi")
         ).first()
-        if span is None or span["lo"] is None:
+        if span is None or span["lo"] is None or span["hi"] is None:
             salt = 1
         else:
             spanned_bins = int(
@@ -363,7 +363,7 @@ def fuzzy_trigram_join(
     sizes_l = lt.groupBy("id_l").agg(F.count(F.lit(1)).alias("n_l"))
     sizes_r = rt.groupBy("id_r").agg(F.count(F.lit(1)).alias("n_r"))
 
-    def gate(side: DataFrame, id_side: str) -> DataFrame:
+    def gate(side: DataFrame) -> DataFrame:
         hot = (
             side.groupBy("g")
             .agg(F.count(F.lit(1)).alias("__df__"))
@@ -372,8 +372,8 @@ def fuzzy_trigram_join(
         )
         return side.join(F.broadcast(hot), on="g", how="left_anti")
 
-    lt_g = gate(lt, "id_l")
-    rt_g = gate(rt, "id_r")
+    lt_g = gate(lt)
+    rt_g = gate(rt)
     inter = (
         lt_g.join(rt_g, on="g")
         .groupBy("id_l", "id_r")

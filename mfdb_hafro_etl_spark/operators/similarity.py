@@ -125,6 +125,14 @@ _COSINE_PAIRS_BLOCK_ROWS = 100_000
 #: multiplied by executor cores is an OOM at any real corpus size.
 _COSINE_PAIRS_SIMS_ENTRIES = 32 << 20
 
+#: ceiling on the auto-derived block-grid width: 1024 blocks is
+#: already ~524k block-pair tasks — past that, scheduling overhead
+#: dominates and per-block rows grow past target_block_rows again
+#: (the memory bound becomes N/1024·dim). That regime starts at
+#: ~100M rows, where exact all-pairs is ~10^16 FLOPs and the right
+#: tool is lsh_bucket()/semantic_dedup(), not a wider grid.
+_COSINE_PAIRS_MAX_BLOCKS = 1024
+
 
 def cosine_pairs(
     emb: DataFrame,
@@ -176,19 +184,22 @@ def cosine_pairs(
         n_rows = emb.count()
         par = emb.sparkSession.sparkContext.defaultParallelism
         min_for_parallelism = max(1, math.isqrt(2 * par))
-        n_blocks = max(
-            1, -(-n_rows // target_block_rows), min_for_parallelism
+        n_blocks = min(
+            max(1, -(-n_rows // target_block_rows), min_for_parallelism),
+            _COSINE_PAIRS_MAX_BLOCKS,
         )
 
     blk = F.pmod(F.col(id_col), F.lit(n_blocks)).cast("int")
-    pair_keys = F.array(
-        *[
-            F.struct(
-                F.least(F.col("__blk__"), F.lit(o)).alias("ba"),
-                F.greatest(F.col("__blk__"), F.lit(o)).alias("bb"),
-            )
-            for o in range(n_blocks)
-        ]
+    # constant-size expression regardless of n_blocks (a literal
+    # array of n_blocks structs would grow the Catalyst tree — and
+    # break codegen's method-size limit — exactly at the large-N
+    # grids the auto path derives)
+    pair_keys = F.transform(
+        F.sequence(F.lit(0), F.lit(int(n_blocks) - 1)),
+        lambda o: F.struct(
+            F.least(F.col("__blk__"), o).alias("ba"),
+            F.greatest(F.col("__blk__"), o).alias("bb"),
+        ),
     )
     exploded = (
         emb.select(F.col(id_col), F.col(vec_col), blk.alias("__blk__"))
@@ -756,8 +767,23 @@ _SEMANTIC_DEDUP_CLUSTER_ROWS = 4096
 def _auto_centroids(n_rows: int) -> int:
     """k for semantic_dedup's IVF when the caller doesn't pin one:
     clusters of ~_SEMANTIC_DEDUP_CLUSTER_ROWS rows, floored at 16 so
-    tiny corpora still get real bucketing."""
-    return max(16, -(-n_rows // _SEMANTIC_DEDUP_CLUSTER_ROWS))
+    tiny corpora still get real bucketing.
+
+    Capped at ceil(sqrt(N)): assignment itself costs N·k·dim FLOPs
+    and ships a k×dim centroid matrix to every executor, so k growing
+    as N/4096 would make ASSIGNMENT the quadratic stage past
+    N = 4096² ≈ 17M rows (k > 4096 = sqrt(N) is exactly that
+    crossover). Past it, k = ceil(sqrt(N)) balances assignment
+    against within-cluster pair work — total compute O(N^1.5·dim),
+    centroid state O(sqrt(N)·dim) (~16 MB at N = 10⁹, dim 64) —
+    instead of letting either stage go quadratic."""
+    if n_rows <= 1:
+        return 16
+    import math
+
+    by_cluster_rows = -(-n_rows // _SEMANTIC_DEDUP_CLUSTER_ROWS)
+    sqrt_cap = math.isqrt(n_rows - 1) + 1
+    return max(16, min(by_cluster_rows, sqrt_cap))
 
 
 def semantic_dedup(

@@ -54,15 +54,18 @@ def get_spark(
         # 104-118s at 16-32g, and the big heap made full-GC pauses
         # long enough to swing individual queries 2-6x run-to-run.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        # the bench/verify harness MATERIALIZES every result to the
-        # driver by design (the driver's collect contract) — at 100×
-        # data some row-level results exceed Spark's 1g default cap
-        # (p2_ldist x100: 1.08 GiB of Arrow batches → hard abort).
-        # 0 = uncapped for this single-box harness; production
-        # pipelines write results to sinks and should set a real cap.
+        # library default: a real (if generous) result cap, so an
+        # accidental large collect fails fast with Spark's clean
+        # maxResultSize abort instead of thrashing the driver heap.
+        # The bench harness MATERIALIZES every result to the driver
+        # by design (the driver's collect contract) and at 100× data
+        # some row-level results exceed any sane cap (p2_ldist x100:
+        # 1.08 GiB of Arrow batches) — bench.py opts itself out via
+        # SPARK_GRAFT_MAX_RESULT=0 (uncapped) rather than weakening
+        # the default for every consumer of this factory.
         .config(
             "spark.driver.maxResultSize",
-            os.environ.get("SPARK_GRAFT_MAX_RESULT", "0"),
+            os.environ.get("SPARK_GRAFT_MAX_RESULT", "4g"),
         )
         # extra driver-JVM flags (bisect knob; e.g. JIT tier caps,
         # GC logging). Empty default = JVM defaults.
@@ -150,7 +153,17 @@ def spread_for_kernel(df, factor: int = 2):
     a no-op; when it does fire, the shuffle moves exactly the input
     bytes once, which a kernel that costs 100× scan CPU amortizes
     immediately. factor=2 over-splits so one long document / large
-    blob can't become the stage straggler."""
+    blob can't become the stage straggler.
+
+    Contract: call this on SCAN-ROOTED inputs (every in-package call
+    site is a projection straight off a table scan). The gate reads
+    the static physical partition count — for a scan that is the
+    true split count and planning it is cheap, but a plan ending in a
+    shuffle reports the pre-AQE static shuffle width, which AQE may
+    coalesce far below at runtime (the gate would skip exactly when
+    fan-out is needed) and physical-planning a deep upstream plan
+    twice isn't free. Kernels over shuffle outputs should set an
+    explicit repartition instead."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * factor
     if df.rdd.getNumPartitions() < target:

@@ -262,75 +262,125 @@ def stream_dedup(
 
 # ------------------------------------------------------------- sessions
 
-SESSION_STATE_DDL = "last_ts DOUBLE, session_no INT, start_ts DOUBLE, n_events INT"
+SESSION_STATE_DDL = (
+    "last_ts DOUBLE, session_no INT, start_ts DOUBLE, n_events INT, max_no INT"
+)
 SESSION_OUT_DDL = "user_id BIGINT, session_no INT, n_events INT, duration_s DOUBLE"
 
 
-def _session_fn(
-    key: tuple,
-    batches: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    """Per-user incremental gap sessionizer. State carries the open
-    session; each batch emits the latest stats for every session it
-    touched (update semantics — later emits supersede earlier)."""
+def _make_session_fn(tz: str):
+    """Build the per-user incremental gap sessionizer for
+    applyInPandasWithState, capturing the session timezone BY VALUE
+    (worker interpreters re-import this module with default globals,
+    so config must travel in the closure).
+
+    ``tz`` matters for the watermark comparison only: Arrow delivers
+    event timestamps as tz-naive wall times in the SESSION timezone,
+    while getCurrentWatermarkMs() is UTC epoch millis — comparing a
+    naive-UTC watermark against session-local naive events would
+    shift every drop/accept decision by the timezone offset on any
+    non-UTC deployment."""
     gap_s = 1800.0
-    if state.exists:
-        last_ts, session_no, start_ts, n_events = state.get
-    else:
-        last_ts, session_no, start_ts, n_events = None, 0, 0.0, 0
-    touched: dict[int, tuple[int, float]] = {}
-    (user_id,) = key
-    rows = pd.concat(list(batches), ignore_index=True)
-    # Arbitrary stateful ops do NOT get engine-side late-row
-    # filtering (verified empirically on this Spark: the watermark
-    # advances but every input row still reaches the function, even
-    # under EventTimeTimeout) — the documented contract is that the
-    # USER drops late data via the exposed watermark. Without this
-    # filter a straggler older than the watermark would merge into —
-    # or reopen — a session the pipeline considers closed. With no
-    # watermark configured the getter RAISES — treat that as 0/no-op.
-    try:
-        wm_ms = state.getCurrentWatermarkMs()
-    except Exception:
-        wm_ms = 0
-    if wm_ms > 0:
-        rows = rows[rows["ts"] >= pd.Timestamp(wm_ms, unit="ms")]
-        if rows.empty:
-            if state.exists:
-                state.update((last_ts, session_no, start_ts, n_events))
-            yield pd.DataFrame(
-                {"user_id": [], "session_no": [], "n_events": [], "duration_s": []}
-            ).astype({"user_id": "int64", "session_no": "int64",
-                      "n_events": "int64", "duration_s": "float64"})
-            return
-    rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
-    for ts in rows["ts"]:
-        t = ts.timestamp()
-        if last_ts is None or (t - last_ts) > gap_s:
-            session_no += 1
-            start_ts = t
-            n_events = 0
-        n_events += 1
-        # out-of-order-but-within-watermark events (possible across
-        # micro-batches: the batch sort only orders WITHIN a batch)
-        # merge into the open session; duration is the session's
-        # min..max span, never negative. In-order input leaves both
-        # branches untouched (t >= last_ts >= start_ts).
-        if t < start_ts:
-            start_ts = t
-        last_ts = max(last_ts, t) if last_ts is not None else t
-        touched[session_no] = (n_events, round(last_ts - start_ts, 3))
-    state.update((last_ts, session_no, start_ts, n_events))
-    out = pd.DataFrame(
-        {
-            "user_id": [user_id] * len(touched),
-            "session_no": list(touched),
-            "n_events": [v[0] for v in touched.values()],
-            "duration_s": [v[1] for v in touched.values()],
-        }
-    )
-    yield out
+
+    def _session_fn(
+        key: tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        """State carries the open session's span plus the highest
+        allocated session number; each batch emits the latest stats
+        for every session it touched (update semantics — later emits
+        supersede earlier)."""
+        if state.exists:
+            last_ts, session_no, start_ts, n_events, max_no = state.get
+        else:
+            last_ts, session_no, start_ts, n_events, max_no = None, 0, 0.0, 0, 0
+        touched: dict[int, tuple[int, float]] = {}
+        (user_id,) = key
+        rows = pd.concat(list(batches), ignore_index=True)
+        # Arbitrary stateful ops do NOT get engine-side late-row
+        # filtering (verified empirically on this Spark: the watermark
+        # advances but every input row still reaches the function, even
+        # under EventTimeTimeout) — the documented contract is that the
+        # USER drops late data via the exposed watermark. Without this
+        # filter a straggler older than the watermark would merge into —
+        # or reopen — a session the pipeline considers closed. With no
+        # watermark configured the getter RAISES — treat that as 0/no-op.
+        try:
+            wm_ms = state.getCurrentWatermarkMs()
+        except Exception:
+            wm_ms = 0
+        if wm_ms > 0:
+            wm = (
+                pd.Timestamp(wm_ms, unit="ms", tz="UTC")
+                .tz_convert(tz)
+                .tz_localize(None)
+            )
+            rows = rows[rows["ts"] >= wm]
+            if rows.empty:
+                if state.exists:
+                    state.update((last_ts, session_no, start_ts, n_events, max_no))
+                yield pd.DataFrame(
+                    {"user_id": [], "session_no": [], "n_events": [], "duration_s": []}
+                ).astype({"user_id": "int64", "session_no": "int64",
+                          "n_events": "int64", "duration_s": "float64"})
+                return
+        rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+        # 1) gap-chain the batch's own events into candidate sessions
+        #    (ascending, so candidates are > gap apart by construction)
+        cands: list[list[float | int]] = []
+        for ts in rows["ts"]:
+            t = ts.timestamp()
+            if cands and (t - cands[-1][1]) <= gap_s:
+                cands[-1][1] = t
+                cands[-1][2] += 1
+            else:
+                cands.append([t, t, 1])
+        # 2) merge each candidate with the open session by the same
+        #    gap rule (the open session participates through its span;
+        #    its interior events are irrelevant to gap chaining)
+        for start, last, n in cands:
+            if (
+                last_ts is not None
+                and last >= start_ts - gap_s
+                and start <= last_ts + gap_s
+            ):
+                # bridges the open session: merge, extending either way
+                # (an out-of-order-but-within-gap straggler widens the
+                # span backwards; duration stays the min..max span)
+                start_ts = min(start_ts, start)
+                last_ts = max(last_ts, last)
+                n_events += n
+                touched[session_no] = (n_events, round(last_ts - start_ts, 3))
+            elif last_ts is not None and last < start_ts - gap_s:
+                # straggler chain predating the open session by more
+                # than the gap: in event-time order it could never have
+                # joined it — emit as its own CLOSED session instead of
+                # silently inflating the open one (matches the batch
+                # twin's gap rule; session numbers are allocation
+                # order, so a straggler's number is not event-time
+                # ordered — uniqueness per user is the contract)
+                max_no += 1
+                touched[max_no] = (int(n), round(last - start, 3))
+            else:
+                # first-ever session, or a new session past the open
+                # one's gap: it becomes the open session
+                max_no += 1
+                session_no = max_no
+                start_ts, last_ts, n_events = start, last, int(n)
+                touched[session_no] = (n_events, round(last_ts - start_ts, 3))
+        state.update((last_ts, session_no, start_ts, n_events, max_no))
+        out = pd.DataFrame(
+            {
+                "user_id": [user_id] * len(touched),
+                "session_no": list(touched),
+                "n_events": [v[0] for v in touched.values()],
+                "duration_s": [v[1] for v in touched.values()],
+            }
+        )
+        yield out
+
+    return _session_fn
 
 
 def stream_sessionize(events: DataFrame, watermark: str | None = None) -> DataFrame:
@@ -354,15 +404,19 @@ def stream_sessionize(events: DataFrame, watermark: str | None = None) -> DataFr
     documented contract makes lateness the user function's job). A
     closed session is therefore never reopened or mutated by
     straggler replays. Events late relative to the max seen but
-    within the delay reach the state function and merge into the
-    open session (duration = min..max span). ``None`` (default, the
-    verification replay) leaves the watermark at 0 and the filter a
-    no-op."""
+    within the delay reach the state function and follow the batch
+    twin's gap rule against the OPEN session: within the 30-min gap
+    of its span they merge (duration = min..max span); further out
+    they emit as their own closed session rather than silently
+    inflating the open one (session numbers are allocation order,
+    unique per user). ``None`` (default, the verification replay)
+    leaves the watermark at 0 and the filter a no-op."""
     src = events.select("user_id", "ts", "event_id")
     if watermark is not None:
         src = src.withWatermark("ts", watermark)
+    tz = events.sparkSession.conf.get("spark.sql.session.timeZone") or "UTC"
     return src.groupBy("user_id").applyInPandasWithState(
-        _session_fn,
+        _make_session_fn(tz),
         outputStructType=SESSION_OUT_DDL,
         stateStructType=SESSION_STATE_DDL,
         outputMode="update",

@@ -890,6 +890,11 @@ def test_semantic_dedup_auto_centroids_derivation():
     assert sim._auto_centroids(65_536) == 16
     assert sim._auto_centroids(200_000) == 49
     assert sim._auto_centroids(10_000_000) == 2442
+    # past N = 4096² the N/4096 rule would make ASSIGNMENT quadratic;
+    # the ceil(sqrt(N)) cap takes over at exactly that crossover
+    assert sim._auto_centroids(4096 * 4096) == 4096
+    assert sim._auto_centroids(1_000_000_000) == 31_623
+    assert sim._auto_centroids(1_000_000_000) < 1_000_000_000 // 4096
 
 
 def test_semantic_dedup_auto_equals_pinned_on_small_corpus(spark):

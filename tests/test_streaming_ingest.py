@@ -197,7 +197,7 @@ def test_sessionize_watermark_drop_vs_accept(spark, tmp_path):
         {"user_id": 1, "ts": "2024-01-01 10:05:00", "event_id": 2},
         {"user_id": 1, "ts": "2024-01-01 12:00:00", "event_id": 3},
     ], 1_700_000_000)
-    # watermark after batch 1 = 11:50
+    # watermark after batch 1 = 11:50 with "10 minutes" delay
     _write_jsonl(src_dir, "f2.json", [
         # beyond the watermark: dropped before the state function —
         # closed session 1 must NOT be reopened (would become n=3)
@@ -218,4 +218,48 @@ def test_sessionize_watermark_drop_vs_accept(spark, tmp_path):
     by = {(r.user_id, r.session_no): (r.n_events, r.duration_s) for r in fin}
     assert by[(1, 1)] == (2, 300.0)
     assert by[(1, 2)] == (2, 240.0)
+    assert len(by) == 2
+
+
+def test_sessionize_straggler_beyond_gap_gets_own_session(spark, tmp_path):
+    """A within-watermark straggler MORE than the 30-min gap before
+    the open session's start must not merge into it (the batch twin's
+    gap rule would never chain them) — it emits as its own closed
+    session under a fresh allocation-order number, and the open
+    session continues unchanged."""
+    from mfdb_hafro_etl_spark.streaming.jobs import (
+        finalize_session_updates,
+        run_available_now,
+        stream_sessionize,
+    )
+
+    src_dir = str(tmp_path / "in")
+    os.makedirs(src_dir)
+    _write_jsonl(src_dir, "f1.json", [
+        {"user_id": 1, "ts": "2024-01-01 12:00:00", "event_id": 1},
+        {"user_id": 1, "ts": "2024-01-01 12:10:00", "event_id": 2},
+    ], 1_700_000_000)
+    # watermark after batch 1 = 08:10 with "4 hours" delay
+    _write_jsonl(src_dir, "f2.json", [
+        # within the watermark delay but 75 min before the open
+        # session's start: own closed session (was: silently merged,
+        # inflating session 1's duration to a span covering >30 min
+        # of silence)
+        {"user_id": 1, "ts": "2024-01-01 10:45:00", "event_id": 3},
+        # in-order continuation of the open session
+        {"user_id": 1, "ts": "2024-01-01 12:20:00", "event_id": 4},
+    ], 1_700_001_000)
+    stream = (
+        spark.readStream.schema("user_id BIGINT, ts TIMESTAMP, event_id BIGINT")
+        .option("maxFilesPerTrigger", "1")
+        .json(src_dir)
+    )
+    sess = stream_sessionize(stream, watermark="4 hours")
+    out = run_available_now(sess, "straggler_sessions", output_mode="update")
+    fin = finalize_session_updates(out).collect()
+    by = {(r.user_id, r.session_no): (r.n_events, r.duration_s) for r in fin}
+    # session 1 = the open 12:00..12:20 session (3 events, 1200 s);
+    # session 2 = the straggler singleton (allocation order)
+    assert by[(1, 1)] == (3, 1200.0)
+    assert by[(1, 2)] == (1, 0.0)
     assert len(by) == 2
