@@ -148,12 +148,31 @@ def ngram_jaccard_pairs(
     )
 
 
-def _minhash_exprs(k: int) -> list[Column]:
-    """k md5-derived minhash aggregates over an exploded shingle
-    column: h_i = min(md5('i:' || shingle)). Min over lexicographic
-    hex strings is engine-portable and needs no RNG."""
+def _minhash_hash_cols(k: int) -> list[Column]:
+    """ceil(k/4) salted md5 digests per shingle row — each 128-bit
+    digest yields FOUR independent 32-bit minhash functions (8-hex
+    slices of a uniform digest), so k functions cost k/4 md5
+    evaluations instead of k. The signature groupBy is the dominant
+    cost of minhash_lsh_pairs at scale (26.5M shingle rows × 8 md5s
+    at the 100× fixture); projecting the digests BEFORE the
+    aggregate guarantees one evaluation each regardless of
+    aggregate-codegen subexpression elimination."""
+    n_md5 = -(-k // 4)
     return [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle"))).alias(f"__m{s}__")
+        for s in range(n_md5)
+    ]
+
+
+def _minhash_min_exprs(k: int) -> list[Column]:
+    """k minhash aggregates over the projected digests: h_i =
+    min(substr(md5('{i//4}:' || shingle), 8·(i%4)+1, 8)). Min over
+    fixed-width lowercase hex is engine-portable (lexicographic ==
+    numeric on a uniform 32-bit slice) and needs no RNG."""
+    return [
+        F.min(
+            F.substring(F.col(f"__m{i // 4}__"), (i % 4) * 8 + 1, 8)
+        ).alias(f"h{i}")
         for i in range(k)
     ]
 
@@ -164,7 +183,11 @@ def minhash_signatures(
     """(id, h0..h{k-1}) minhash signature, one groupBy over the
     exploded shingle table."""
     sh = shingle_table(df, id_col, text_col, n)
-    return sh.groupBy(id_col).agg(*_minhash_exprs(k))
+    return (
+        sh.select(id_col, *_minhash_hash_cols(k))
+        .groupBy(id_col)
+        .agg(*_minhash_min_exprs(k))
+    )
 
 
 def minhash_lsh_pairs(
@@ -209,7 +232,26 @@ def minhash_lsh_pairs(
     # the shingle table feeds both signature generation and candidate
     # verification — cache it so the explode runs once
     sh = shingle_table(df, id_col, text_col, n).cache()
-    sig = sh.groupBy(id_col).agg(*_minhash_exprs(k))
+    # cache the signatures too: the band-exploded table feeds THREE
+    # consumers (the hot-bucket count and both self-join sides), and
+    # without the cache each re-runs the full signature aggregation
+    # over the shingle table — measured ~25% of the operator's wall
+    # at the 100× fixture. Signatures are doc-count-sized (k short
+    # hex slices per doc), the cheapest thing in the plan to pin.
+    sig = (
+        sh.select(id_col, *_minhash_hash_cols(k))
+        .groupBy(id_col)
+        .agg(*_minhash_min_exprs(k))
+        .cache()
+    )
+    # eager fill: the three consumers (hot-bucket count, both
+    # self-join sides) are planned into ONE job whose stages run
+    # concurrently — each would miss the still-empty cache and
+    # recompute the aggregation (measured: the lazy cache saved
+    # nothing at the 100× fixture; this barrier is worth ~2× the
+    # signature cost). Also fills the shingle cache for the verify
+    # joins downstream.
+    sig.count()
     n_bands = k // rows_per_band
     bands = F.array(
         *[

@@ -76,6 +76,17 @@ def x_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------- minhash + LSH
+def _minhash_sig_cols(k: int, indent: str) -> str:
+    """SQL for the k minhash aggregates — four 32-bit minhashes per
+    salted md5 (8-hex slices of the digest), mirroring
+    dedup._minhash_hash_cols/_minhash_min_exprs exactly: salt i//4,
+    hex offset 8·(i%4)+1, min over fixed-width lowercase hex."""
+    return f",\n{indent}".join(
+        f"min(substr(md5('{i // 4}:' || shingle), {(i % 4) * 8 + 1}, 8)) AS h{i}"
+        for i in range(k)
+    )
+
+
 def _minhash_ctes(
     k: int = 8,
     rows_per_band: int = 2,
@@ -86,9 +97,7 @@ def _minhash_ctes(
     the pair query and the clustering oracle. ``max_bucket_df``
     mirrors the operator's hot-bucket gate (dedup.minhash_lsh_pairs)
     exactly — an integer COUNT(*) window, no float hazard."""
-    sig_cols = ",\n           ".join(
-        f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(k)
-    )
+    sig_cols = _minhash_sig_cols(k, indent="           ")
     n_bands = k // rows_per_band
     band_selects = "\n      UNION ALL ".join(
         "SELECT doc_id, {b} AS band, {val} AS val FROM sig".format(
@@ -1234,9 +1243,7 @@ def x_sample_pergroup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------- incremental dedup
 def _incr_bands_sql(k: int = 8, rows_per_band: int = 2) -> str:
-    sig_cols = ",\n           ".join(
-        f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(k)
-    )
+    sig_cols = _minhash_sig_cols(k, indent="           ")
     n_bands = k // rows_per_band
     band_selects = "\n      UNION ALL ".join(
         "SELECT doc_id, {b} AS band, {val} AS val FROM isig".format(
@@ -1630,9 +1637,7 @@ def x_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------- corpus-build flagship (p12)
 def _p12_sql() -> str:
     k, rpb = 8, 2
-    sig_cols = ",\n             ".join(
-        f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(k)
-    )
+    sig_cols = _minhash_sig_cols(k, indent="             ")
     band_selects = "\n      UNION ALL ".join(
         "SELECT doc_id, {b} AS band, {val} AS val FROM sig".format(
             b=b, val=" || ".join(f"h{b * rpb + r}" for r in range(rpb))
