@@ -119,6 +119,11 @@ def ngram_jaccard_pairs(
 
     sh = shingle_table(df, id_col, text_col, n).cache()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    # NOTE: do NOT cache/materialize `gated` — the self-join's two
+    # sides share the window's shuffle via ReusedExchange already
+    # (both sides need the same hash-partitioning by shingle), so a
+    # cache only adds a 26.5M-row materialization on top (measured
+    # 38s → 50s at the 100× fixture).
     gated = (
         sh.withColumn("__df__", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
         .filter(F.col("__df__") <= max_df)
@@ -817,7 +822,13 @@ def duplicate_spans(
         .filter(F.size(toks) >= n)
         .select(F.col(id_col), F.explode(grams).alias("g"))
         .select(F.col(id_col), F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+        .cache()
     )
+    # eager fill (see minhash_lsh_pairs): the df-count branch and the
+    # hits join both consume pos_grams inside one job — a lazy cache
+    # would be empty for both and the positional-gram explode (the
+    # operator's most expensive map) would run twice.
+    pos_grams.count()
     dfs = (
         pos_grams.groupBy("h")
         .agg(F.countDistinct(id_col).alias("gdf"))

@@ -145,14 +145,23 @@ def tfidf_similar_pairs(
         .cache()
     )
     n_docs = corpus.select(F.countDistinct(id_col)).first()[0]
-    weighted = postings.withColumn(
-        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
-    ).withColumn(
-        "w",
-        F.col("tf")
-        * (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
-        / (F.col("df") + F.lit(0.5)),
+    weighted = (
+        postings.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
+        .withColumn(
+            "w",
+            F.col("tf")
+            * (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5)),
+        )
+        .cache()
     )
+    # eager fill (see dedup.minhash_lsh_pairs): norms and both
+    # self-join sides consume `weighted` inside one job — a lazy
+    # cache is empty for all three, re-running the postings groupBy
+    # and the df window per consumer.
+    weighted.count()
     norms = weighted.groupBy(id_col).agg(
         F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm")
     )
