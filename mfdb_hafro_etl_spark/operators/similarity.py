@@ -161,7 +161,7 @@ def cosine_pairs(
     ``n_blocks=None`` (default) derives the grid from a count so the
     per-task block is bounded at any corpus size instead of growing
     with N: n_blocks = max(ceil(N/target_block_rows), p) where p ≈
-    ceil(sqrt(2·defaultParallelism)) keeps the n_blocks·(n_blocks+1)/2
+    ceil(sqrt(16·defaultParallelism)) keeps the n_blocks·(n_blocks+1)/2
     block-pair tasks at least one per core (250k rows × 64 dims ×
     8 B ≈ 128 MB per block). The count is one cheap job (parquet
     count-star reads footers only); pass an explicit int to skip it.
@@ -183,7 +183,14 @@ def cosine_pairs(
     if n_blocks is None:
         n_rows = emb.count()
         par = emb.sparkSession.sparkContext.defaultParallelism
-        min_for_parallelism = max(1, math.isqrt(2 * par))
+        # block-pair groups land on shuffle partitions by HASH, so a
+        # group count near the core count leaves ~1/e of partitions
+        # empty and doubles up others (measured: 36 pairs on 32 cores
+        # ran as 24 tasks with 2-group stragglers). ~8× cores worth
+        # of pairs averages the collisions out; the extra row
+        # replication is linear and negligible next to the O(N²)
+        # kernel FLOPs.
+        min_for_parallelism = max(1, math.isqrt(16 * par))
         n_blocks = min(
             max(1, -(-n_rows // target_block_rows), min_for_parallelism),
             _COSINE_PAIRS_MAX_BLOCKS,
