@@ -135,7 +135,40 @@ def ensure_package_shipped(spark: SparkSession) -> None:
     _SHIPPED_SESSIONS.add(key)
 
 
-def spread_for_kernel(df, factor: int = 2):
+#: compressed-scan bytes of work per kernel task. Deliberately far
+#: below maxPartitionBytes (128 MB): these kernels cost ~10²-10³× a
+#: scan's CPU per byte, so 64 KB of parquet is ~0.1-1 s of kernel
+#: CPU — enough to amortize task scheduling, small enough that a
+#: mid-size single-file table still fans wide. Derived targets are
+#: capped at factor × defaultParallelism, so at real-cluster scan
+#: sizes this constant only decides how SOON the cap is reached.
+_KERNEL_BYTES_PER_TASK = 64 << 10
+
+
+def _leaf_scan_bytes(df) -> int | None:
+    """Total Catalyst size estimate of the plan's LEAF relations, or
+    None when the JVM internals are unreachable.
+
+    Leaves, not the root: kernel call sites pass pruned projections
+    (often just an id column) whose post-pruning estimate no longer
+    tracks corpus size, while the kernel's CPU does — an id-derived
+    codec kernel costs per ROW of the corpus, a text kernel per byte
+    of the dominant text column. The unpruned file-scan size is the
+    one cheap signal proportional to both. Unknown stats come back
+    as spark.sql.defaultSizeInBytes (Long.Max), which the caller's
+    cap turns into the conservative full fan-out."""
+    try:
+        leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+        # py4j delivers the Scala BigInt as a Python int already
+        return sum(
+            int(leaves.apply(i).stats().sizeInBytes())
+            for i in range(leaves.length())
+        )
+    except Exception:
+        return None
+
+
+def spread_for_kernel(df, factor: int = 2, bytes_per_task: int | None = None):
     """Give a CPU-dense Arrow kernel cluster-wide parallelism.
 
     Spark sizes scan tasks by BYTES (spark.sql.files.maxPartitionBytes,
@@ -155,6 +188,17 @@ def spread_for_kernel(df, factor: int = 2):
     immediately. factor=2 over-splits so one long document / large
     blob can't become the stage straggler.
 
+    The fan-out width is COST-GATED by input bytes, not just
+    partition count: target = clamp(ceil(leaf_scan_bytes /
+    bytes_per_task), 1, factor × defaultParallelism). The r5 lesson:
+    an unconditional factor×par fan-out put a fixed 64-way shuffle
+    floor under every kilobyte-scale kernel query (8 sub-second suite
+    arms regressed up to 2×) — work that fits one task shouldn't pay
+    a cluster-wide scatter. Bytes are read from the plan's LEAF
+    relations (unpruned — see _leaf_scan_bytes for why pruned stats
+    mislead here); unknown stats estimate as huge and degrade to the
+    conservative full fan-out.
+
     Contract: call this on SCAN-ROOTED inputs (every in-package call
     site is a projection straight off a table scan). The gate reads
     the static physical partition count — for a scan that is the
@@ -165,7 +209,15 @@ def spread_for_kernel(df, factor: int = 2):
     twice isn't free. Kernels over shuffle outputs should set an
     explicit repartition instead."""
     sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism * factor
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    cap = sc.defaultParallelism * factor
+    if df.rdd.getNumPartitions() >= cap:
+        return df
+    per_task = bytes_per_task or _KERNEL_BYTES_PER_TASK
+    nbytes = _leaf_scan_bytes(df)
+    if nbytes is None:
+        target = cap
+    else:
+        target = max(1, min(cap, -(-nbytes // per_task)))
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

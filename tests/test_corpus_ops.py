@@ -952,8 +952,11 @@ def test_spread_for_kernel_fans_out_underplit_input(spark):
     single-file table arrives as ONE split no matter how many cores
     exist (measured: content_defined_chunks at 10x data ran on 1 of
     32 cores). spread_for_kernel must fan an under-split input out to
-    cluster parallelism, and must be a NO-OP (same object, no extra
-    shuffle) when the input is already split at least that wide."""
+    cluster parallelism when it carries enough bytes, must SKIP the
+    fan-out on kilobyte-scale inputs (the r5 regression: a fixed
+    64-way shuffle floor under every tiny kernel query), and must be
+    a NO-OP (same object) when the input is already split at least
+    as wide as the cap."""
     from mfdb_hafro_etl_spark.operators import text as tx
     from mfdb_hafro_etl_spark.session import spread_for_kernel
 
@@ -963,20 +966,74 @@ def test_spread_for_kernel_fans_out_underplit_input(spark):
         "doc_id LONG, text STRING",
     ).coalesce(1)
 
+    # createDataFrame is RDD-backed → leaf stats UNKNOWN (Long.Max)
+    # → the bytes gate degrades to the conservative full fan-out
+    # (the known-tiny skip path is pinned on a parquet scan in
+    # test_spread_for_kernel_scan_bytes_drive_width)
     spread = spread_for_kernel(docs)
     assert spread.rdd.getNumPartitions() >= par
-
-    # mapInPandas preserves its input partitioning, so the kernel
-    # stage itself runs at cluster width
-    out = tx.content_defined_chunks(docs, "doc_id", "text")
-    assert out.rdd.getNumPartitions() >= par
 
     wide = docs.repartition(par * 4)
     assert spread_for_kernel(wide) is wide
 
     # fan-out must not change results: same chunks as the 1-split run
+    out = tx.content_defined_chunks(docs, "doc_id", "text")
     base = sorted(
         map(tuple, tx.content_defined_chunks(docs, "doc_id", "text")
             .coalesce(1).collect())
     )
     assert sorted(map(tuple, out.collect())) == base and len(base) > 0
+
+
+def test_spread_for_kernel_scan_bytes_drive_width(spark, tmp_path):
+    """The gate reads LEAF (unpruned) scan bytes: a projection down
+    to the id column must still fan out when the underlying FILE is
+    big, because id-derived codec kernels cost per corpus row, not
+    per projected byte. A multi-MB single-file parquet scan pruned
+    to one long column therefore fans to the cap; the same table's
+    scan at a huge per-task budget stays at its native split count."""
+    from mfdb_hafro_etl_spark.session import spread_for_kernel
+
+    par = spark.sparkContext.defaultParallelism
+    path = str(tmp_path / "docs.parquet")
+    (
+        spark.range(4000)
+        .selectExpr(
+            "id AS doc_id",
+            # ~4 KB of HIGH-ENTROPY payload per row (repeat() text
+            # would RLE/dict-compress to almost nothing and the
+            # stats gate reads compressed file bytes) → multi-MB file
+            "concat_ws(' ', transform(sequence(1, 64), "
+            "j -> sha2(concat(CAST(id AS STRING), '-', CAST(j AS STRING)), 256)"
+            ")) AS text",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    scan = spark.read.parquet(path)
+
+    pruned = scan.select("doc_id")
+    assert spread_for_kernel(pruned).rdd.getNumPartitions() >= par
+
+    # huge per-task budget → bytes-derived target 1 ≤ native splits
+    # → identity no-op (tiny-input skip path)
+    lazy = spread_for_kernel(scan, bytes_per_task=1 << 40)
+    assert lazy is scan
+
+    # mid budget → exactly the bytes-derived width (capped at 2·par,
+    # floored at the scan's own split count); leaf stats for a
+    # parquet scan are the on-disk file bytes, so the expected target
+    # is computable from the directory size
+    import os
+
+    nbytes = sum(
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+    budget = 1 << 20
+    expected = min(2 * par, -(-nbytes // budget))
+    nparts = scan.rdd.getNumPartitions()
+    mid = spread_for_kernel(scan, bytes_per_task=budget)
+    assert mid.rdd.getNumPartitions() == max(nparts, expected)
