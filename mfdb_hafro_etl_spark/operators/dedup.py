@@ -117,13 +117,38 @@ def ngram_jaccard_pairs(
     """
     from pyspark.sql import Window
 
-    sh = shingle_table(df, id_col, text_col, n).cache()
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    # NOTE: do NOT cache/materialize `gated` — the self-join's two
-    # sides share the window's shuffle via ReusedExchange already
-    # (both sides need the same hash-partitioning by shingle), so a
-    # cache only adds a 26.5M-row materialization on top (measured
-    # 38s → 50s at the 100× fixture).
+    # shuffle INT64 shingle keys, not the raw n-gram strings: every
+    # downstream step (df-count window, self-join, intersection
+    # count) needs only shingle EQUALITY, and xxhash64 preserves
+    # equality while cutting the shuffle key from ~20-40 UTF-8 bytes
+    # to 8 (the heaviest dedup arm's x100 cost was string key
+    # shuffle volume). A within-doc collision merging two distinct
+    # shingles has probability ~(shingles_per_doc)²/2⁶⁵ — negligible
+    # against the 64-bit space (the SQL oracle keeps raw strings;
+    # outputs agree because only equality semantics matter).
+    #
+    # NO cache on `sh`, deliberately: wrapping the shingle table in
+    # InMemoryRelation puts a TableCacheQueryStage under each
+    # self-join side, and AQE's stage canonicalization does NOT
+    # unify those — the shingle exchange (and the df-count window
+    # feeding it) would run TWICE. Uncached, the two sides
+    # canonicalize equal and share one shuffle via
+    # ReusedExchange/stage reuse (pinned by
+    # test_plan_quality.py::test_multi_consumer_intermediates_materialize_once),
+    # so the explode+hash map work runs once. Doc shingle-set sizes
+    # come straight off the documents scan (size of the distinct
+    # shingle array — map-only, no explode, no shuffle) instead of
+    # re-aggregating the exploded table, which is what made a cache
+    # look necessary in the first place.
+    sh = shingle_table(df, id_col, text_col, n).select(
+        F.col(id_col), F.xxhash64("shingle").alias("shingle")
+    )
+    sizes = df.select(
+        F.col(id_col), F.size(shingles(F.col(text_col), n)).alias("n_sh")
+    )
+    # NOTE: do NOT cache/materialize `gated` either — it would add a
+    # full-shingle-table materialization on top of the shared
+    # shuffle (measured 38s → 50s at the 100× fixture).
     gated = (
         sh.withColumn("__df__", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
         .filter(F.col("__df__") <= max_df)
@@ -278,7 +303,14 @@ def minhash_lsh_pairs(
         .filter(F.col("__bdf__") > max_bucket_df)
         .select("band", "val")
     )
-    exploded = exploded.join(F.broadcast(hot), on=["band", "val"], how="left_anti")
+    # no broadcast HINT on the over-gate set: its key count is
+    # unbounded (worst case ~n_docs·n_bands/max_bucket_df at a
+    # boilerplate-heavy corpus), and a forced broadcast would abort
+    # with a build-side OOM at exactly the scales the gate protects.
+    # AQE picks broadcast at runtime whenever the materialized set is
+    # actually small (the common case), and degrades to a shuffled
+    # anti-join instead of failing when it isn't.
+    exploded = exploded.join(hot, on=["band", "val"], how="left_anti")
     left = exploded.select(F.col(id_col).alias("id_a"), "band", "val")
     right = exploded.select(F.col(id_col).alias("id_b"), "band", "val")
     candidates = (
@@ -439,15 +471,24 @@ _MEM_SUFFIX = {"k": 10, "m": 20, "g": 30, "t": 40}
 
 def _driver_memory_bytes(spark) -> int:
     """Parse ``spark.driver.memory`` ("512m", "8g", plain bytes) to
-    bytes; Spark's own default when unset is 1g."""
+    bytes; Spark's own default when unset is 1g.
+
+    Accepts both Spark suffix spellings ("8g" AND "8gb" — JavaUtils
+    parses either): the trailing 'b' is stripped before the suffix
+    lookup so "512mb" doesn't silently fall through to the 1g
+    default and collapse the auto-derived driver gates."""
     raw = str(spark.conf.get("spark.driver.memory", "1g")).strip().lower()
+    if len(raw) > 1 and raw.endswith("b") and raw[-2] in _MEM_SUFFIX:
+        raw = raw[:-1]
     if raw and raw[-1] in _MEM_SUFFIX:
         try:
             return int(float(raw[:-1])) << _MEM_SUFFIX[raw[-1]]
         except ValueError:
             return 1 << 30
     try:
-        return int(raw)
+        # plain byte counts, with or without JavaUtils' bare-"b"
+        # suffix ("134217728", "100b")
+        return int(raw[:-1] if raw.endswith("b") else raw)
     except ValueError:
         return 1 << 30
 

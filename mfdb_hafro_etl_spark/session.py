@@ -135,6 +135,44 @@ def ensure_package_shipped(spark: SparkSession) -> None:
     _SHIPPED_SESSIONS.add(key)
 
 
+def release_cached_intermediates(spark: SparkSession) -> None:
+    """Drop every cached table and persistent RDD the engine's
+    operators have pinned in this session.
+
+    THE CACHING CONTRACT (the eager-cache-barrier rule, pinned by
+    tests/test_plan_quality.py::test_multi_consumer_intermediates_materialize_once):
+    a few DataFrame-returning operators (minhash_lsh_pairs,
+    ngram_jaccard_pairs, tfidf_cosine_pairs, duplicate_spans)
+    ``cache()`` a multi-consumer intermediate and eagerly fill it
+    with a ``count()`` — consumers needing DIFFERENT partitionings
+    of the same table are planned into one job whose stages would
+    all miss a lazy cache and recompute it (measured 2-3×
+    recomputes). Where the consumers share ONE partitioning,
+    ReusedExchange already dedups the work and caching is a net LOSS
+    (ngram self-join: 38 s → 50 s with a cache) — those sites must
+    NOT cache. Consequences callers should know:
+
+    - calling such an operator runs Spark jobs at CALL time
+      (plan-building is not fully lazy there), and
+    - the pinned tables outlive the returned DataFrame's
+      materialization; a long-lived session that builds many such
+      plans accumulates them until storage squeezes execution
+      memory.
+
+    Call this between logical queries (the bench harness does the
+    equivalent per query). It clears SQL-cached plans AND sweeps
+    RDD-level persists (localCheckpoint blocks) that clearCache
+    never touches."""
+    spark.catalog.clearCache()
+    try:
+        jsc = spark.sparkContext._jsc.sc()
+        it = jsc.getPersistentRDDs().values().iterator()
+        while it.hasNext():
+            it.next().unpersist(False)
+    except Exception:
+        pass
+
+
 #: compressed-scan bytes of work per kernel task. Deliberately far
 #: below maxPartitionBytes (128 MB): these kernels cost ~10²-10³× a
 #: scan's CPU per byte, so 64 KB of parquet is ~0.1-1 s of kernel

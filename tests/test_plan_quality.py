@@ -388,3 +388,140 @@ def test_rrf_fuse_never_touches_the_corpus(spark):
     )
     plan = _plan(rrf_fuse(a, b, k=10))
     assert _count(r"Scan|Range", plan) <= 2
+
+
+def test_range_join_salt_probe_sees_clustered_domains(spark):
+    """The auto-salt probe must count OCCUPIED bins, not the min-max
+    span: two interval clusters a million apart span ~125k bins but
+    occupy ~4, so the span formula would compute salt=1 (probe says
+    "plenty of keys") exactly when the whole join funnels through a
+    handful of bin keys. Distinct-bin probing must choose salt > 1,
+    and the salted join's output must equal the unsalted join's."""
+    from mfdb_hafro_etl_spark.operators.joins import (
+        _derive_range_join_salt,
+        range_join_binned,
+    )
+
+    rows = [(float(v), float(v) + 6.0, i) for i, v in enumerate(
+        [0, 3, 9, 1_000_000, 1_000_004, 1_000_009] * 20
+    )]
+    intervals = spark.createDataFrame(rows, "lo DOUBLE, hi DOUBLE, iv_id LONG")
+    par = spark.sparkContext.defaultParallelism
+    salt = _derive_range_join_salt(intervals, "lo", 8.0, par, 64)
+    if par >= 8:
+        assert salt > 1, (salt, par)
+    # exact formula: ~4 occupied lo-bins (0, 1, 125000, 125001)
+    assert salt == max(1, min(64, -(-par // 4)))
+
+    points = spark.createDataFrame(
+        [(float(p),) for p in range(0, 16)]
+        + [(float(1_000_000 + p),) for p in range(0, 16)],
+        "p DOUBLE",
+    )
+    unsalted = sorted(
+        map(tuple, range_join_binned(
+            points, intervals, point_col="p", lo_col="lo", hi_col="hi",
+            bin_width=8.0, salt=1,
+        ).collect())
+    )
+    auto = sorted(
+        map(tuple, range_join_binned(
+            points, intervals, point_col="p", lo_col="lo", hi_col="hi",
+            bin_width=8.0,
+        ).collect())
+    )
+    assert auto == unsalted and len(auto) > 0
+
+
+def test_cosine_pairs_rejects_non_integral_ids(spark):
+    """A string id under the old pmod(id) blocking yielded NULL block
+    keys — every row silently degenerated into one block (and the
+    kernel's int64 conversion garbage). The contract is integral ids;
+    violating it must fail eagerly with a pointed message, and hashed
+    blocking must keep structured integral id spaces (stride = a
+    multiple of the grid) uniformly distributed."""
+    import pytest
+
+    from mfdb_hafro_etl_spark.operators import similarity as sim
+
+    bad = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 1.0])], "vec_id STRING, embedding ARRAY<DOUBLE>"
+    )
+    with pytest.raises(TypeError, match="integral id column"):
+        sim.cosine_pairs(bad, threshold=0.5)
+
+    # striding ids (all multiples of n_blocks) — plain pmod would
+    # put EVERY row in block 0; output must still be exact
+    strided = spark.createDataFrame(
+        [(i * 4, [1.0, float(i % 3)]) for i in range(12)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    got = sorted(
+        map(tuple, sim.cosine_pairs(strided, threshold=0.9999, n_blocks=4).collect())
+    )
+    # identical direction vectors pair up: i%3 classes of 4 ids each
+    import itertools
+
+    expect = sorted(
+        (min(a, b) * 4, max(a, b) * 4, 1.0)
+        for cls in range(3)
+        for a, b in itertools.combinations(
+            [i for i in range(12) if i % 3 == cls], 2
+        )
+    )
+    assert [(a, b) for a, b, _ in got] == [(a, b) for a, b, _ in expect]
+    assert all(s >= 0.9999 for _, _, s in got)
+
+
+def test_multi_consumer_intermediates_materialize_once(spark, sf_dir):
+    """The eager-cache-barrier rule (recurred 3x in round 5): when an
+    operator's intermediate feeds consumers needing DIFFERENT
+    partitionings inside one job, it must be cache()d AND eagerly
+    filled — a lazy cache is empty for every concurrently-planned
+    consumer and the intermediate recomputes per consumer. When the
+    consumers share one partitioning, ReusedExchange already dedups
+    the shuffle and caching would ADD a materialization. This test
+    pins both halves plus the cleanup handle:
+
+    - minhash_lsh_pairs / tfidf_cosine_pairs: consumers read
+      InMemoryTableScan of an ALREADY-FILLED cache (blocks cached at
+      plan time, before any action on the returned df);
+    - ngram_jaccard_pairs: the self-join sides meet through
+      ReusedExchange (and the gated table is NOT separately cached);
+    - session.release_cached_intermediates drops everything pinned.
+    """
+    from mfdb_hafro_etl_spark.catalog import load_table
+    from mfdb_hafro_etl_spark.operators import dedup, search
+    from mfdb_hafro_etl_spark.session import release_cached_intermediates
+
+    release_cached_intermediates(spark)
+    docs = load_table(spark, sf_dir, "documents").limit(300)
+
+    def filled_caches() -> int:
+        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        return sum(1 for i in infos if i.numCachedPartitions() > 0)
+
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text")
+    assert filled_caches() >= 1, "signature cache must be eagerly filled"
+    assert "InMemoryTableScan" in _plan(pairs)
+
+    tf = search.tfidf_similar_pairs(docs, "doc_id", "text", threshold=0.5)
+    assert "InMemoryTableScan" in _plan(tf)
+
+    # ReusedExchange appears only in the FINAL adaptive plan of the
+    # df's own query execution (collect(), not count() — count wraps
+    # the plan in a separate QueryExecution), and only when the
+    # self-join actually shuffles — disable broadcast to get the
+    # at-scale sort-merge shape this rule is about
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        jac = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.6)
+        jac.collect()
+        jac_plan = _plan(jac)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "ReusedExchange" in jac_plan, jac_plan[:3000]
+
+    release_cached_intermediates(spark)
+    assert filled_caches() == 0
