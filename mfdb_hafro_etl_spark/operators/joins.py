@@ -210,6 +210,32 @@ def asof_join(
     )
 
 
+def _derive_range_join_salt(
+    intervals: DataFrame,
+    lo_col: str,
+    bin_width: float,
+    parallelism: int,
+    max_salt: int,
+) -> int:
+    """Auto-salt for range_join_binned: probe DISTINCT OCCUPIED bins,
+    not the min-max span. A sparse/clustered interval domain (two
+    bands a million apart) SPANS millions of bins while only a
+    handful carry rows — a span-based estimate overstates key
+    cardinality and silently disables the salt exactly when skew
+    needs it. approx_count_distinct of the lo-bin is one tiny
+    partial-agg job; intervals straddling extra bins undercount
+    slightly (heuristic only — the salt value never affects output).
+    Returns ceil(parallelism / occupied_bins) clamped to
+    [1, max_salt]; 1 on an empty/all-null interval side."""
+    probe = intervals.agg(
+        F.approx_count_distinct(F.floor(F.col(lo_col) / bin_width)).alias("nb")
+    ).first()
+    occupied_bins = int(probe["nb"]) if probe is not None else 0
+    if occupied_bins <= 0:
+        return 1
+    return max(1, min(max_salt, -(-parallelism // occupied_bins)))
+
+
 def range_join_binned(
     points: DataFrame,
     intervals: DataFrame,
@@ -248,8 +274,10 @@ def range_join_binned(
     deterministic salt = pmod(hash(all point columns), s) appended to
     the join key, intervals are replicated s ways (one row per salt),
     so each bin's work fans out over s tasks. ``salt=None`` (default)
-    auto-derives s from one tiny min/max aggregate over the interval
-    side: s = ceil(defaultParallelism / spanned_bins), clamped to
+    auto-derives s from one tiny approx-distinct aggregate of the
+    OCCUPIED lo-bins over the interval side (distinct, not min-max
+    span — a clustered domain spans many bins but occupies few):
+    s = ceil(defaultParallelism / occupied_bins), clamped to
     [1, max_salt] — s collapses to 1 (zero overhead, no interval
     replication) whenever the domain already spans at least one bin
     per core. Pass ``salt=1`` to skip the probe job entirely, or an
@@ -274,20 +302,13 @@ def range_join_binned(
         )
     by = list(by)
     if salt is None:
-        import math
-
-        span = intervals.agg(
-            F.min(F.col(lo_col)).alias("lo"), F.max(F.col(hi_col)).alias("hi")
-        ).first()
-        if span is None or span["lo"] is None or span["hi"] is None:
-            salt = 1
-        else:
-            spanned_bins = int(
-                math.floor(span["hi"] / bin_width)
-                - math.floor(span["lo"] / bin_width)
-            ) + 1
-            par = points.sparkSession.sparkContext.defaultParallelism
-            salt = max(1, min(max_salt, -(-par // max(spanned_bins, 1))))
+        salt = _derive_range_join_salt(
+            intervals,
+            lo_col,
+            bin_width,
+            points.sparkSession.sparkContext.defaultParallelism,
+            max_salt,
+        )
     p_bin = F.floor(F.col(point_col) / bin_width).cast("long")
     i_bins = F.when(
         F.col(lo_col) <= F.col(hi_col),
@@ -342,12 +363,15 @@ def fuzzy_trigram_join(
     rows per side ("000", "ltd", " co" boilerplate) from PAIR
     GENERATION — the k² fan-out gate — while Jaccard denominators
     still count full trigram sets, so gated pairs' similarity is an
-    underestimate (standard stop-gram tradeoff). The gate is a
-    map-side broadcast anti-join against the (tiny) over-gate gram
-    set from a partial-aggregated groupBy, so a boilerplate gram's
-    rows are dropped BEFORE any shuffle and the candidate join's
-    bucket width is bounded at max_df per side — no count-window
-    funneling the hot gram into one partition just to measure it.
+    underestimate (standard stop-gram tradeoff). The gate is an
+    anti-join against the over-gate gram set from a
+    partial-aggregated groupBy — AQE broadcasts it at runtime when
+    (as usual) it is small, making the gate map-side so a
+    boilerplate gram's rows are dropped BEFORE any shuffle and the
+    candidate join's bucket width is bounded at max_df per side — no
+    count-window funneling the hot gram into one partition just to
+    measure it, and no forced build-side OOM when the gram set is
+    itself huge.
     Trigrams come from one regexp lookahead (no higher-order lambda;
     strings shorter than 3 chars produce no trigrams and never
     match)."""
@@ -370,7 +394,12 @@ def fuzzy_trigram_join(
             .filter(F.col("__df__") > max_df)
             .select("g")
         )
-        return side.join(F.broadcast(hot), on="g", how="left_anti")
+        # no broadcast HINT: the over-gate gram set is unbounded on a
+        # boilerplate-heavy corpus and a forced broadcast OOMs at
+        # exactly the scales the gate protects. AQE broadcasts at
+        # runtime when the materialized set is actually small and
+        # falls back to a shuffled anti-join when it isn't.
+        return side.join(hot, on="g", how="left_anti")
 
     lt_g = gate(lt)
     rt_g = gate(rt)

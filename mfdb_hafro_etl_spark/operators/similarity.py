@@ -175,10 +175,25 @@ def cosine_pairs(
 
     import numpy as np
     import pandas as pd
+    from pyspark.sql import types as T
 
     from mfdb_hafro_etl_spark.session import ensure_package_shipped
 
     ensure_package_shipped(emb.sparkSession)
+
+    # integral-id contract, checked eagerly: a string id would make
+    # pmod() yield nulls (every row lands in one degenerate block)
+    # and the kernel's int64 conversion garbage — fail loud instead
+    id_type = emb.schema[id_col].dataType
+    if not isinstance(
+        id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        raise TypeError(
+            f"cosine_pairs requires an integral id column; {id_col!r} is "
+            f"{id_type.simpleString()}. Map string/uuid ids to bigint first "
+            f"(e.g. xxhash64(id) or a dimension join) — the output contract "
+            f"emits id_a/id_b as bigint with id_a < id_b."
+        )
 
     if n_blocks is None:
         n_rows = emb.count()
@@ -196,7 +211,11 @@ def cosine_pairs(
             _COSINE_PAIRS_MAX_BLOCKS,
         )
 
-    blk = F.pmod(F.col(id_col), F.lit(n_blocks)).cast("int")
+    # block on a HASH of the id, not the raw id: structured id
+    # spaces (all-even ids, ids striding by a multiple of n_blocks)
+    # would pile into a few blocks under plain pmod; xxhash64
+    # uniformizes any integral distribution at zero extra shuffle
+    blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
     # constant-size expression regardless of n_blocks (a literal
     # array of n_blocks structs would grow the Catalyst tree — and
     # break codegen's method-size limit — exactly at the large-N

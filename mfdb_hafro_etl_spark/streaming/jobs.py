@@ -132,11 +132,18 @@ def auto_state_partitions(spark: SparkSession, sf_dir: str) -> int:
     src = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
     try:
         if os.path.isdir(src):
-            nbytes = sum(
-                os.path.getsize(os.path.join(src, f))
-                for f in os.listdir(src)
-                if not f.startswith(".") and not f.startswith("_")
-            )
+            # recurse: a hive-partitioned/nested layout measured via
+            # getsize on the subdirectory ENTRIES (~4 KB each) reads
+            # as ~zero bytes and pins state width at the floor —
+            # exactly the 100× starvation this helper exists to fix
+            nbytes = 0
+            for root, dirs, files in os.walk(src):
+                dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+                nbytes += sum(
+                    os.path.getsize(os.path.join(root, f))
+                    for f in files
+                    if not f.startswith((".", "_"))
+                )
         else:
             nbytes = os.path.getsize(src)
     except OSError:
@@ -263,6 +270,13 @@ def stream_dedup(
 
 # ------------------------------------------------------------- sessions
 
+# STATE-FORMAT VERSION NOTE: applyInPandasWithState fixes the state
+# schema for the lifetime of a checkpoint. max_no (5th field) was
+# added after the 4-field original — a BREAKING state-format bump: a
+# stream_sessionize query restarted from a pre-max_no checkpoint
+# cannot restore and must start from a FRESH checkpoint directory
+# (reprocessing from the source as needed). Any future field change
+# here carries the same requirement; call it out in the changelog.
 SESSION_STATE_DDL = (
     "last_ts DOUBLE, session_no INT, start_ts DOUBLE, n_events INT, max_no INT"
 )
