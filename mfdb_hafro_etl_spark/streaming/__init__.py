@@ -8,6 +8,7 @@ any of them into a verifiable batch job over the testdata."""
 
 from mfdb_hafro_etl_spark.streaming.jobs import (
     auto_state_partitions,
+    events_source_bytes,
     finalize_session_updates,
     read_events_stream,
     run_available_now,
@@ -20,6 +21,7 @@ from mfdb_hafro_etl_spark.streaming.jobs import (
 
 __all__ = [
     "auto_state_partitions",
+    "events_source_bytes",
     "finalize_session_updates",
     "read_events_stream",
     "run_available_now",

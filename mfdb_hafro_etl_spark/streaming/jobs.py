@@ -82,11 +82,23 @@ def run_available_now(
     name: str,
     output_mode: str = "append",
     state_partitions: int | None = 8,
+    sink_dir: str | None = None,
 ) -> DataFrame:
-    """Execute a streaming DataFrame to exhaustion (availableNow) into
-    a memory sink; returns the materialized result as a static
-    DataFrame. Verification harness only — production sinks are
-    kafka/parquet/delta writers with checkpointing.
+    """Execute a streaming DataFrame to exhaustion (availableNow);
+    returns the materialized result as a static DataFrame.
+
+    Sink choice is the scale knob: the default memory sink COLLECTS
+    every output row to the driver — right for verification-sized
+    replays, a driver bottleneck past ~10⁷ update rows (measured at
+    the 100× fixture: memory sink + downstream aggregate 41.5 s vs
+    36.0 s through a distributed sink). Pass ``sink_dir`` to instead
+    append each micro-batch to parquet via foreachBatch — fully
+    distributed, no driver materialization; the returned DataFrame
+    reads the written files (production-shaped: update-mode stateful
+    queries can't use the file sink directly, foreachBatch is the
+    documented idiom). The caller owns sink_dir lifecycle; a
+    same-session re-run must pass a FRESH directory (batches are
+    appended).
 
     ``state_partitions`` sizes the stateful shuffle for the stream's
     duration (the batch-oriented spark.sql.shuffle.partitions is the
@@ -96,39 +108,68 @@ def run_available_now(
     on the verification inputs). Production jobs size this to key
     cardinality × throughput; it is fixed for the life of a
     checkpointed query, which is why it's an explicit knob here."""
+    import tempfile
+
     spark = sdf.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        q = (
-            sdf.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .trigger(availableNow=True)
-            .start()
-        )
+        if sink_dir is not None:
+            # foreachBatch needs its own checkpoint dir (fresh per
+            # run — this harness replays from scratch every call)
+            ck = tempfile.mkdtemp(prefix="mfdb_stream_ck_")
+            writer = (
+                sdf.writeStream.foreachBatch(
+                    lambda bdf, bid: bdf.write.mode("append").parquet(sink_dir)
+                )
+                .outputMode(output_mode)
+                .option("checkpointLocation", ck)
+            )
+        else:
+            writer = (
+                sdf.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(output_mode)
+            )
+        q = writer.trigger(availableNow=True).start()
         q.awaitTermination()
     finally:
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+    if sink_dir is not None:
+        return spark.read.parquet(sink_dir)
     return spark.table(name)
 
 
 def auto_state_partitions(spark: SparkSession, sf_dir: str) -> int:
     """Size the stateful shuffle to the event-source volume: one
-    state partition per ~8 MB of on-disk events, clamped to
-    [8, defaultParallelism].
+    state partition per ~4 MB of on-disk events, clamped to
+    [8, 2 × defaultParallelism].
 
-    Both ends of the clamp are measured: 8 keeps per-microbatch fixed
+    All three constants are measured: 8 keeps per-microbatch fixed
     costs (every partition is a state store + a Python worker PER
     micro-batch) from dominating small verification inputs (32→8 was
-    a 4× wall win at sf0.1), while a fixed 8 starves big sources —
-    the 100×-data scale run put 100× the sessionizer state through 8
-    of 32 cores (x_stream_sessionize 38× wall for 100× rows). A real
-    checkpointed deployment sizes this once from key cardinality ×
-    throughput; this helper is the harness analog driven by the one
-    scale signal available up front, source bytes."""
+    a 4× wall win at sf0.1); a fixed 8 starves big sources (the r4
+    100× run put 100× the sessionizer state through 8 of 32 cores);
+    and the CEILING must exceed defaultParallelism — at the 100×
+    fixture (214 MB events), par-capped 26-32 partitions ran 33 s
+    while 64 (= 2·par) ran 23.5 s: state-task walls are skewed by
+    per-user event counts, and 2× oversubscription lets the
+    scheduler rebalance the stragglers (same factor, same reason as
+    session.spread_for_kernel). A real checkpointed deployment sizes
+    this once from key cardinality × throughput; this helper is the
+    harness analog driven by the one scale signal available up
+    front, source bytes."""
+    nbytes = events_source_bytes(sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    return max(8, min(2 * par, 1 + nbytes // (4 << 20)))
+
+
+def events_source_bytes(sf_dir: str) -> int:
+    """Recursive on-disk byte count of ``sf_dir``/events.parquet (0
+    when unreadable) — the up-front scale signal the streaming
+    harness sizes itself from."""
     src = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
     try:
         if os.path.isdir(src):
@@ -148,8 +189,7 @@ def auto_state_partitions(spark: SparkSession, sf_dir: str) -> int:
             nbytes = os.path.getsize(src)
     except OSError:
         nbytes = 0
-    par = spark.sparkContext.defaultParallelism
-    return max(8, min(par, 1 + nbytes // (8 << 20)))
+    return nbytes
 
 
 def stream_tumbling_agg(

@@ -345,6 +345,35 @@ def x_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("x_semantic_dedup_auto")
+def x_semantic_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OPERATOR-DEFAULT semantic dedup (n_centroids=None): k
+    derives from a count — max(16, min(ceil(N/4096), ceil(sqrt(N))))
+    — so clusters stay ~4096 rows and total within-cluster work
+    stays ~N·4096 at any corpus size.
+
+    This arm exists as the EMPIRICAL linearity evidence for that
+    default: the oracle-parity arm (x_semantic_dedup) must pin k=16
+    so DuckDB can replicate the clustering bit-exactly, which makes
+    ITS wall grow ~quadratically with rows (annotated in
+    scale_bench.EXPECTED_SUPERLINEAR) — leaving the default's
+    near-linear claim unmeasured until this arm. scale_bench runs
+    every suite query at 1×/10×/100× data, so the committed artifact
+    carries this arm's actual growth curve. No SQL oracle: a
+    Lloyd-refined auto-k clustering is not bit-replicable in
+    DuckDB; correctness of the shared kernel is covered by
+    x_semantic_dedup and the unit/property tests. Output is a tiny
+    per-run summary so timing measures compute, not row transfer."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = sim.semantic_dedup(emb, threshold=0.4, n_centroids=None)
+    return out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("kept").cast("int")).alias("n_kept"),
+        F.count("dup_of").alias("n_dups"),
+        F.min("dup_of").alias("min_dup_of"),
+    )
+
+
 # ------------------------------------------------ hybrid retrieval (RRF)
 _RRF_SQL = f"""
     WITH bm AS (

@@ -269,5 +269,22 @@ def x_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_package_shipped(spark)
     ev = st.read_events_stream(spark, sf_dir)
     updates = st.stream_sessionize(ev)
-    log = st.run_available_now(updates, _mem("stream_sessions"), output_mode="update", state_partitions=st.auto_state_partitions(spark, sf_dir))
+    # the update log is ~one row per (touched session, batch): driver
+    # memory-sink collection is fine at verification scale but a
+    # driver bottleneck at 10⁷+ rows — switch to the distributed
+    # foreachBatch→parquet sink once the source is big enough that
+    # the log plausibly is too (measured at the 100× fixture: 41.5 s
+    # memory sink vs 36.0 s distributed, and the gap grows with data)
+    sink_dir = None
+    if st.events_source_bytes(sf_dir) > (64 << 20):
+        import tempfile
+
+        sink_dir = tempfile.mkdtemp(prefix="mfdb_sess_log_")
+    log = st.run_available_now(
+        updates,
+        _mem("stream_sessions"),
+        output_mode="update",
+        state_partitions=st.auto_state_partitions(spark, sf_dir),
+        sink_dir=sink_dir,
+    )
     return st.finalize_session_updates(log)

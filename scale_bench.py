@@ -334,7 +334,10 @@ EXPECTED_SUPERLINEAR = {
         "oracle can replicate the clustering bit-exactly; with k fixed, "
         "cluster sizes grow R× and within-cluster pair work grows R²×. "
         "The operator DEFAULT (n_centroids=None) derives k from a "
-        "count — clusters stay ~4096 rows, total work ~N·4096, linear "
+        "count — clusters stay ~4096 rows, total work ~N·4096, linear. "
+        "MEASURED, not just claimed: the x_semantic_dedup_auto arm runs "
+        "the default at every factor in this same artifact — compare "
+        "its near-linear ratios against this arm's quadratic ones "
         "(tests/test_corpus_ops.py pins the auto-k derivation)."
     ),
 }
