@@ -229,10 +229,29 @@ def x_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup with watermark-bounded state
     (dropDuplicatesWithinWatermark), verified against batch
-    DISTINCT."""
-    ev = st.read_events_stream(spark, sf_dir)
+    DISTINCT.
+
+    Project to the dedup keys BEFORE the stateful op: streaming
+    stateful operators carry every input column through state and
+    sink, and Catalyst won't prune through them — unprojected, the
+    x100 replay shipped ~100-byte rows (props json included) where
+    24-byte key tuples suffice. Combined with the distributed sink
+    past 64 MB of source this took the arm 35.1 s → 13.9 s at the
+    100× fixture (the memory sink's driver collection of 10⁷ rows
+    was the bottleneck, same pathology as x_stream_sessionize)."""
+    ev = st.read_events_stream(spark, sf_dir).select("user_id", "event_type", "ts")
     dd = st.stream_dedup(ev, ["user_id", "event_type", "ts"], watermark="2 hours")
-    out = st.run_available_now(dd, _mem("stream_dedup"), state_partitions=st.auto_state_partitions(spark, sf_dir))
+    sink_dir = None
+    if st.events_source_bytes(sf_dir) > (64 << 20):
+        import tempfile
+
+        sink_dir = tempfile.mkdtemp(prefix="mfdb_dd_log_")
+    out = st.run_available_now(
+        dd,
+        _mem("stream_dedup"),
+        state_partitions=st.auto_state_partitions(spark, sf_dir),
+        sink_dir=sink_dir,
+    )
     return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
 
 
