@@ -89,13 +89,14 @@ def main() -> None:
         # ContextCleaner also drops orphaned shuffle/broadcast state.
         if gc_mode == "none":
             return
-        spark.catalog.clearCache()
         if gc_mode == "cache":
+            spark.catalog.clearCache()
             return
-        jsc = spark.sparkContext._jsc.sc()
-        it = jsc.getPersistentRDDs().values().iterator()
-        while it.hasNext():
-            it.next().unpersist(False)
+        # canonical clearCache + persistent-RDD sweep lives in the
+        # library (single source of truth for what "released" means)
+        from mfdb_hafro_etl_spark.session import release_cached_intermediates
+
+        release_cached_intermediates(spark)
         if gc_mode == "sweep":
             return
         gc_counter["n"] += 1

@@ -213,6 +213,7 @@ def asof_join(
 def _derive_range_join_salt(
     intervals: DataFrame,
     lo_col: str,
+    hi_col: str,
     bin_width: float,
     parallelism: int,
     max_salt: int,
@@ -222,15 +223,32 @@ def _derive_range_join_salt(
     bands a million apart) SPANS millions of bins while only a
     handful carry rows — a span-based estimate overstates key
     cardinality and silently disables the salt exactly when skew
-    needs it. approx_count_distinct of the lo-bin is one tiny
-    partial-agg job; intervals straddling extra bins undercount
-    slightly (heuristic only — the salt value never affects output).
-    Returns ceil(parallelism / occupied_bins) clamped to
-    [1, max_salt]; 1 on an empty/all-null interval side."""
+    needs it. The estimate is max(distinct lo-bins, distinct hi-bins,
+    mean bins-per-interval): the distinct terms see clustering, the
+    mean-span term covers WIDE intervals (1000 intervals all starting
+    near 0 but each spanning ~8000 bins occupy ~8000 bins — lo/hi
+    distinct counts alone would read 1 and over-salt by max_salt,
+    replicating the already-8000-way-exploded interval side for
+    nothing). One tiny partial-agg job; heuristic only — the salt
+    value never affects output. Returns
+    ceil(parallelism / occupied_bins) clamped to [1, max_salt]; 1 on
+    an empty/all-null interval side."""
+    lo_bin = F.floor(F.col(lo_col) / bin_width)
+    hi_bin = F.floor(F.col(hi_col) / bin_width)
     probe = intervals.agg(
-        F.approx_count_distinct(F.floor(F.col(lo_col) / bin_width)).alias("nb")
+        F.approx_count_distinct(lo_bin).alias("nlo"),
+        F.approx_count_distinct(hi_bin).alias("nhi"),
+        F.avg(
+            F.when(F.col(lo_col) <= F.col(hi_col), hi_bin - lo_bin + 1)
+        ).alias("avg_span"),
     ).first()
-    occupied_bins = int(probe["nb"]) if probe is not None else 0
+    if probe is None:
+        return 1
+    occupied_bins = max(
+        int(probe["nlo"] or 0),
+        int(probe["nhi"] or 0),
+        int(probe["avg_span"] or 0),
+    )
     if occupied_bins <= 0:
         return 1
     return max(1, min(max_salt, -(-parallelism // occupied_bins)))
@@ -305,6 +323,7 @@ def range_join_binned(
         salt = _derive_range_join_salt(
             intervals,
             lo_col,
+            hi_col,
             bin_width,
             points.sparkSession.sparkContext.defaultParallelism,
             max_salt,

@@ -7,6 +7,7 @@ so the same semantics run incrementally. ``availableNow`` runs turn
 any of them into a verifiable batch job over the testdata."""
 
 from mfdb_hafro_etl_spark.streaming.jobs import (
+    auto_sink_dir,
     auto_state_partitions,
     events_source_bytes,
     finalize_session_updates,
@@ -20,6 +21,7 @@ from mfdb_hafro_etl_spark.streaming.jobs import (
 )
 
 __all__ = [
+    "auto_sink_dir",
     "auto_state_partitions",
     "events_source_bytes",
     "finalize_session_updates",

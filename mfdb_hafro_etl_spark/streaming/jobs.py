@@ -92,13 +92,20 @@ def run_available_now(
     replays, a driver bottleneck past ~10⁷ update rows (measured at
     the 100× fixture: memory sink + downstream aggregate 41.5 s vs
     36.0 s through a distributed sink). Pass ``sink_dir`` to instead
-    append each micro-batch to parquet via foreachBatch — fully
+    write each micro-batch to parquet via foreachBatch — fully
     distributed, no driver materialization; the returned DataFrame
     reads the written files (production-shaped: update-mode stateful
     queries can't use the file sink directly, foreachBatch is the
-    documented idiom). The caller owns sink_dir lifecycle; a
-    same-session re-run must pass a FRESH directory (batches are
-    appended).
+    documented idiom). Each batch OVERWRITES its own
+    ``batch_id=<id>`` subdirectory: foreachBatch is at-least-once,
+    and a plain append would double-write a batch that is retried
+    after its parquet commit but before the stream's offset commit —
+    the per-batch overwrite makes redelivery idempotent (the
+    partition column is dropped on read). The checkpoint lives
+    under ``sink_dir/_checkpoint`` (underscore-prefixed paths are
+    invisible to the parquet read), so wiping sink_dir resets the
+    whole replay. The caller owns sink_dir lifecycle; pass a fresh
+    or wiped directory per logical run (see ``auto_sink_dir``).
 
     ``state_partitions`` sizes the stateful shuffle for the stream's
     duration (the batch-oriented spark.sql.shuffle.partitions is the
@@ -108,23 +115,24 @@ def run_available_now(
     on the verification inputs). Production jobs size this to key
     cardinality × throughput; it is fixed for the life of a
     checkpointed query, which is why it's an explicit knob here."""
-    import tempfile
-
     spark = sdf.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
         if sink_dir is not None:
-            # foreachBatch needs its own checkpoint dir (fresh per
-            # run — this harness replays from scratch every call)
-            ck = tempfile.mkdtemp(prefix="mfdb_stream_ck_")
-            writer = (
-                sdf.writeStream.foreachBatch(
-                    lambda bdf, bid: bdf.write.mode("append").parquet(sink_dir)
+
+            def _write_batch(bdf, bid: int) -> None:
+                bdf.write.mode("overwrite").parquet(
+                    os.path.join(sink_dir, f"batch_id={bid}")
                 )
+
+            writer = (
+                sdf.writeStream.foreachBatch(_write_batch)
                 .outputMode(output_mode)
-                .option("checkpointLocation", ck)
+                .option(
+                    "checkpointLocation", os.path.join(sink_dir, "_checkpoint")
+                )
             )
         else:
             writer = (
@@ -138,7 +146,12 @@ def run_available_now(
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
     if sink_dir is not None:
-        return spark.read.parquet(sink_dir)
+        if not any(e.startswith("batch_id=") for e in os.listdir(sink_dir)):
+            # zero batches produced (empty source): parquet schema
+            # inference would raise where the memory sink returns an
+            # empty table — match that contract
+            return spark.createDataFrame([], sdf.schema)
+        return spark.read.parquet(sink_dir).drop("batch_id")
     return spark.table(name)
 
 
@@ -164,6 +177,36 @@ def auto_state_partitions(spark: SparkSession, sf_dir: str) -> int:
     nbytes = events_source_bytes(sf_dir)
     par = spark.sparkContext.defaultParallelism
     return max(8, min(2 * par, 1 + nbytes // (4 << 20)))
+
+
+#: source size past which run_available_now callers should prefer the
+#: distributed parquet sink over the driver-collecting memory sink
+AUTO_SINK_MIN_BYTES = 64 << 20
+
+
+def auto_sink_dir(name: str, sf_dir: str) -> str | None:
+    """Staging directory for run_available_now's distributed sink, or
+    None when the event source is small enough (< AUTO_SINK_MIN_BYTES)
+    that the memory sink is the better harness (measured crossover in
+    run_available_now's docstring).
+
+    The path is FIXED per (name, sf_dir) and wiped on every call:
+    repeated bench/retime invocations of the same arm reuse one
+    directory instead of leaking a fresh mkdtemp of streamed output
+    (~GBs per round at the 100× fixture) into /tmp. Wiping at call
+    start is safe exactly because the path is arm-scoped and each
+    bench materializes an arm's result before starting the next."""
+    nbytes = events_source_bytes(sf_dir)
+    if nbytes <= AUTO_SINK_MIN_BYTES:
+        return None
+    import hashlib
+    import shutil
+
+    tok = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    path = os.path.join("/tmp/mfdb_suite/stream_sinks", f"{name}_{tok}")
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    return path
 
 
 def events_source_bytes(sf_dir: str) -> int:

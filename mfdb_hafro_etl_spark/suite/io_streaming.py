@@ -241,16 +241,11 @@ def x_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     was the bottleneck, same pathology as x_stream_sessionize)."""
     ev = st.read_events_stream(spark, sf_dir).select("user_id", "event_type", "ts")
     dd = st.stream_dedup(ev, ["user_id", "event_type", "ts"], watermark="2 hours")
-    sink_dir = None
-    if st.events_source_bytes(sf_dir) > (64 << 20):
-        import tempfile
-
-        sink_dir = tempfile.mkdtemp(prefix="mfdb_dd_log_")
     out = st.run_available_now(
         dd,
         _mem("stream_dedup"),
         state_partitions=st.auto_state_partitions(spark, sf_dir),
-        sink_dir=sink_dir,
+        sink_dir=st.auto_sink_dir("stream_dedup", sf_dir),
     )
     return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
 
@@ -290,20 +285,16 @@ def x_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     updates = st.stream_sessionize(ev)
     # the update log is ~one row per (touched session, batch): driver
     # memory-sink collection is fine at verification scale but a
-    # driver bottleneck at 10⁷+ rows — switch to the distributed
-    # foreachBatch→parquet sink once the source is big enough that
-    # the log plausibly is too (measured at the 100× fixture: 41.5 s
-    # memory sink vs 36.0 s distributed, and the gap grows with data)
-    sink_dir = None
-    if st.events_source_bytes(sf_dir) > (64 << 20):
-        import tempfile
-
-        sink_dir = tempfile.mkdtemp(prefix="mfdb_sess_log_")
+    # driver bottleneck at 10⁷+ rows — auto_sink_dir switches to the
+    # distributed foreachBatch→parquet sink once the source is big
+    # enough that the log plausibly is too (measured at the 100×
+    # fixture: 41.5 s memory sink vs 36.0 s distributed, and the gap
+    # grows with data)
     log = st.run_available_now(
         updates,
         _mem("stream_sessions"),
         output_mode="update",
         state_partitions=st.auto_state_partitions(spark, sf_dir),
-        sink_dir=sink_dir,
+        sink_dir=st.auto_sink_dir("stream_sessions", sf_dir),
     )
     return st.finalize_session_updates(log)

@@ -407,7 +407,7 @@ def test_range_join_salt_probe_sees_clustered_domains(spark):
     )]
     intervals = spark.createDataFrame(rows, "lo DOUBLE, hi DOUBLE, iv_id LONG")
     par = spark.sparkContext.defaultParallelism
-    salt = _derive_range_join_salt(intervals, "lo", 8.0, par, 64)
+    salt = _derive_range_join_salt(intervals, "lo", "hi", 8.0, par, 64)
     if par >= 8:
         assert salt > 1, (salt, par)
     # exact formula: ~4 occupied lo-bins (0, 1, 125000, 125001)
@@ -525,3 +525,17 @@ def test_multi_consumer_intermediates_materialize_once(spark, sf_dir):
 
     release_cached_intermediates(spark)
     assert filled_caches() == 0
+
+
+def test_range_join_salt_probe_wide_intervals_do_not_oversalt(spark):
+    """Wide intervals occupy many bins even when they all START in one
+    place: 40 intervals from ~0 to ~8000 bins wide have 1 distinct
+    lo-bin and 1 distinct hi-bin region, but the exploded join key
+    space is ~8000 bins — salting on top of that 8000-way explosion
+    would multiply shuffle volume for nothing. The mean-span probe
+    term must keep salt at 1."""
+    from mfdb_hafro_etl_spark.operators.joins import _derive_range_join_salt
+
+    rows = [(float(i), 64000.0 + i, i) for i in range(40)]
+    intervals = spark.createDataFrame(rows, "lo DOUBLE, hi DOUBLE, iv_id LONG")
+    assert _derive_range_join_salt(intervals, "lo", "hi", 8.0, 64, 64) == 1
