@@ -263,3 +263,69 @@ def test_sessionize_straggler_beyond_gap_gets_own_session(spark, tmp_path):
     assert by[(1, 1)] == (3, 1200.0)
     assert by[(1, 2)] == (1, 0.0)
     assert len(by) == 2
+
+
+def test_run_available_now_sink_dir_batches_and_empty_source(spark, sf_dir, tmp_path):
+    """The distributed sink must (a) return the same rows as the
+    memory sink, through per-batch batch_id=<id> subdirectories with
+    the partition column dropped on read (per-batch OVERWRITE is what
+    makes foreachBatch redelivery idempotent), (b) keep its
+    checkpoint under sink_dir/_checkpoint where the parquet read
+    ignores it, and (c) return an EMPTY DataFrame with the stream's
+    schema — not a schema-inference error — when the source yields no
+    batches."""
+    import os
+
+    from mfdb_hafro_etl_spark.streaming.jobs import (
+        read_events_stream,
+        run_available_now,
+        stream_dedup,
+    )
+
+    ev = read_events_stream(spark, sf_dir).select("user_id", "event_type", "ts")
+    dd = stream_dedup(ev, ["user_id", "event_type", "ts"], watermark="2 hours")
+    sink = str(tmp_path / "sink")
+    os.makedirs(sink)
+    out = run_available_now(dd, "rs_parquet", state_partitions=8, sink_dir=sink)
+    assert sorted(out.columns) == ["event_type", "ts", "user_id"]
+    mem = run_available_now(dd, "rs_memory", state_partitions=8)
+    assert out.count() == mem.count() > 0
+    entries = os.listdir(sink)
+    assert any(e.startswith("batch_id=") for e in entries)
+    assert "_checkpoint" in entries
+
+    # empty source: a schema-only stream dir with no data files
+    empty_src = str(tmp_path / "empty")
+    os.makedirs(empty_src)
+    schema = "user_id BIGINT, event_type STRING, ts TIMESTAMP"
+    sdf = spark.readStream.schema(schema).parquet(empty_src)
+    sink2 = str(tmp_path / "sink2")
+    os.makedirs(sink2)
+    out2 = run_available_now(
+        sdf.dropDuplicates(["user_id"]), "rs_empty", state_partitions=8,
+        sink_dir=sink2,
+    )
+    assert out2.count() == 0
+    assert sorted(out2.columns) == ["event_type", "ts", "user_id"]
+
+
+def test_auto_sink_dir_gate_and_reuse(spark, sf_dir, tmp_path, monkeypatch):
+    """auto_sink_dir returns None below the byte gate (memory sink is
+    the right harness for small replays), and past it returns a FIXED
+    per-(name, sf) path that is wiped on every call — repeated bench
+    invocations must reuse one directory, not leak a mkdtemp of
+    streamed output per run."""
+    import os
+
+    from mfdb_hafro_etl_spark.streaming import jobs as st
+
+    assert st.auto_sink_dir("arm", str(tmp_path)) is None  # no events at all
+    assert st.auto_sink_dir("arm", sf_dir) is None  # tiny test source
+
+    monkeypatch.setattr(st, "AUTO_SINK_MIN_BYTES", 0)
+    p1 = st.auto_sink_dir("arm", sf_dir)
+    assert p1 is not None and os.path.isdir(p1)
+    marker = os.path.join(p1, "stale.txt")
+    open(marker, "w").write("x")
+    p2 = st.auto_sink_dir("arm", sf_dir)
+    assert p2 == p1 and not os.path.exists(marker)
