@@ -868,8 +868,15 @@ def duplicate_spans(
     # eager fill (see minhash_lsh_pairs): the df-count branch and the
     # hits join both consume pos_grams inside one job — a lazy cache
     # would be empty for both and the positional-gram explode (the
-    # operator's most expensive map) would run twice.
-    pos_grams.count()
+    # operator's most expensive map) would run twice. ReusedExchange
+    # can NOT replace this cache even though both consumers hash by
+    # h: the aggregate's exchange carries PARTIAL-AGG rows
+    # (map-side combine) while the join's carries raw grams, so the
+    # two exchanges never canonicalize equal (measured: dropping the
+    # cache ran 29.2 s vs 6.2 s at the 100× fixture — the explode
+    # re-ran per consumer). Contrast ngram_jaccard_pairs, where both
+    # consumers are IDENTICAL window inputs and the uncached shared
+    # exchange wins.
     dfs = (
         pos_grams.groupBy("h")
         .agg(F.countDistinct(id_col).alias("gdf"))
