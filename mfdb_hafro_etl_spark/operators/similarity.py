@@ -108,14 +108,19 @@ def cosine_topk(
     return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
 
 
-#: auto n_blocks target: rows per block such that one block's
-#: normalized fp64 matrix stays well under executor memory at any
-#: realistic dim (100k rows × 64 dims × 8 B ≈ 51 MB; × 1024 dims ≈
-#: 820 MB). The similarity MATRIX is no longer the constraint — the
-#: kernel computes it in fixed-height row chunks (see
-#: _COSINE_PAIRS_CHUNK_ROWS), so its peak is bounded regardless of
-#: block size.
-_COSINE_PAIRS_BLOCK_ROWS = 100_000
+#: auto n_blocks target: rows per block. MEASURED knee, not a memory
+#: bound (the chunked kernel bounds memory at any block size): at the
+#: 100× fixture (200k rows × 64 dims) per-query wall vs block rows
+#: was 9.1k→73.7s, 4.5k→24.4s, 3.1k→21.2s, 1.6k→22.7s — blocks of a
+#: few thousand rows win ~3.5× over 100k-row blocks because (a) the
+#: b(b+1)/2 pair-groups hash far more evenly onto the shuffle
+#: partitions (253 groups on 32 partitions carries a ~2× binomial
+#: straggler; 2000+ groups ~1.2×) and (b) the per-task GEMM operands
+#: fit cache. Replication (shuffle rows = N·n_blocks) grows with
+#: smaller blocks, but measured cost is dominated by balance, not
+#: shuffle bytes, until well past this point. Below ~1.5k rows
+#: per-group Python/Arrow overhead takes over.
+_COSINE_PAIRS_BLOCK_ROWS = 4096
 
 #: kernel sims-buffer budget, in ENTRIES: the A·Bᵀ product runs in
 #: row chunks of height budget//|B|, so the transient similarity
@@ -128,9 +133,10 @@ _COSINE_PAIRS_SIMS_ENTRIES = 32 << 20
 #: ceiling on the auto-derived block-grid width: 1024 blocks is
 #: already ~524k block-pair tasks — past that, scheduling overhead
 #: dominates and per-block rows grow past target_block_rows again
-#: (the memory bound becomes N/1024·dim). That regime starts at
-#: ~100M rows, where exact all-pairs is ~10^16 FLOPs and the right
-#: tool is lsh_bucket()/semantic_dedup(), not a wider grid.
+#: (memory stays bounded by the chunked kernel regardless). The cap
+#: binds from ~4M rows, where exact all-pairs is already ~10^13
+#: FLOPs and climbing quadratically — the right tool past there is
+#: lsh_bucket()/semantic_dedup(), not a wider grid.
 _COSINE_PAIRS_MAX_BLOCKS = 1024
 
 
@@ -157,14 +163,17 @@ def cosine_pairs(
     Scale model: all-pairs cosine is inherently O(N²) compute — at a
     given corpus size that compute is irreducible, so WALL-CLOCK
     grows quadratically with rows on fixed cores no matter the plan;
-    what the grid controls is MEMORY per task, O((N/n_blocks)·dim).
-    ``n_blocks=None`` (default) derives the grid from a count so the
-    per-task block is bounded at any corpus size instead of growing
-    with N: n_blocks = max(ceil(N/target_block_rows), p) where p ≈
+    the grid controls load BALANCE and per-task MEMORY
+    (O((N/n_blocks)·dim), additionally bounded by the chunked
+    kernel). ``n_blocks=None`` (default) derives the grid from a
+    count: n_blocks = max(ceil(N/target_block_rows), p) where p ≈
     ceil(sqrt(16·defaultParallelism)) keeps the n_blocks·(n_blocks+1)/2
-    block-pair tasks at least one per core (250k rows × 64 dims ×
-    8 B ≈ 128 MB per block). The count is one cheap job (parquet
-    count-star reads footers only); pass an explicit int to skip it.
+    block-pair tasks at least ~8 per core even on tiny corpora.
+    target_block_rows defaults to the MEASURED few-thousand-row knee
+    (see _COSINE_PAIRS_BLOCK_ROWS: 3.5× faster than 100k-row blocks
+    at the 100× fixture — group-hash balance + cache-sized GEMMs).
+    The count is one cheap job (parquet count-star reads footers
+    only); pass an explicit int to skip it.
     Output is identical for ANY n_blocks — the grid is pure physical
     layout. Shuffle volume is N·n_blocks rows — the price of
     exactness; when approximate recall is acceptable, pre-bucket with
