@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType
 
+from mfdb_hafro_etl_spark.operators.skew import hot_key_anti_join
 from mfdb_hafro_etl_spark.operators.text import tokens
 
 
@@ -303,14 +304,16 @@ def minhash_lsh_pairs(
         .filter(F.col("__bdf__") > max_bucket_df)
         .select("band", "val")
     )
-    # no broadcast HINT on the over-gate set: its key count is
-    # unbounded (worst case ~n_docs·n_bands/max_bucket_df at a
-    # boilerplate-heavy corpus), and a forced broadcast would abort
-    # with a build-side OOM at exactly the scales the gate protects.
-    # AQE picks broadcast at runtime whenever the materialized set is
-    # actually small (the common case), and degrades to a shuffled
-    # anti-join instead of failing when it isn't.
-    exploded = exploded.join(hot, on=["band", "val"], how="left_anti")
+    # bounded-collect gate (skew.hot_key_anti_join): the over-gate
+    # key count is unbounded (worst case ~n_docs·n_bands/max_bucket_df
+    # at a boilerplate-heavy corpus), so a forced broadcast could OOM
+    # at exactly the scales the gate protects — but an unhinted join
+    # makes the band-exploded probe side write a full shuffle before
+    # AQE's runtime broadcast conversion. The helper collects up to a
+    # cap: small set → broadcast local relation (map-side drop, no
+    # probe shuffle), empty → no join at all, huge → unhinted
+    # shuffled anti-join that degrades instead of failing.
+    exploded = hot_key_anti_join(exploded, hot, on=["band", "val"])
     left = exploded.select(F.col(id_col).alias("id_a"), "band", "val")
     right = exploded.select(F.col(id_col).alias("id_b"), "band", "val")
     candidates = (
@@ -877,6 +880,7 @@ def duplicate_spans(
     # re-ran per consumer). Contrast ngram_jaccard_pairs, where both
     # consumers are IDENTICAL window inputs and the uncached shared
     # exchange wins.
+    pos_grams.count()
     dfs = (
         pos_grams.groupBy("h")
         .agg(F.countDistinct(id_col).alias("gdf"))

@@ -20,6 +20,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from mfdb_hafro_etl_spark.operators.skew import hot_key_anti_join
+
 
 def dim_join(
     fact: DataFrame,
@@ -382,15 +384,16 @@ def fuzzy_trigram_join(
     rows per side ("000", "ltd", " co" boilerplate) from PAIR
     GENERATION — the k² fan-out gate — while Jaccard denominators
     still count full trigram sets, so gated pairs' similarity is an
-    underestimate (standard stop-gram tradeoff). The gate is an
-    anti-join against the over-gate gram set from a
-    partial-aggregated groupBy — AQE broadcasts it at runtime when
-    (as usual) it is small, making the gate map-side so a
-    boilerplate gram's rows are dropped BEFORE any shuffle and the
-    candidate join's bucket width is bounded at max_df per side — no
-    count-window funneling the hot gram into one partition just to
-    measure it, and no forced build-side OOM when the gram set is
-    itself huge.
+    underestimate (standard stop-gram tradeoff). The gate is a
+    bounded-collect anti-join (skew.hot_key_anti_join) against the
+    over-gate gram set from a partial-aggregated groupBy: a small
+    set (the common case) becomes a broadcast local relation, making
+    the gate map-side so a boilerplate gram's rows are dropped
+    BEFORE any shuffle and the candidate join's bucket width is
+    bounded at max_df per side — no count-window funneling the hot
+    gram into one partition just to measure it, and no forced
+    build-side OOM when the gram set is itself huge (over the cap it
+    degrades to a shuffled anti-join).
     Trigrams come from one regexp lookahead (no higher-order lambda;
     strings shorter than 3 chars produce no trigrams and never
     match)."""
@@ -413,12 +416,12 @@ def fuzzy_trigram_join(
             .filter(F.col("__df__") > max_df)
             .select("g")
         )
-        # no broadcast HINT: the over-gate gram set is unbounded on a
-        # boilerplate-heavy corpus and a forced broadcast OOMs at
-        # exactly the scales the gate protects. AQE broadcasts at
-        # runtime when the materialized set is actually small and
-        # falls back to a shuffled anti-join when it isn't.
-        return side.join(hot, on="g", how="left_anti")
+        # bounded-collect gate (skew.hot_key_anti_join): small
+        # over-gate sets (the common case) become a broadcast local
+        # relation so the gram-exploded probe never shuffles; an
+        # unbounded boilerplate set falls back to the unhinted
+        # shuffled anti-join instead of a forced-broadcast OOM.
+        return hot_key_anti_join(side, hot, on=["g"])
 
     lt_g = gate(lt)
     rt_g = gate(rt)

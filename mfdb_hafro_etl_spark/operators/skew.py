@@ -39,6 +39,45 @@ def salted_join(
     return l.join(s, on=[*on, "__salt__"], how=how).drop("__salt__")
 
 
+def hot_key_anti_join(
+    probe: DataFrame,
+    hot: DataFrame,
+    on: Sequence[str],
+    max_broadcast_keys: int = 100_000,
+) -> DataFrame:
+    """Anti-join ``probe`` against a derived hot-key set whose
+    cardinality is unknown until runtime (the hot-bucket / stop-gram
+    gates of the pair generators).
+
+    The dilemma this resolves: a forced ``F.broadcast(hot)`` aborts
+    with a build-side OOM when a boilerplate-heavy corpus makes the
+    over-gate set itself huge — exactly the scales the gate exists to
+    protect — but an UNHINTED join plans as sort-merge whose probe
+    side (the operator's widest exploded table) writes a full shuffle
+    before AQE's runtime broadcast conversion can help (the
+    conversion replaces the fetch with a LocalShuffleReader, not the
+    already-finished map-side write).
+
+    Resolution: materialize the keys with a BOUNDED collect
+    (``limit(cap+1)``). At or under the cap — overwhelmingly the
+    common case; the gate drops a handful of pathological keys — the
+    keys come back as a broadcast local relation, so the gate is
+    truly map-side, the probe never shuffles, and the hot build runs
+    exactly once. Zero hot keys skips the join entirely. Over the
+    cap, fall back to the unhinted shuffled anti-join, which degrades
+    instead of failing. The bounded collect is an eager job at CALL
+    time, consistent with the caching contract these operators
+    already document (session.release_cached_intermediates)."""
+    keys = hot.select(*on)
+    rows = keys.limit(max_broadcast_keys + 1).collect()
+    if len(rows) > max_broadcast_keys:
+        return probe.join(hot, on=list(on), how="left_anti")
+    if not rows:
+        return probe
+    local = probe.sparkSession.createDataFrame(rows, keys.schema)
+    return probe.join(F.broadcast(local), on=list(on), how="left_anti")
+
+
 def salted_group_sum(
     df: DataFrame,
     keys: Sequence[str],

@@ -142,7 +142,7 @@ def release_cached_intermediates(spark: SparkSession) -> None:
     THE CACHING CONTRACT (the eager-cache-barrier rule, pinned by
     tests/test_plan_quality.py::test_multi_consumer_intermediates_materialize_once):
     a few DataFrame-returning operators (minhash_lsh_pairs,
-    ngram_jaccard_pairs, tfidf_cosine_pairs, duplicate_spans)
+    search.tfidf_similar_pairs, duplicate_spans)
     ``cache()`` a multi-consumer intermediate and eagerly fill it
     with a ``count()`` — consumers needing DIFFERENT partitionings
     of the same table are planned into one job whose stages would

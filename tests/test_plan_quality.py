@@ -483,9 +483,10 @@ def test_multi_consumer_intermediates_materialize_once(spark, sf_dir):
     the shuffle and caching would ADD a materialization. This test
     pins both halves plus the cleanup handle:
 
-    - minhash_lsh_pairs / tfidf_cosine_pairs: consumers read
-      InMemoryTableScan of an ALREADY-FILLED cache (blocks cached at
-      plan time, before any action on the returned df);
+    - minhash_lsh_pairs / tfidf_similar_pairs / duplicate_spans:
+      consumers read InMemoryTableScan of an ALREADY-FILLED cache
+      (blocks cached at plan time, before any action on the
+      returned df);
     - ngram_jaccard_pairs: the self-join sides meet through
       ReusedExchange (and the gated table is NOT separately cached);
     - session.release_cached_intermediates drops everything pinned.
@@ -507,6 +508,14 @@ def test_multi_consumer_intermediates_materialize_once(spark, sf_dir):
 
     tf = search.tfidf_similar_pairs(docs, "doc_id", "text", threshold=0.5)
     assert "InMemoryTableScan" in _plan(tf)
+
+    before_spans = filled_caches()
+    spans = dedup.duplicate_spans(docs, "doc_id", "text")
+    assert filled_caches() > before_spans, (
+        "duplicate_spans must eagerly fill its positional-gram cache"
+        " — a lazy cache misses for both its agg and join consumers"
+    )
+    assert "InMemoryTableScan" in _plan(spans)
 
     # ReusedExchange appears only in the FINAL adaptive plan of the
     # df's own query execution (collect(), not count() — count wraps
@@ -539,3 +548,41 @@ def test_range_join_salt_probe_wide_intervals_do_not_oversalt(spark):
     rows = [(float(i), 64000.0 + i, i) for i in range(40)]
     intervals = spark.createDataFrame(rows, "lo DOUBLE, hi DOUBLE, iv_id LONG")
     assert _derive_range_join_salt(intervals, "lo", "hi", 8.0, 64, 64) == 1
+
+
+def test_hot_key_anti_join_three_regimes(spark):
+    """The bounded-collect hot-key gate (skew.hot_key_anti_join) must
+    pick the join shape from the MATERIALIZED key count: empty set →
+    no join at all (probe plan unchanged), small set → broadcast-hash
+    LeftAnti against a local relation (map-side drop, the probe never
+    shuffles), over-cap set → unhinted shuffled anti-join that
+    degrades instead of forcing an unbounded broadcast build. Rows
+    are identical to a plain left_anti in every regime."""
+    from mfdb_hafro_etl_spark.operators.skew import hot_key_anti_join
+
+    probe = spark.createDataFrame(
+        [(i, i % 5) for i in range(50)], "row_id LONG, k LONG"
+    )
+
+    empty = probe.sparkSession.createDataFrame([], "k LONG")
+    out = hot_key_anti_join(probe, empty, on=["k"])
+    assert out is probe  # zero keys: the join is skipped entirely
+
+    hot = spark.createDataFrame([(0,), (3,)], "k LONG")
+    out = hot_key_anti_join(probe, hot, on=["k"])
+    plan = _plan(out)
+    assert "LeftAnti" in plan and "Broadcast" in plan, plan[:2000]
+    assert out.count() == 30
+
+    # over the cap the helper must NOT force a broadcast hint —
+    # turn off Catalyst's own size-stat broadcast to observe that
+    big = spark.range(200).select(F.col("id").alias("k"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = hot_key_anti_join(probe, big, on=["k"], max_broadcast_keys=10)
+        plan = _plan(out)
+        assert "LeftAnti" in plan and "BroadcastHashJoin" not in plan, plan[:2000]
+        assert out.count() == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
