@@ -854,11 +854,18 @@ def duplicate_spans(
     from pyspark.sql import Window
 
     toks = F.split(F.col(text_col), " ")
+    # INT64 gram keys (same rationale as ngram_jaccard_pairs): h is
+    # used only for EQUALITY (the df groupBy and the hits join), so
+    # xxhash64 of the gram text carries the same information in 8
+    # shuffle bytes instead of a 32-char md5 hex string — the h
+    # shuffle moves the full positional-gram table, the operator's
+    # widest. The SQL oracle keeps raw gram strings; span outputs
+    # agree because only equality semantics matter.
     grams = F.transform(
         F.sequence(F.lit(0), F.size(toks) - n),
         lambda i: F.struct(
             i.alias("pos"),
-            F.md5(F.concat_ws(" ", F.slice(toks, i + 1, n))).alias("h"),
+            F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, n))).alias("h"),
         ),
     )
     pos_grams = (
