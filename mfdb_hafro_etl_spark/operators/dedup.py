@@ -838,8 +838,9 @@ def duplicate_spans(
     than dropping whole documents — boilerplate headers/footers and
     licence blocks repeat across docs that are otherwise unique.
 
-    Plan shape: positional n-grams (token index kept), md5-bucketed
-    df count, hot-gram gate at ``max_df`` (the same stop-fingerprint
+    Plan shape: positional n-grams (token index kept) keyed by
+    xxhash64 of the gram text, df count over those int64 keys,
+    hot-gram gate at ``max_df`` (the same stop-fingerprint
     discipline as winnow/ngram pairs — one licence block shared by a
     million docs must not fan out), then adjacent duplicated
     positions merge into maximal spans with the islands trick

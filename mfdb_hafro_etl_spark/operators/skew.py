@@ -58,20 +58,25 @@ def hot_key_anti_join(
     conversion replaces the fetch with a LocalShuffleReader, not the
     already-finished map-side write).
 
-    Resolution: materialize the keys with a BOUNDED collect
-    (``limit(cap+1)``). At or under the cap — overwhelmingly the
-    common case; the gate drops a handful of pathological keys — the
-    keys come back as a broadcast local relation, so the gate is
-    truly map-side, the probe never shuffles, and the hot build runs
-    exactly once. Zero hot keys skips the join entirely. Over the
-    cap, fall back to the unhinted shuffled anti-join, which degrades
-    instead of failing. The bounded collect is an eager job at CALL
-    time, consistent with the caching contract these operators
-    already document (session.release_cached_intermediates)."""
-    keys = hot.select(*on)
-    rows = keys.limit(max_broadcast_keys + 1).collect()
-    if len(rows) > max_broadcast_keys:
-        return probe.join(hot, on=list(on), how="left_anti")
+    Resolution: persist the key set and count it — the build (the
+    operator's expensive explode+aggregate) runs EXACTLY ONCE in
+    every regime, its output landing in the cache. At or under the
+    cap — overwhelmingly the common case; the gate drops a handful
+    of pathological keys — the keys come back as a broadcast local
+    relation (a cache-served collect), the temporary pin is dropped,
+    and the gate is truly map-side: the probe never shuffles. Zero
+    hot keys skips the join entirely. Over the cap, fall back to a
+    shuffled anti-join reading the CACHED keys (no rebuild), which
+    degrades instead of failing; that pin stays until
+    session.release_cached_intermediates, per the caching contract
+    these operators already document. The count is an eager job at
+    CALL time, also per that contract."""
+    keys = hot.select(*on).persist()
+    n = keys.count()
+    if n > max_broadcast_keys:
+        return probe.join(keys, on=list(on), how="left_anti")
+    rows = keys.collect()
+    keys.unpersist()
     if not rows:
         return probe
     local = probe.sparkSession.createDataFrame(rows, keys.schema)
