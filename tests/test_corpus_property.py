@@ -246,3 +246,91 @@ def test_text_single_pass_equals_array_formulations(spark, texts):
         *[v.alias(k) for k, v in sorted(tx.lang_scores("text").items())],
     )
     assert sorted(map(tuple, new.collect())) == sorted(map(tuple, legacy.collect()))
+
+
+@given(
+    texts=st.lists(_text, min_size=1, max_size=15),
+    n=st.integers(min_value=2, max_value=4),
+    min_df=st.integers(min_value=2, max_value=3),
+)
+@settings(**_SETTINGS)
+def test_duplicate_spans_matches_python_reference(spark, texts, n, min_df):
+    """duplicate_spans over adversarial corpora (empty tokens, CJK,
+    repeated words) must equal a brute-force Python reference:
+    positional n-grams over split(' ') tokens, grams kept when their
+    distinct-doc frequency is in [min_df, max_df], adjacent kept
+    positions merged into maximal islands. Pins the xxhash64 gram
+    keys (equality-only) against the raw-string semantics."""
+    from mfdb_hafro_etl_spark.operators import dedup as dd
+
+    max_df = 1000
+
+    def ref_spans(docs):
+        gram_docs: dict[tuple, set] = {}
+        pos_by_doc: dict[int, list] = {}
+        for did, text in docs:
+            toks = text.split(" ")
+            if len(toks) < n:
+                continue
+            for p in range(len(toks) - n + 1):
+                g = tuple(toks[p : p + n])
+                gram_docs.setdefault(g, set()).add(did)
+                pos_by_doc.setdefault(did, []).append((p, g))
+        out = set()
+        for did, pgs in pos_by_doc.items():
+            keep = sorted(
+                p for p, g in pgs if min_df <= len(gram_docs[g]) <= max_df
+            )
+            if not keep:
+                continue
+            start = prev = keep[0]
+            count = 1
+            for p in keep[1:]:
+                if p == prev + 1:
+                    prev = p
+                    count += 1
+                else:
+                    out.add((did, start, prev + n - 1, count))
+                    start = prev = p
+                    count = 1
+            out.add((did, start, prev + n - 1, count))
+        return out
+
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, "doc_id INT, text STRING")
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_dup_grams"])
+        for r in dd.duplicate_spans(df, "doc_id", "text", n=n, min_df=min_df).collect()
+    }
+    assert got == ref_spans(docs)
+
+
+@given(
+    probe_keys=st.lists(
+        st.one_of(st.integers(min_value=0, max_value=9), st.none()),
+        min_size=0,
+        max_size=30,
+    ),
+    hot_keys=st.lists(st.integers(min_value=0, max_value=9), min_size=0, max_size=10),
+    cap=st.sampled_from([0, 1, 3, 100]),
+)
+@settings(**_SETTINGS)
+def test_hot_key_anti_join_equals_plain_left_anti(spark, probe_keys, hot_keys, cap):
+    """Every regime of the bounded gate (empty / broadcast-local /
+    over-cap fallback) must be row-identical to a plain left_anti —
+    including null probe keys, which an anti-join always KEEPS."""
+    from mfdb_hafro_etl_spark.operators.skew import hot_key_anti_join
+
+    probe = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(probe_keys)], "row_id LONG, k LONG"
+    )
+    hot = spark.createDataFrame([(k,) for k in hot_keys], "k LONG")
+    got = {
+        (r["row_id"], r["k"])
+        for r in hot_key_anti_join(probe, hot, on=["k"], max_broadcast_keys=cap).collect()
+    }
+    want = {
+        (r["row_id"], r["k"])
+        for r in probe.join(hot, on=["k"], how="left_anti").collect()
+    }
+    assert got == want
