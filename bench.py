@@ -120,10 +120,11 @@ def main() -> None:
     # first-touch of a table's parquet footers), which reads as a
     # phantom 2-6x regression on an individual query between runs
     # (measured: f5_like_regex 0.27-6.5 s across runs at an identical
-    # suite position with identical code). min-of-2 on queries over
+    # suite position with identical code). min-of-2 (a third run only
+    # when the first two disagree >10%) on queries over
     # BENCH_RETIME_ABOVE seconds reports the plan's warm cost while
     # bounding the extra wall time to the slow tail. 0 disables.
-    # Sub-second queries get the same min-of-2 treatment (default on,
+    # Sub-second queries get the same treatment (default on,
     # BENCH_RETIME_SMALL=0 disables): tiny kernel/multimodal arms
     # swing ±40% run-to-run from GC/JIT noise alone, which made every
     # cross-round comparison of them a hand-adjudication between
@@ -138,13 +139,24 @@ def main() -> None:
             )
 
         for name in [n for n in names if _wants_retime(timings[n])]:
-            t0 = time.perf_counter()
-            materialize(QUERIES[name](spark, sf_dir))
-            timings[name] = min(
-                timings[name], round(time.perf_counter() - t0, 3)
-            )
+            # up to two re-runs, stopping when consecutive timings
+            # agree within 10%: min-of-2 alone still left ~25% of
+            # sub-second arms spreading >1.2x across runs (the floor
+            # itself shifts with JIT/heap state), and one extra
+            # re-run only for the unstable arms stabilizes them at
+            # ~seconds of added wall
+            for _ in range(2):
+                t0 = time.perf_counter()
+                materialize(QUERIES[name](spark, sf_dir))
+                took = round(time.perf_counter() - t0, 3)
+                stable = abs(took - timings[name]) <= 0.1 * max(
+                    took, timings[name]
+                )
+                timings[name] = min(timings[name], took)
+                release_storage()
+                if stable:
+                    break
             print(json.dumps({"query": name, "sec": timings[name]}), flush=True)
-            release_storage()
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -192,11 +204,16 @@ def main() -> None:
             shared = sorted(set(prev["queries"]) & set(timings))
             sp = round(sum(prev["queries"][n] for n in shared), 3)
             sn = round(sum(timings[n] for n in shared), 3)
+            # a regression must clear BOTH a ratio and an absolute
+            # floor: sub-second arms shift ±0.1-0.3 s between JVMs
+            # (JIT/heap state — re-timing within one JVM can't remove
+            # it), so a bare ratio gate reads that jitter as drift
             regress = sorted(
                 (
                     (n, prev["queries"][n], timings[n])
                     for n in shared
                     if timings[n] > max(prev["queries"][n], 0.2) * 1.3
+                    and timings[n] - prev["queries"][n] > 0.3
                 ),
                 key=lambda t: t[1] - t[2],
             )[:3]
