@@ -139,19 +139,21 @@ def main() -> None:
             )
 
         for name in [n for n in names if _wants_retime(timings[n])]:
-            # up to two re-runs, stopping when consecutive timings
+            # up to two re-runs, stopping when CONSECUTIVE timings
             # agree within 10%: min-of-2 alone still left ~25% of
             # sub-second arms spreading >1.2x across runs (the floor
-            # itself shifts with JIT/heap state), and one extra
-            # re-run only for the unstable arms stabilizes them at
-            # ~seconds of added wall
+            # itself shifts with JIT/heap state). Only the unstable
+            # minority pays the second re-run — for the slow tail
+            # that can be a full extra execution of a
+            # tens-of-seconds query, the price of not reporting its
+            # 2-6x GC/footer jitter as a phantom regression.
+            prev_took = timings[name]
             for _ in range(2):
                 t0 = time.perf_counter()
                 materialize(QUERIES[name](spark, sf_dir))
                 took = round(time.perf_counter() - t0, 3)
-                stable = abs(took - timings[name]) <= 0.1 * max(
-                    took, timings[name]
-                )
+                stable = abs(took - prev_took) <= 0.1 * max(took, prev_took)
+                prev_took = took
                 timings[name] = min(timings[name], took)
                 release_storage()
                 if stable:

@@ -304,15 +304,17 @@ def minhash_lsh_pairs(
         .filter(F.col("__bdf__") > max_bucket_df)
         .select("band", "val")
     )
-    # bounded-collect gate (skew.hot_key_anti_join): the over-gate
+    # runtime-sized gate (skew.hot_key_anti_join): the over-gate
     # key count is unbounded (worst case ~n_docs·n_bands/max_bucket_df
     # at a boilerplate-heavy corpus), so a forced broadcast could OOM
     # at exactly the scales the gate protects — but an unhinted join
     # makes the band-exploded probe side write a full shuffle before
-    # AQE's runtime broadcast conversion. The helper collects up to a
-    # cap: small set → broadcast local relation (map-side drop, no
-    # probe shuffle), empty → no join at all, huge → unhinted
-    # shuffled anti-join that degrades instead of failing.
+    # AQE's runtime broadcast conversion. The helper persists+counts
+    # the key set (one build, eager job at call time): small set →
+    # broadcast local relation (map-side drop, no probe shuffle),
+    # empty → no join at all, huge → shuffled anti-join over the
+    # CACHED keys (pinned until release_cached_intermediates) that
+    # degrades instead of failing.
     exploded = hot_key_anti_join(exploded, hot, on=["band", "val"])
     left = exploded.select(F.col(id_col).alias("id_a"), "band", "val")
     right = exploded.select(F.col(id_col).alias("id_b"), "band", "val")

@@ -385,7 +385,7 @@ def fuzzy_trigram_join(
     GENERATION — the k² fan-out gate — while Jaccard denominators
     still count full trigram sets, so gated pairs' similarity is an
     underestimate (standard stop-gram tradeoff). The gate is a
-    bounded-collect anti-join (skew.hot_key_anti_join) against the
+    runtime-sized anti-join (skew.hot_key_anti_join) against the
     over-gate gram set from a partial-aggregated groupBy: a small
     set (the common case) becomes a broadcast local relation, making
     the gate map-side so a boilerplate gram's rows are dropped
@@ -393,7 +393,7 @@ def fuzzy_trigram_join(
     bounded at max_df per side — no count-window funneling the hot
     gram into one partition just to measure it, and no forced
     build-side OOM when the gram set is itself huge (over the cap it
-    degrades to a shuffled anti-join).
+    degrades to a shuffled anti-join over the cached key set).
     Trigrams come from one regexp lookahead (no higher-order lambda;
     strings shorter than 3 chars produce no trigrams and never
     match)."""
@@ -416,11 +416,13 @@ def fuzzy_trigram_join(
             .filter(F.col("__df__") > max_df)
             .select("g")
         )
-        # bounded-collect gate (skew.hot_key_anti_join): small
-        # over-gate sets (the common case) become a broadcast local
-        # relation so the gram-exploded probe never shuffles; an
-        # unbounded boilerplate set falls back to the unhinted
-        # shuffled anti-join instead of a forced-broadcast OOM.
+        # runtime-sized gate (skew.hot_key_anti_join, persist+count):
+        # small over-gate sets (the common case) become a broadcast
+        # local relation so the gram-exploded probe never shuffles;
+        # an unbounded boilerplate set falls back to a shuffled
+        # anti-join over the cached keys (pinned until
+        # release_cached_intermediates) instead of a forced-broadcast
+        # OOM.
         return hot_key_anti_join(side, hot, on=["g"])
 
     lt_g = gate(lt)

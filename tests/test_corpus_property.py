@@ -252,18 +252,21 @@ def test_text_single_pass_equals_array_formulations(spark, texts):
     texts=st.lists(_text, min_size=1, max_size=15),
     n=st.integers(min_value=2, max_value=4),
     min_df=st.integers(min_value=2, max_value=3),
+    # small values so the UPPER gate actually trips on a ≤15-doc
+    # corpus (the repetitive word pool makes shared grams common);
+    # the large value pins the gate-open path
+    max_df=st.sampled_from([2, 3, 5, 1000]),
 )
 @settings(**_SETTINGS)
-def test_duplicate_spans_matches_python_reference(spark, texts, n, min_df):
+def test_duplicate_spans_matches_python_reference(spark, texts, n, min_df, max_df):
     """duplicate_spans over adversarial corpora (empty tokens, CJK,
     repeated words) must equal a brute-force Python reference:
     positional n-grams over split(' ') tokens, grams kept when their
     distinct-doc frequency is in [min_df, max_df], adjacent kept
     positions merged into maximal islands. Pins the xxhash64 gram
-    keys (equality-only) against the raw-string semantics."""
+    keys (equality-only) against the raw-string semantics, with the
+    SAME max_df passed to both sides so the upper gate is exercised."""
     from mfdb_hafro_etl_spark.operators import dedup as dd
-
-    max_df = 1000
 
     def ref_spans(docs):
         gram_docs: dict[tuple, set] = {}
@@ -300,7 +303,9 @@ def test_duplicate_spans_matches_python_reference(spark, texts, n, min_df):
     df = spark.createDataFrame(docs, "doc_id INT, text STRING")
     got = {
         (r["doc_id"], r["span_start"], r["span_end"], r["n_dup_grams"])
-        for r in dd.duplicate_spans(df, "doc_id", "text", n=n, min_df=min_df).collect()
+        for r in dd.duplicate_spans(
+            df, "doc_id", "text", n=n, min_df=min_df, max_df=max_df
+        ).collect()
     }
     assert got == ref_spans(docs)
 

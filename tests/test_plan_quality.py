@@ -551,13 +551,14 @@ def test_range_join_salt_probe_wide_intervals_do_not_oversalt(spark):
 
 
 def test_hot_key_anti_join_three_regimes(spark):
-    """The bounded-collect hot-key gate (skew.hot_key_anti_join) must
-    pick the join shape from the MATERIALIZED key count: empty set →
-    no join at all (probe plan unchanged), small set → broadcast-hash
-    LeftAnti against a local relation (map-side drop, the probe never
-    shuffles), over-cap set → unhinted shuffled anti-join that
-    degrades instead of forcing an unbounded broadcast build. Rows
-    are identical to a plain left_anti in every regime."""
+    """The runtime-sized hot-key gate (skew.hot_key_anti_join) must
+    pick the join shape from the MATERIALIZED key count (persist +
+    count, one build): empty set → no join at all (probe plan
+    unchanged), small set → broadcast-hash LeftAnti against a local
+    relation (map-side drop, the probe never shuffles), over-cap set
+    → shuffled anti-join over the cached keys that degrades instead
+    of forcing an unbounded broadcast build. Rows are identical to a
+    plain left_anti in every regime."""
     from mfdb_hafro_etl_spark.operators.skew import hot_key_anti_join
 
     probe = spark.createDataFrame(
