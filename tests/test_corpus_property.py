@@ -339,3 +339,83 @@ def test_hot_key_anti_join_equals_plain_left_anti(spark, probe_keys, hot_keys, c
         for r in probe.join(hot, on=["k"], how="left_anti").collect()
     }
     assert got == want
+
+
+@given(
+    points=st.lists(
+        st.floats(min_value=-1e4, max_value=1e4, allow_nan=False, width=32),
+        min_size=0,
+        max_size=25,
+    ),
+    intervals=st.lists(
+        st.tuples(
+            st.floats(min_value=-1e4, max_value=1e4, allow_nan=False, width=32),
+            st.floats(min_value=0.0, max_value=2e3, allow_nan=False, width=32),
+        ),
+        min_size=0,
+        max_size=15,
+    ),
+    bin_width=st.sampled_from([1.0, 37.5, 1000.0]),
+    salt=st.sampled_from([None, 1, 4]),
+)
+@settings(**_SETTINGS)
+def test_range_join_binned_equals_between_join(
+    spark, points, intervals, bin_width, salt
+):
+    """range_join_binned must be row-identical to the naive BETWEEN
+    join for ANY bin width and salt (the bins/salt are pure physical
+    layout): negative values, zero-width intervals, and boundary
+    equality (p == lo, p == hi, both inclusive) included. Pins the
+    salt-probe rewrite and the auto-salt path against semantics."""
+    from mfdb_hafro_etl_spark.operators.joins import range_join_binned
+
+    pts = spark.createDataFrame(
+        [(i, float(p)) for i, p in enumerate(points)], "pt_id LONG, p DOUBLE"
+    )
+    ivs = spark.createDataFrame(
+        [(j, float(lo), float(lo + w)) for j, (lo, w) in enumerate(intervals)],
+        "iv_id LONG, lo DOUBLE, hi DOUBLE",
+    )
+    got = {
+        (r["pt_id"], r["iv_id"])
+        for r in range_join_binned(
+            pts, ivs, point_col="p", lo_col="lo", hi_col="hi",
+            bin_width=bin_width, salt=salt,
+        ).select("pt_id", "iv_id").collect()
+    }
+    want = {
+        (i, j)
+        for i, p in enumerate(points)
+        for j, (lo, w) in enumerate(intervals)
+        if lo <= p <= lo + w
+    }
+    assert got == want
+
+
+@given(
+    large=st.lists(st.integers(min_value=0, max_value=4), min_size=0, max_size=30),
+    small=st.lists(st.integers(min_value=0, max_value=4), min_size=0, max_size=8),
+    buckets=st.sampled_from([1, 3, 16]),
+)
+@settings(**_SETTINGS)
+def test_salted_join_equals_plain_join(spark, large, small, buckets):
+    """salted_join output must be row-identical to the unsalted
+    equi-join for any bucket count — including duplicate keys on
+    both sides (the fan-out case where a salting bug would drop or
+    duplicate matches)."""
+    from mfdb_hafro_etl_spark.operators.skew import salted_join
+
+    l = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(large)], "l_id LONG, k LONG"
+    )
+    s = spark.createDataFrame(
+        [(j, k) for j, k in enumerate(small)], "s_id LONG, k LONG"
+    )
+    got = sorted(
+        (r["l_id"], r["s_id"])
+        for r in salted_join(l, s, on=["k"], salt_from=["k"], buckets=buckets).collect()
+    )
+    want = sorted(
+        (i, j) for i, lk in enumerate(large) for j, sk in enumerate(small) if lk == sk
+    )
+    assert got == want
