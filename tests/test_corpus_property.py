@@ -419,3 +419,45 @@ def test_salted_join_equals_plain_join(spark, large, small, buckets):
         (i, j) for i, lk in enumerate(large) for j, sk in enumerate(small) if lk == sk
     )
     assert got == want
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=0, max_size=25
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=0, max_size=20
+    ),
+)
+@settings(**_SETTINGS)
+def test_asof_join_matches_merge_asof_reference(spark, left, right):
+    """The union+window as-of construction must reproduce backward
+    merge_asof semantics exactly: per left row, the LATEST right row
+    with right.on <= left.on in the same group — inclusive at equal
+    timestamps, null when no right row precedes, groups independent.
+    Right-side (by, on) ties are collapsed upstream (documented
+    contract), so the reference is deterministic."""
+    from mfdb_hafro_etl_spark.operators.joins import asof_join
+
+    # unique (g, ts) on the right: the operator documents arbitrary
+    # tie resolution, so the property avoids ties by construction
+    right = list({(g, t): None for g, t in right}.keys())
+    l = spark.createDataFrame(
+        [(i, g, float(t)) for i, (g, t) in enumerate(left)],
+        "l_id LONG, g LONG, ts DOUBLE",
+    )
+    r = spark.createDataFrame(
+        [(g, float(t), 100 * g + t) for g, t in right],
+        "g LONG, ts DOUBLE, v LONG",
+    )
+    got = {
+        r_["l_id"]: r_["v_asof"]
+        for r_ in asof_join(
+            l, r, on="ts", by=["g"], value_cols=["v"]
+        ).collect()
+    }
+    want = {}
+    for i, (g, t) in enumerate(left):
+        matches = [(rt, 100 * rg + rt) for rg, rt in right if rg == g and rt <= t]
+        want[i] = max(matches)[1] if matches else None
+    assert got == want
