@@ -29,6 +29,7 @@ from pyspark.sql.types import StringType
 
 from mfdb_hafro_etl_spark.operators.skew import hot_key_anti_join
 from mfdb_hafro_etl_spark.operators.text import tokens
+from mfdb_hafro_etl_spark.session import _leaf_scan_bytes, pin_to_result
 
 
 def _spread_by_id(df: DataFrame, id_col: str, partitions: int | None = None) -> DataFrame:
@@ -123,10 +124,17 @@ def ngram_jaccard_pairs(
     # count) needs only shingle EQUALITY, and xxhash64 preserves
     # equality while cutting the shuffle key from ~20-40 UTF-8 bytes
     # to 8 (the heaviest dedup arm's x100 cost was string key
-    # shuffle volume). A within-doc collision merging two distinct
-    # shingles has probability ~(shingles_per_doc)²/2⁶⁵ — negligible
-    # against the 64-bit space (the SQL oracle keeps raw strings;
-    # outputs agree because only equality semantics matter).
+    # shuffle volume). Collision analysis, both directions: a
+    # WITHIN-doc collision merges two distinct shingles of one set
+    # (~shingles_per_doc²/2⁶⁵ per doc); a CROSS-doc collision maps
+    # different shingles of two docs to one key, inflating n_inter
+    # (and the df gate) — unlike the raw-string SQL oracle, which
+    # never collides, so this is the direction that could DISAGREE
+    # with the oracle. Its probability is bounded by the birthday
+    # term over ALL distinct shingles, ~(corpus_distinct_shingles)²/
+    # 2⁶⁵ — at 10¹² distinct shingles (100 TB-ish) that is ~10⁻⁸ per
+    # corpus, and at test scale ~10⁻¹⁶; accepted as the standard
+    # fingerprinting trade (same bound as minhash banding itself).
     #
     # NO cache on `sh`, deliberately: wrapping the shingle table in
     # InMemoryRelation puts a TableCacheQueryStage under each
@@ -261,8 +269,12 @@ def minhash_lsh_pairs(
     """
     assert k % rows_per_band == 0
     # the shingle table feeds both signature generation and candidate
-    # verification — cache it so the explode runs once
+    # verification — cache it so the explode runs once. All pins in
+    # this operator are scoped to the returned DataFrame's lifetime
+    # (session.pin_to_result at the return).
+    pinned: list[DataFrame] = []
     sh = shingle_table(df, id_col, text_col, n).cache()
+    pinned.append(sh)
     # cache the signatures too: the band-exploded table feeds THREE
     # consumers (the hot-bucket count and both self-join sides), and
     # without the cache each re-runs the full signature aggregation
@@ -275,6 +287,7 @@ def minhash_lsh_pairs(
         .agg(*_minhash_min_exprs(k))
         .cache()
     )
+    pinned.append(sig)
     # eager fill: the three consumers (hot-bucket count, both
     # self-join sides) are planned into ONE job whose stages run
     # concurrently — each would miss the still-empty cache and
@@ -315,7 +328,7 @@ def minhash_lsh_pairs(
     # empty → no join at all, huge → shuffled anti-join over the
     # CACHED keys (pinned until release_cached_intermediates) that
     # degrades instead of failing.
-    exploded = hot_key_anti_join(exploded, hot, on=["band", "val"])
+    exploded = hot_key_anti_join(exploded, hot, on=["band", "val"], pins=pinned)
     left = exploded.select(F.col(id_col).alias("id_a"), "band", "val")
     right = exploded.select(F.col(id_col).alias("id_b"), "band", "val")
     candidates = (
@@ -341,7 +354,7 @@ def minhash_lsh_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
-    return (
+    return pin_to_result(
         inter.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn(
@@ -351,7 +364,8 @@ def minhash_lsh_pairs(
             ),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select("id_a", "id_b", "jaccard"),
+        pinned,
     )
 
 
@@ -825,6 +839,17 @@ def dedup_against(
     return exact.unionByName(near)
 
 
+#: compressed leaf-scan bytes below which duplicate_spans skips its
+#: eager cache: the positional-gram explode fans text out ~10×, so
+#: above this the double explode an uncached plan runs (one per
+#: consumer — see the cache comment in the function) costs far more
+#: than the materialization barrier (measured 29.2 s uncached vs
+#: 6.2 s cached at the 60 MB 100× fixture), while below it the
+#: barrier is pure toll on sub-second inputs (the r6 bench flagged
+#: sf0.1's 0.6 MB documents drifting 1.46→2.02 s from exactly this).
+_SPANS_CACHE_MIN_BYTES = 8 << 20
+
+
 def duplicate_spans(
     df: DataFrame,
     id_col: str,
@@ -832,6 +857,7 @@ def duplicate_spans(
     n: int = 8,
     min_df: int = 2,
     max_df: int = 10000,
+    cache_min_bytes: int = _SPANS_CACHE_MIN_BYTES,
 ) -> DataFrame:
     """Exact duplicate-span detection (the substring-dedup method of
     'Deduplicating Training Data Makes Language Models Better'): for
@@ -850,6 +876,11 @@ def duplicate_spans(
     per doc, integer arithmetic only, so the oracle hash has no
     float hazards. Shuffles: gram-hash groupBy + doc-keyed window.
 
+    The positional-gram table is eagerly cached only when the input
+    scan exceeds ``cache_min_bytes`` (compressed leaf bytes; see
+    _SPANS_CACHE_MIN_BYTES) — the pin is scoped to the returned
+    DataFrame's lifetime via session.pin_to_result.
+
     Returns (id, span_start, span_end, n_dup_grams): token indices,
     0-based, span_end inclusive of the last token of the last
     duplicated n-gram.
@@ -863,7 +894,11 @@ def duplicate_spans(
     # shuffle bytes instead of a 32-char md5 hex string — the h
     # shuffle moves the full positional-gram table, the operator's
     # widest. The SQL oracle keeps raw gram strings; span outputs
-    # agree because only equality semantics matter.
+    # agree because only equality semantics matter — up to the same
+    # two collision terms as ngram_jaccard_pairs' keys (see the
+    # comment there): within-doc and cross-doc 64-bit collisions,
+    # the cross-doc one being the oracle-divergent direction,
+    # bounded by (corpus_distinct_grams)²/2⁶⁵.
     grams = F.transform(
         F.sequence(F.lit(0), F.size(toks) - n),
         lambda i: F.struct(
@@ -876,7 +911,6 @@ def duplicate_spans(
         .filter(F.size(toks) >= n)
         .select(F.col(id_col), F.explode(grams).alias("g"))
         .select(F.col(id_col), F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
-        .cache()
     )
     # eager fill (see minhash_lsh_pairs): the df-count branch and the
     # hits join both consume pos_grams inside one job — a lazy cache
@@ -890,7 +924,19 @@ def duplicate_spans(
     # re-ran per consumer). Contrast ngram_jaccard_pairs, where both
     # consumers are IDENTICAL window inputs and the uncached shared
     # exchange wins.
-    pos_grams.count()
+    #
+    # BYTE-GATED (the spread_for_kernel discipline, session.py):
+    # below ``cache_min_bytes`` of compressed leaf input the barrier
+    # is pure toll — let the explode run twice. Unknown stats
+    # (RDD-backed inputs) read as huge and take the conservative
+    # cache path; the pin is scoped to the returned DataFrame's
+    # lifetime (pin_to_result below).
+    pinned: list[DataFrame] = []
+    nbytes = _leaf_scan_bytes(df)
+    if nbytes is None or nbytes >= cache_min_bytes:
+        pos_grams = pos_grams.cache()
+        pos_grams.count()
+        pinned.append(pos_grams)
     dfs = (
         pos_grams.groupBy("h")
         .agg(F.countDistinct(id_col).alias("gdf"))
@@ -901,12 +947,219 @@ def duplicate_spans(
     islands = hits.withColumn(
         "__isl__", F.col("pos") - F.row_number().over(w)
     )
-    return (
+    return pin_to_result(
         islands.groupBy(id_col, "__isl__")
         .agg(
             F.min("pos").alias("span_start"),
             (F.max("pos") + n - 1).alias("span_end"),
             F.count(F.lit(1)).alias("n_dup_grams"),
         )
-        .drop("__isl__")
+        .drop("__isl__"),
+        pinned,
     )
+
+
+# ---------------------------------------------------------------------
+# materialized incremental LSH index (standing dedup service)
+# ---------------------------------------------------------------------
+
+#: index layout version written to _index_meta.json
+_LSH_INDEX_VERSION = 1
+
+
+def _lsh_index_meta_path(path: str) -> str:
+    import os
+
+    return os.path.join(path, "_index_meta.json")
+
+
+def _lsh_index_write_meta(path: str, params: dict) -> None:
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    with open(_lsh_index_meta_path(path), "w") as f:
+        json.dump({"version": _LSH_INDEX_VERSION, **params}, f)
+
+
+def _lsh_index_check_meta(path: str, params: dict) -> None:
+    import json
+
+    with open(_lsh_index_meta_path(path)) as f:
+        meta = json.load(f)
+    mismatched = {
+        k: (meta.get(k), v) for k, v in params.items() if meta.get(k) != v
+    }
+    if mismatched:
+        raise ValueError(
+            "LSH index parameter mismatch — an index probed or appended "
+            "with different (n, k, rows_per_band) silently loses recall; "
+            f"index at {path} has {mismatched} (stored, requested). "
+            "Rebuild with lsh_index_write or pass the stored parameters."
+        )
+
+
+def lsh_index_write(
+    corpus: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 8,
+    rows_per_band: int = 2,
+    _mode: str = "overwrite",
+) -> None:
+    """Materialize the corpus-side dedup index ONCE: the MinHash band
+    table (``path``/bands, parquet partitioned by band) and the exact
+    content-hash table (``path``/exact: md5, doc id). This is the
+    100 TB shape dedup_against's docstring promises: the corpus side
+    of a standing dedup service is built alongside the corpus and
+    PROBED per increment, never recomputed (cf. reference R dims
+    materialized once and joined per import, R/initdb.R:151).
+
+    Appends (lsh_index_append) add one file set per increment;
+    lsh_index_compact folds the accumulated small files back to scan-
+    efficient sizes (sinks.tables.compact_partitions — partition-local
+    rewrites, never the whole index). The exact table stores RAW
+    (hash, id) rows — min-id resolution happens at probe time over
+    the (increment-sized) matched subset, which keeps appends
+    blind-write-only: no read-modify-write race, idempotent retries
+    by data_source are the caller's replace_by_source pattern.
+    Parameters are pinned in _index_meta.json and validated on every
+    append/probe — probing with mismatched (n, k, rows_per_band)
+    would silently lose recall. At catalog-backed deployments, bucket
+    the band table by ``val`` (sinks.tables.materialize_bucketed) so
+    the probe join is shuffle-free on the corpus side; plain parquet
+    keeps this path-only and hermetic."""
+    import os
+
+    params = {"n": n, "k": k, "rows_per_band": rows_per_band}
+    if _mode == "overwrite":
+        _lsh_index_write_meta(path, params)
+    else:
+        _lsh_index_check_meta(path, params)
+    bands = lsh_band_table(corpus, id_col, text_col, n, k, rows_per_band)
+    bands.withColumnRenamed(id_col, "cid").write.mode(_mode).partitionBy(
+        "band"
+    ).parquet(os.path.join(path, "bands"))
+    exact = corpus.select(
+        F.md5(F.col(text_col)).alias("h"), F.col(id_col).alias("cid")
+    )
+    exact.write.mode(_mode).parquet(os.path.join(path, "exact"))
+
+
+def lsh_index_append(
+    batch: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 8,
+    rows_per_band: int = 2,
+) -> None:
+    """Append one increment to a materialized dedup index (see
+    lsh_index_write): computes the increment's band + exact rows and
+    blind-appends them — probe-vs-appended-index is row-identical to
+    probe-vs-rebuilt-index (pinned by tests/test_corpus_ops.py)
+    because both probes resolve min-id over the UNION of all appended
+    rows. Run lsh_index_compact periodically: every append adds a
+    file set, and thousand-increment indexes pay per-file footer
+    reads until compacted."""
+    lsh_index_write(
+        batch, path, id_col, text_col, n, k, rows_per_band, _mode="append"
+    )
+
+
+def lsh_index_compact(spark: SparkSession, path: str) -> dict:
+    """Fold accumulated append files back to scan-efficient sizes.
+    Partition-local rewrites only (sinks.tables.compact_partitions);
+    row set is invariant. Returns the per-subtable compaction
+    reports."""
+    import os
+
+    from mfdb_hafro_etl_spark.sinks.tables import compact_partitions
+
+    return {
+        "bands": compact_partitions(spark, os.path.join(path, "bands"), ["band"]),
+        # the exact table is unpartitioned: compact through a
+        # constant pseudo-partition rewrite is not applicable; fold
+        # it by plain rewrite only when fragmented
+        "exact": _compact_flat(spark, os.path.join(path, "exact")),
+    }
+
+
+def _compact_flat(
+    spark: SparkSession, path: str, target_bytes: int = 128 * 1024 * 1024
+) -> dict:
+    """Compact an UNPARTITIONED parquet dir: rewrite via a staging
+    dir when files average under target_bytes/2 (same criterion as
+    compact_partitions, without partition pruning — the table is one
+    logical partition)."""
+    import shutil
+    import tempfile
+
+    from mfdb_hafro_etl_spark.sinks.tables import table_file_stats
+
+    stats = table_file_stats(spark, path)
+    n_files = sum(n for _, n, _ in stats)
+    n_bytes = sum(b for _, _, b in stats)
+    if n_files <= 1 or n_bytes / n_files >= target_bytes / 2:
+        return {"compacted": [], "files_before": n_files, "files_after": n_files}
+    staged = tempfile.mkdtemp(prefix="compact_flat_")
+    try:
+        df = spark.read.parquet(path)
+        df.repartition(max(1, 1 + n_bytes // target_bytes)).write.mode(
+            "overwrite"
+        ).parquet(staged)
+        spark.read.parquet(staged).write.mode("overwrite").parquet(path)
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+    after = sum(n for _, n, _ in table_file_stats(spark, path))
+    return {"compacted": [path], "files_before": n_files, "files_after": after}
+
+
+def dedup_against_index(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """dedup_against, probing a MATERIALIZED index instead of
+    recomputing the corpus side per batch: same output contract
+    ((id, dup_kind, match_id); exact = identical text, near = shares
+    an LSH band bucket, exact wins). Only increment-sized data
+    shuffles: both probes are equi-joins of the batch against the
+    index scan, min-id aggregation happens over MATCHED rows only
+    (the semi-join keeps it increment-sized), and the corpus is
+    never re-shingled."""
+    import os
+
+    _lsh_index_check_meta(
+        path, {"n": n, "k": k, "rows_per_band": rows_per_band}
+    )
+    exact_index = spark.read.parquet(os.path.join(path, "exact"))
+    b_hash = batch.select(F.col(id_col), F.md5(F.col(text_col)).alias("h"))
+    exact = (
+        b_hash.join(exact_index, on="h")
+        .groupBy(id_col)
+        .agg(F.min("cid").alias("match_id"))
+        .select(F.col(id_col), F.lit("exact").alias("dup_kind"), "match_id")
+    )
+    corpus_bands = spark.read.parquet(os.path.join(path, "bands"))
+    batch_bands = lsh_band_table(batch, id_col, text_col, n, k, rows_per_band)
+    near_all = (
+        batch_bands.join(
+            corpus_bands.select("band", "val", F.col("cid").alias("__mid__")),
+            on=["band", "val"],
+        )
+        .groupBy(id_col)
+        .agg(F.min("__mid__").alias("match_id"))
+    )
+    near = near_all.join(exact.select(id_col), on=id_col, how="left_anti").select(
+        F.col(id_col), F.lit("near").alias("dup_kind"), "match_id"
+    )
+    return exact.unionByName(near)

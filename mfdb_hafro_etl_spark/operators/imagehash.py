@@ -1,0 +1,248 @@
+"""Perceptual image hashing + Hamming-banded near-duplicate pairs.
+
+No reference counterpart (the driver's extension scope): multimodal
+corpus dedup. The repo already pays for REAL pixel decode
+(operators/jpegcodec.py, operators/imagecodec.py); this module turns
+decoded pixels into a 64-bit perceptual hash (pHash: downscale → DCT
+→ sign-vs-median) and pairs near-identical images with the same
+banding discipline as the text dedup family (dedup.py simhash /
+minhash banding) — candidates form on exact band equality, NEVER an
+all-pairs scan, then verify with an exact popcount.
+
+Cross-engine determinism: the DCT uses a FIXED-POINT integer cosine
+table (floor(cos·2¹⁴ + 0.5) — the same engine-portability discipline
+as the suite's rational idf and floor-quantized doubles), so the
+whole hash is exact int64 arithmetic that a SQL oracle reproduces
+bit-for-bit. The table's 256 entries were checked to sit ≥0.01 away
+from any rounding boundary, so libm last-ulp differences between
+engines cannot flip an entry.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mfdb_hafro_etl_spark.operators.skew import hot_key_anti_join
+from mfdb_hafro_etl_spark.session import (
+    ensure_package_shipped,
+    pin_to_result,
+    spread_for_kernel,
+)
+
+#: fixed-point scale for the DCT cosine table (2^14: big enough that
+#: sign decisions match the float DCT on natural images, small enough
+#: that the int64 accumulation 16384·255·32·16384·32 ≈ 7·10¹³ stays
+#: far inside int64)
+PHASH_SCALE = 1 << 14
+
+#: pooled image edge (standard pHash: 32) and hash grid edge (8)
+PHASH_POOL = 32
+PHASH_GRID = 8
+
+
+def _dct_table() -> "np.ndarray":
+    """8×32 int64 fixed-point DCT-II basis:
+    C[u][x] = floor(cos(π·(2x+1)·u / 64) · 2¹⁴ + 0.5)."""
+    import numpy as np
+
+    return np.array(
+        [
+            [
+                math.floor(
+                    math.cos(math.pi * (2 * x + 1) * u / (2 * PHASH_POOL))
+                    * PHASH_SCALE
+                    + 0.5
+                )
+                for x in range(PHASH_POOL)
+            ]
+            for u in range(PHASH_GRID)
+        ],
+        dtype=np.int64,
+    )
+
+
+def phash64(img: "np.ndarray") -> int:
+    """64-bit perceptual hash of a decoded image (H×W or H×W×C
+    uint8): grayscale → 32×32 integer box-pool → top-left 8×8 of the
+    fixed-point 2D DCT-II → bit k=8u+v set iff coeff[u,v] exceeds the
+    LOWER MEDIAN (32nd smallest) of the 64 coefficients (DC
+    included — its bit is nearly always set, a documented 1-bit
+    spend that keeps the median rank engine-portable for an even
+    count). Returned as a signed int64 (bit 63 wraps negative).
+
+    Integer-exactness contract (what makes the SQL oracle possible):
+    - grayscale = floor-mean over channels (integer division);
+    - pooling = floor(block_sum / block_area) per cell, blocks from
+      floor-spaced edges (i·H//32 … (i+1)·H//32), each clamped to at
+      least one pixel — for H=W=32 the pool is the identity, for
+      divisible dims the exact floored mean, and for dims < 32 it
+      degenerates to nearest-neighbor upsampling;
+    - DCT = C · P · Cᵀ with the int64 table (no floats anywhere).
+    """
+    import numpy as np
+
+    a = np.asarray(img)
+    if a.ndim == 3:
+        a = a.astype(np.int64).sum(axis=2) // a.shape[2]
+    else:
+        a = a.astype(np.int64)
+    h, w = a.shape
+    if h % PHASH_POOL == 0 and w % PHASH_POOL == 0:
+        if (h, w) != (PHASH_POOL, PHASH_POOL):
+            # vectorized exact path for divisible dims (the common
+            # real-image shape after a resize stage): one reshape-sum,
+            # identical by construction to the per-cell floored mean
+            # (equal block areas) — the general loop below measured
+            # ~5 ms/image, which dominated the whole decode+hash arm
+            by, bx = h // PHASH_POOL, w // PHASH_POOL
+            a = a.reshape(PHASH_POOL, by, PHASH_POOL, bx).sum(axis=(1, 3)) // (
+                by * bx
+            )
+    else:
+        ye = [i * h // PHASH_POOL for i in range(PHASH_POOL + 1)]
+        xe = [j * w // PHASH_POOL for j in range(PHASH_POOL + 1)]
+        pooled = np.empty((PHASH_POOL, PHASH_POOL), dtype=np.int64)
+        for i in range(PHASH_POOL):
+            for j in range(PHASH_POOL):
+                y0 = min(ye[i], h - 1)
+                x0 = min(xe[j], w - 1)
+                blk = a[y0 : max(ye[i + 1], y0 + 1), x0 : max(xe[j + 1], x0 + 1)]
+                pooled[i, j] = int(blk.sum()) // blk.size
+        a = pooled
+    c = _dct_table()
+    d = c @ a @ c.T  # 8×8 int64, exact
+    flat = d.ravel()
+    med = int(np.sort(flat)[(flat.size // 2) - 1])  # lower median
+    bits = 0
+    for k, v in enumerate(flat.tolist()):
+        if v > med:
+            bits |= 1 << k
+    if bits >= 1 << 63:
+        bits -= 1 << 64
+    return bits
+
+
+def image_phash(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """(id, phash): REAL pixel decode (imagecodec.decode_pixels —
+    stdlib PNG, pure-numpy baseline JPEG) → :func:`phash64`, Arrow-
+    batched and map-only over spread_for_kernel input (codec CPU is
+    ~10³× scan CPU — the same fan-out rationale as
+    multimodal.decode_image_stats). Undecodable payloads raise;
+    header-screen with decode_media_meta first if tolerance is
+    needed."""
+    ensure_package_shipped(media.sparkSession)
+
+    def gen(batches):
+        import pandas as pd
+
+        from mfdb_hafro_etl_spark.operators import imagecodec as ic
+
+        for pdf in batches:
+            hashes = [
+                phash64(ic.decode_pixels(bytes(b))) for b in pdf["content"]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], "phash": hashes})
+
+    src = spread_for_kernel(media.select(id_col, "content"))
+    id_type = src.schema[id_col].dataType.simpleString()
+    return src.mapInPandas(gen, schema=f"{id_col} {id_type}, phash long")
+
+
+def hamming_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_distance: int = 7,
+    n_bands: int = 8,
+    max_bucket_df: int = 100_000,
+) -> DataFrame:
+    """Near-duplicate pairs under Hamming distance over a 64-bit
+    hash column (pHash, SimHash): (id_a, id_b, hamming) with
+    id_a < id_b and hamming ≤ ``max_distance``.
+
+    Scale shape — banded, never all-pairs: the hash splits into
+    ``n_bands`` disjoint bit bands; by pigeonhole any pair within
+    Hamming ``max_distance`` < n_bands agrees EXACTLY on ≥1 band, so
+    candidates come from a band-value equi self-join (the
+    minhash/simhash band idiom, dedup.py) with COMPLETE recall —
+    the asserted max_distance < n_bands makes the banding a pure
+    optimization, bit-identical to the quadratic scan an oracle
+    runs. Verification is one popcount per candidate
+    (bit_count(xor)). ``max_bucket_df`` is the hot-bucket gate
+    (identical discipline and mechanism to minhash_lsh_pairs): a
+    band value shared by B images fans out B²/2 candidates in one
+    task, so over-gate buckets drop via the runtime-sized
+    skew.hot_key_anti_join BEFORE the join — their members are
+    exact/flat-image duplicates that exact dedup on the full hash
+    handles at linear cost. Over-cap pins are scoped to the
+    returned DataFrame (session.pin_to_result)."""
+    assert 0 <= max_distance < n_bands, (
+        "banding guarantees complete recall only for "
+        "max_distance < n_bands"
+    )
+    assert 64 % n_bands == 0
+    # eager-cache the hash table (the minhash_lsh_pairs signature
+    # rule: agg + join consumers need different partitionings, so
+    # ReusedExchange can't help): THREE consumers read it inside one
+    # job — the hot-bucket count and both self-join sides — and the
+    # input is typically the output of a codec kernel costing ~ms
+    # per row, which would otherwise run once PER consumer
+    # (measured: 9.7 s → ~3 s on the 5k-image suite arm). The table
+    # is (id, int64) — doc-count-sized, the cheapest thing in the
+    # plan to pin — so no byte gate is needed; the pin is scoped to
+    # the returned DataFrame (session.pin_to_result).
+    df = df.select(id_col, hash_col).cache()
+    df.count()
+    pinned: list[DataFrame] = [df]
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col(hash_col), b * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("val"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    exploded = df.select(
+        F.col(id_col), F.col(hash_col), F.explode(bands).alias("bv")
+    ).select(
+        F.col(id_col),
+        F.col(hash_col),
+        F.col("bv.band").alias("band"),
+        F.col("bv.val").alias("val"),
+    )
+    hot = (
+        exploded.groupBy("band", "val")
+        .agg(F.count(F.lit(1)).alias("__bdf__"))
+        .filter(F.col("__bdf__") > max_bucket_df)
+        .select("band", "val")
+    )
+    exploded = hot_key_anti_join(exploded, hot, on=["band", "val"], pins=pinned)
+    a = exploded.select(
+        F.col(id_col).alias("id_a"), F.col(hash_col).alias("__ha__"), "band", "val"
+    )
+    b = exploded.select(
+        F.col(id_col).alias("id_b"), F.col(hash_col).alias("__hb__"), "band", "val"
+    )
+    cand = (
+        a.join(b, on=["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__ha__", "__hb__")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pin_to_result(
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("__ha__").bitwiseXOR(F.col("__hb__"))),
+        )
+        .filter(F.col("hamming") <= max_distance)
+        .select("id_a", "id_b", "hamming"),
+        pinned,
+    )

@@ -21,6 +21,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from mfdb_hafro_etl_spark.operators.skew import hot_key_anti_join
+from mfdb_hafro_etl_spark.session import pin_to_result
 
 
 def dim_join(
@@ -420,11 +421,12 @@ def fuzzy_trigram_join(
         # small over-gate sets (the common case) become a broadcast
         # local relation so the gram-exploded probe never shuffles;
         # an unbounded boilerplate set falls back to a shuffled
-        # anti-join over the cached keys (pinned until
-        # release_cached_intermediates) instead of a forced-broadcast
-        # OOM.
-        return hot_key_anti_join(side, hot, on=["g"])
+        # anti-join over the cached keys (scoped to the returned
+        # DataFrame's lifetime via session.pin_to_result) instead of
+        # a forced-broadcast OOM.
+        return hot_key_anti_join(side, hot, on=["g"], pins=pinned)
 
+    pinned: list[DataFrame] = []
     lt_g = gate(lt)
     rt_g = gate(rt)
     inter = (
@@ -432,7 +434,7 @@ def fuzzy_trigram_join(
         .groupBy("id_l", "id_r")
         .agg(F.count(F.lit(1)).alias("i"))
     )
-    return (
+    return pin_to_result(
         inter.join(sizes_l, "id_l")
         .join(sizes_r, "id_r")
         .withColumn(
@@ -444,5 +446,6 @@ def fuzzy_trigram_join(
             F.col("id_l").alias(left_id),
             F.col("id_r").alias(right_id),
             "sim",
-        )
+        ),
+        pinned,
     )

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from mfdb_hafro_etl_spark.session import pin_to_result
+
 
 def term_stats(
     corpus: DataFrame, id_col: str = "doc_id", text_col: str = "text"
@@ -136,6 +138,7 @@ def tfidf_similar_pairs(
       over the same term partitioning the self-join shuffles on."""
     from pyspark.sql import Window
 
+    pinned: list[DataFrame] = []
     postings = (
         corpus.select(
             F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
@@ -144,6 +147,7 @@ def tfidf_similar_pairs(
         .agg(F.count(F.lit(1)).alias("tf"))
         .cache()
     )
+    pinned.append(postings)
     n_docs = corpus.select(F.countDistinct(id_col)).first()[0]
     weighted = (
         postings.withColumn(
@@ -157,10 +161,12 @@ def tfidf_similar_pairs(
         )
         .cache()
     )
+    pinned.append(weighted)
     # eager fill (see dedup.minhash_lsh_pairs): norms and both
     # self-join sides consume `weighted` inside one job — a lazy
     # cache is empty for all three, re-running the postings groupBy
-    # and the df window per consumer.
+    # and the df window per consumer. Pins are scoped to the
+    # returned DataFrame's lifetime (session.pin_to_result).
     weighted.count()
     norms = weighted.groupBy(id_col).agg(
         F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm")
@@ -176,12 +182,13 @@ def tfidf_similar_pairs(
     )
     na = norms.select(F.col(id_col).alias("id_a"), F.col("norm").alias("n_a"))
     nb = norms.select(F.col(id_col).alias("id_b"), F.col("norm").alias("n_b"))
-    return (
+    return pin_to_result(
         dots.join(na, "id_a")
         .join(nb, "id_b")
         .withColumn("cos_sim", F.round(F.col("dot") / (F.col("n_a") * F.col("n_b")), 6))
         .filter(F.col("cos_sim") >= threshold)
-        .select("id_a", "id_b", "cos_sim")
+        .select("id_a", "id_b", "cos_sim"),
+        pinned,
     )
 
 

@@ -44,6 +44,7 @@ def hot_key_anti_join(
     hot: DataFrame,
     on: Sequence[str],
     max_broadcast_keys: int = 100_000,
+    pins: list | None = None,
 ) -> DataFrame:
     """Anti-join ``probe`` against a derived hot-key set whose
     cardinality is unknown until runtime (the hot-bucket / stop-gram
@@ -67,13 +68,35 @@ def hot_key_anti_join(
     and the gate is truly map-side: the probe never shuffles. Zero
     hot keys skips the join entirely. Over the cap, fall back to a
     shuffled anti-join reading the CACHED keys (no rebuild), which
-    degrades instead of failing; that pin stays until
-    session.release_cached_intermediates, per the caching contract
-    these operators already document. The count is an eager job at
-    CALL time, also per that contract."""
+    degrades instead of failing. The count is an eager job at CALL
+    time, per the caching contract these operators document.
+
+    Pin lifecycle on the over-cap path: when the caller passes a
+    ``pins`` list, the persisted key set is appended to it and the
+    caller scopes it to ITS returned DataFrame (every in-package
+    caller does, via session.pin_to_result — the gated join is an
+    intermediate of a larger plan, so scoping to this function's
+    own return would release before the outer result ever ran).
+    Without ``pins`` the pin survives until
+    session.release_cached_intermediates, and a warning says so —
+    a long-lived session calling this bare accumulates storage
+    otherwise."""
     keys = hot.select(*on).persist()
     n = keys.count()
     if n > max_broadcast_keys:
+        if pins is not None:
+            pins.append(keys)
+        else:
+            import warnings
+
+            warnings.warn(
+                "hot_key_anti_join: over-cap key set "
+                f"({n} > {max_broadcast_keys} keys) stays persisted "
+                "until session.release_cached_intermediates(spark); "
+                "pass pins=[...] to scope it to your result's "
+                "lifetime",
+                stacklevel=2,
+            )
         return probe.join(keys, on=list(on), how="left_anti")
     rows = keys.collect()
     keys.unpersist()

@@ -489,3 +489,122 @@ def bpe_train(
             ]
         ),
     )
+
+
+def bpe_merges(merges_df: DataFrame) -> list[tuple[str, str]]:
+    """Collect a bpe_train result to the rank-ordered merge list
+    bpe_encode ships to the executors. The collect is VOCAB-sized by
+    the training contract (n_merges rows — tens of thousands for a
+    production tokenizer), never corpus-sized."""
+    return [
+        tuple(r["pair"].split(" "))
+        for r in merges_df.select("rank", "pair").orderBy("rank").collect()
+    ]
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: DataFrame | list,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "tokens",
+) -> DataFrame:
+    """Apply a trained BPE merge table to tokenize a corpus —
+    the operator that makes bpe_train load-bearing (token-exact
+    packing / token accounting for a pretraining corpus, rather than
+    whitespace-token approximations).
+
+    Returns (id_col, out_col array<string>): the BPE segmentation of
+    each document, words in document order, symbols within each word
+    in left-to-right order. Pretokenization matches bpe_word_freq
+    exactly: lowercase, split on whitespace runs, drop empties.
+
+    Semantics: merges apply by RANK — the lowest-ranked pair present
+    anywhere in the word merges first, all its occurrences in one
+    greedy left-to-right scan, until no learned pair remains. This
+    priority loop is EQUIVALENT to applying the merges sequentially
+    in rank order (merge 1 exhaustively, then merge 2, ...): a
+    lower-ranked pair can never become newly applicable after a
+    higher-ranked merge, because merging only fuses symbols into NEW
+    symbols (created no earlier than the current rank) — it never
+    re-creates adjacency between two pre-existing symbols. Training
+    (bpe_train) orders merges so each merge's constituents are
+    products of strictly earlier merges, which closes the argument.
+    The sequential form is what the SQL oracle and the pure-Python
+    parity test replay; the priority loop is just the O(len²) per
+    word way to run it when the merge table is 10⁴-10⁵ deep.
+
+    Scale shape: the merge table ships BY VALUE in the kernel
+    closure (captured at plan time — worker interpreters re-import
+    module globals to defaults, so a broadcast-by-global would
+    silently reset; vocab-sized, a few MB at production depth). The
+    kernel is map-only over spread_for_kernel input, and a per-task
+    word→tokens memo exploits the Zipfian reuse of natural text:
+    most word instances hit the cache, so per-task cost tracks
+    DISTINCT words per task plus a dict lookup per word instance.
+
+    ``merges``: a bpe_train result DataFrame (collected vocab-sized,
+    see bpe_merges) or an already-collected list of (x, y) tuples /
+    "x y" strings in rank order.
+    """
+    import re as _re
+
+    from mfdb_hafro_etl_spark.session import ensure_package_shipped, spread_for_kernel
+
+    if isinstance(merges, DataFrame):
+        merges = bpe_merges(merges)
+    pairs = [tuple(m.split(" ")) if isinstance(m, str) else tuple(m) for m in merges]
+    ranks = {p: i for i, p in enumerate(pairs)}
+
+    ensure_package_shipped(df.sparkSession)
+    src = spread_for_kernel(df.select(id_col, text_col))
+    id_type = src.schema[id_col].dataType.simpleString()
+    ws = _re.compile(r"\s+")
+
+    def _encode_word(word: str, cache: dict) -> list:
+        got = cache.get(word)
+        if got is not None:
+            return got
+        syms = list(word)
+        while len(syms) > 1:
+            best_rank = None
+            best = None
+            for a, b in zip(syms, syms[1:]):
+                r = ranks.get((a, b))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best = r, (a, b)
+            if best is None:
+                break
+            a, b = best
+            merged = a + b
+            out = []
+            i = 0
+            n_s = len(syms)
+            while i < n_s:
+                if i < n_s - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        cache[word] = syms
+        return syms
+
+    def gen(batches):
+        import pandas as pd
+
+        cache: dict = {}
+        for pdf in batches:
+            toks = []
+            for t in pdf[text_col]:
+                words = [w for w in ws.split((t or "").lower()) if w]
+                doc: list = []
+                for w in words:
+                    doc.extend(_encode_word(w, cache))
+                toks.append(doc)
+            yield pd.DataFrame({id_col: pdf[id_col], out_col: toks})
+
+    return src.mapInPandas(
+        gen, schema=f"{id_col} {id_type}, {out_col} array<string>"
+    )

@@ -160,7 +160,9 @@ def rescale_by_published(
         .filter(F.col("year").between(*years))
         .select("species", "year", (F.col("iceland") / F.col("catch")).alias("r"))
     )
-    return (
+    from mfdb_hafro_etl_spark.session import pin_to_result
+
+    return pin_to_result(
         landings.join(F.broadcast(scalar), on=["species", "year"], how="left")
         .withColumn(
             "weight_total",
@@ -168,7 +170,8 @@ def rescale_by_published(
                 F.col("r") * F.col("weight_total")
             ),
         )
-        .drop("r")
+        .drop("r"),
+        [landings],
     )
 
 

@@ -173,6 +173,46 @@ def release_cached_intermediates(spark: SparkSession) -> None:
         pass
 
 
+def pin_to_result(result, pins) -> "DataFrame":
+    """Scope cached intermediates to the RETURNED DataFrame's
+    lifetime: unpersist every DataFrame in ``pins`` when ``result``
+    (the Python object) is garbage-collected.
+
+    This closes the footgun in the eager-cache contract (see
+    release_cached_intermediates): operators like minhash_lsh_pairs
+    pin intermediates whose only consumers live INSIDE the returned
+    DataFrame's plan, but the pin used to outlive the result until a
+    session-level sweep a library user may never call. CPython's
+    refcounting makes the release prompt in the common pattern —
+    the harness (and any ETL job) materializes the result and drops
+    the reference, at which point the blocks free. Holding the
+    result keeps the pins (correct: re-materializing it should
+    re-hit the cache); deriving a new DataFrame and dropping the
+    original releases them (the derived plan recomputes without the
+    cache — slower, never wrong). Session-level
+    release_cached_intermediates remains the backstop sweep.
+
+    Implementation: ``weakref.finalize`` on the result object. The
+    finalizer holds the pin wrappers (small Python objects) and
+    swallows unpersist failures — at interpreter exit the JVM may
+    already be gone."""
+    import weakref
+
+    pins = [p for p in pins]
+    if not pins:
+        return result
+
+    def _release(ps=pins):
+        for p in ps:
+            try:
+                p.unpersist(False)
+            except Exception:
+                pass
+
+    weakref.finalize(result, _release)
+    return result
+
+
 #: compressed-scan bytes of work per kernel task. Deliberately far
 #: below maxPartitionBytes (128 MB): these kernels cost ~10²-10³× a
 #: scan's CPU per byte, so 64 KB of parquet is ~0.1-1 s of kernel

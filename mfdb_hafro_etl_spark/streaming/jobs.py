@@ -27,6 +27,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -146,13 +147,25 @@ def run_available_now(
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
     if sink_dir is not None:
-        if not any(e.startswith("batch_id=") for e in os.listdir(sink_dir)):
-            # zero batches produced (empty source): parquet schema
-            # inference would raise where the memory sink returns an
-            # empty table — match that contract
-            return spark.createDataFrame([], sdf.schema)
-        return spark.read.parquet(sink_dir).drop("batch_id")
+        return _read_batched_sink(spark, sink_dir, sdf.schema)
     return spark.table(name)
+
+
+def _read_batched_sink(spark: SparkSession, sink_dir: str, schema) -> DataFrame:
+    """Read a foreachBatch parquet sink back, matching the memory
+    sink's empty-table contract for BOTH empty shapes: no batch
+    directories at all (zero batches produced), and batch_id=
+    directories that contain no data files (a stream whose only
+    batches were empty — e.g. the final watermark-commit batch of a
+    stateful query emitting zero rows — still creates the per-batch
+    directory, and parquet schema inference over an all-empty tree
+    raises)."""
+    if not any(e.startswith("batch_id=") for e in os.listdir(sink_dir)):
+        return spark.createDataFrame([], schema)
+    try:
+        return spark.read.parquet(sink_dir).drop("batch_id")
+    except AnalysisException:
+        return spark.createDataFrame([], schema)
 
 
 def auto_state_partitions(spark: SparkSession, sf_dir: str) -> int:
@@ -190,23 +203,52 @@ def auto_sink_dir(name: str, sf_dir: str) -> str | None:
     that the memory sink is the better harness (measured crossover in
     run_available_now's docstring).
 
-    The path is FIXED per (name, sf_dir) and wiped on every call:
-    repeated bench/retime invocations of the same arm reuse one
-    directory instead of leaking a fresh mkdtemp of streamed output
-    (~GBs per round at the 100× fixture) into /tmp. Wiping at call
-    start is safe exactly because the path is arm-scoped and each
-    bench materializes an arm's result before starting the next."""
+    The path is FIXED per (name, sf_dir, pid) and wiped on every
+    call: repeated bench/retime invocations of the same arm IN ONE
+    PROCESS reuse one directory instead of leaking a fresh mkdtemp
+    of streamed output (~GBs per round at the 100× fixture) into
+    /tmp, while concurrent runs of the same arm (distinct pids)
+    never clobber each other's in-flight sink+checkpoint. The root
+    is per-user (a foreign-owned /tmp/mfdb_suite on a shared host
+    would make makedirs fail; MFDB_SUITE_TMP overrides it), and
+    directories left by DEAD pids are reaped on entry so pid
+    churn across rounds can't accumulate streamed gigabytes."""
     nbytes = events_source_bytes(sf_dir)
     if nbytes <= AUTO_SINK_MIN_BYTES:
         return None
+    import getpass
     import hashlib
     import shutil
+    import tempfile
 
+    base = os.environ.get("MFDB_SUITE_TMP") or os.path.join(
+        tempfile.gettempdir(), f"mfdb_suite_{getpass.getuser()}"
+    )
+    root = os.path.join(base, "stream_sinks")
+    os.makedirs(root, exist_ok=True)
+    for entry in os.listdir(root):
+        head, sep, pid_s = entry.rpartition("_pid")
+        if sep and pid_s.isdigit() and not _pid_alive(int(pid_s)):
+            shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
     tok = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-    path = os.path.join("/tmp/mfdb_suite/stream_sinks", f"{name}_{tok}")
+    path = os.path.join(root, f"{name}_{tok}_pid{os.getpid()}")
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
     return path
+
+
+def _pid_alive(pid: int) -> bool:
+    """True when ``pid`` is a live process we may signal (EPERM means
+    alive-but-foreign, which for sink-reaping counts as alive)."""
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    except OSError:
+        return True
+    return True
 
 
 def events_source_bytes(sf_dir: str) -> int:

@@ -497,15 +497,18 @@ def x_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # -------------------------------------------- BPE tokenizer training
-def _bpe_oracle_sql(n: int = 5) -> str:
-    """Generated oracle for bpe_train: n merge rounds, each = pair
-    counting via positional adjacency self-join + a recursive-CTE
-    greedy left-to-right fold (the exact semantics of the Spark
-    side's aggregate() fold — element-exact symbol comparisons, no
-    substring false-positives). Round CTEs are MATERIALIZED: DuckDB
-    otherwise inlines each reference, and five chained rounds
-    re-evaluate transitively — measured as an EMFILE blowup from
-    re-opening the parquet once per leaf of the expansion tree."""
+def _bpe_cte_prefix(n: int = 5) -> str:
+    """Shared CTE prefix for the BPE oracles: learn ``n`` merges with
+    n rounds of pair counting via positional adjacency self-join + a
+    recursive-CTE greedy left-to-right fold (the exact semantics of
+    the Spark side's aggregate() fold — element-exact symbol
+    comparisons, no substring false-positives). Exposes top{k}
+    (the k-th merge) and lists{k} (the vocabulary segmentation AFTER
+    k merges — lists{n} is what bpe_encode applies to a corpus).
+    Round CTEs are MATERIALIZED: DuckDB otherwise inlines each
+    reference, and five chained rounds re-evaluate transitively —
+    measured as an EMFILE blowup from re-opening the parquet once
+    per leaf of the expansion tree."""
     parts = [
         """WITH RECURSIVE words AS (
       SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
@@ -542,10 +545,43 @@ def _bpe_oracle_sql(n: int = 5) -> str:
     ),
     lists{k + 1} AS MATERIALIZED (SELECT word, freq, acc AS toks
                      FROM fold{k} WHERE i = len(toks) + 1)""")
+    return "".join(parts)
+
+
+def _bpe_oracle_sql(n: int = 5) -> str:
+    """Oracle for bpe_train: the learned merges, one row per rank."""
     sel = "\nUNION ALL\n".join(
         f"SELECT {k + 1} AS rank, pair, freq FROM top{k}" for k in range(n)
     )
-    return "".join(parts) + "\n" + sel
+    return _bpe_cte_prefix(n) + "\n" + sel
+
+
+def _bpe_encode_oracle_sql(n: int = 5) -> str:
+    """Oracle for bpe_encode over the documents corpus: re-learn the
+    same ``n`` merges (shared prefix), then tokenize every document
+    by joining its positional word list against the final vocabulary
+    segmentation lists{n} — per-word token lists concatenated in
+    document order. Verifies the full encode semantics (the
+    sequential-by-rank application bpe_encode's priority loop is
+    provably equivalent to) value-by-value: token counts AND the
+    space-joined token stream."""
+    return (
+        _bpe_cte_prefix(n)
+        + f""",
+    docw AS (
+      SELECT doc_id, i, ws[i] AS word
+      FROM (SELECT doc_id,
+                   string_split_regex(lower(text), '\\s+') AS ws
+            FROM documents) d,
+           unnest(generate_series(1, len(ws))) u(i)
+      WHERE ws[i] <> ''
+    )
+    SELECT d.doc_id,
+           CAST(SUM(len(l.toks)) AS BIGINT) AS n_tokens,
+           string_agg(array_to_string(l.toks, ' '), ' ' ORDER BY d.i) AS encoded
+    FROM docw d JOIN lists{n} l USING (word)
+    GROUP BY d.doc_id"""
+    )
 
 
 @register("x_bpe_train", _bpe_oracle_sql(5))
@@ -562,3 +598,26 @@ def x_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return tx.bpe_train(docs, "text", n_merges=5)
+
+
+@register("x_bpe_encode", _bpe_encode_oracle_sql(5))
+def x_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLY: train 5 merges on the corpus
+    (operators/text.py:bpe_train), then tokenize every document with
+    them (operators/text.py:bpe_encode — broadcast-by-value merge
+    table, map-only Arrow kernel with a per-task word memo). The
+    oracle re-learns the same merges in SQL and re-tokenizes by
+    joining document word positions against the final vocabulary
+    segmentation, so token counts AND the full token stream are
+    value-verified. Docs with no words drop on both sides (the
+    oracle's inner join; the size()>0 filter here)."""
+    from mfdb_hafro_etl_spark.operators import text as tx
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = tx.bpe_train(docs, "text", n_merges=5)
+    enc = tx.bpe_encode(docs, merges, "doc_id", "text")
+    return enc.filter(F.size("tokens") > 0).select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        F.array_join("tokens", " ").alias("encoded"),
+    )

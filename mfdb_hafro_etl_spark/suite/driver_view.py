@@ -131,6 +131,7 @@ COMBOS: dict[str, list[str]] = {
         "x_text_langid",
         "x_text_langid_ngram",
         "x_bpe_train",
+        "x_bpe_encode",
     ],
     "x_sketches": [
         "x_sketch_hll",
@@ -156,6 +157,7 @@ COMBOS: dict[str, list[str]] = {
         "x_multimodal_resize",
         "x_multimodal_frames",
         "x_multimodal_jpeg",
+        "x_image_phash",
         "x_multimodal_audio",
         "x_multimodal_video",
         "x_multimodal_tar",
@@ -323,6 +325,7 @@ _ARM_COLS: dict[str, list[tuple[str, str]]] = {
     "x_text_langid": [("doc_id", "i"), ("lang_guess", "s")],
     "x_text_langid_ngram": [("doc_id", "i"), ("lang_guess", "s")],
     "x_bpe_train": [("rank", "i"), ("pair", "s"), ("freq", "i")],
+    "x_bpe_encode": [("doc_id", "i"), ("n_tokens", "i"), ("encoded", "s")],
     "x_events_tumbling": [("window_start", "s"), ("event_type", "s"), ("n", "i"), ("sum_value", "d")],
     "x_events_props_json": [("k_bucket", "i"), ("n", "i"), ("sum_value", "d")],
     "x_events_moving": [("event_type", "s"), ("day", "s"), ("n", "i"), ("daily", "d"), ("moving7", "d")],
@@ -337,6 +340,7 @@ _ARM_COLS: dict[str, list[tuple[str, str]]] = {
     "x_multimodal_resize": [("media_id", "i"), ("width", "i"), ("height", "i"), ("n_bytes", "i"), ("sha256", "s")],
     "x_multimodal_frames": [("media_id", "i"), ("byte_offset", "i")],
     "x_multimodal_jpeg": [("media_id", "i"), ("width", "i"), ("height", "i"), ("channels", "i"), ("mean_px", "d")],
+    "x_image_phash": [("id_a", "i"), ("id_b", "i"), ("hamming", "i")],
     "x_multimodal_audio": [("media_id", "i"), ("channels", "i"), ("sample_rate", "i"), ("bits", "i"), ("n_frames", "i"), ("duration_s", "d")],
     "x_multimodal_video": [("media_id", "i"), ("width", "i"), ("height", "i"), ("timescale", "i"), ("duration", "i"), ("duration_s", "d")],
     "x_multimodal_tar": [("media_id", "i"), ("name", "s"), ("offset", "i"), ("size", "i")],

@@ -689,6 +689,132 @@ def x_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.decode_image_stats(media)
 
 
+# ------------------------------------------- image pHash near-dup
+@register(
+    "x_image_phash",
+    """
+    WITH ct AS (
+      SELECT u, x,
+             CAST(floor(cos(pi()*(2*x+1)*u/64.0)*16384 + 0.5) AS BIGINT) AS c
+      FROM generate_series(0,7) t(u), generate_series(0,31) s(x)
+    ),
+    bsum AS (SELECT u, x // 4 AS blk, SUM(c) AS s FROM ct GROUP BY u, x // 4),
+    blocks AS (
+      SELECT doc_id, i,
+             CAST((CAST(concat('0x',
+                     substr(md5(CAST(doc_id // 4 AS VARCHAR) || ':'
+                                || CAST(i // 16 AS VARCHAR)),
+                            (i % 16)*2+1, 2))
+                   AS INT)
+                   + CASE WHEN i = 63 THEN doc_id % 4 ELSE 0 END) % 256
+                  AS BIGINT) AS g
+      FROM documents, unnest(generate_series(0, 63)) t(i)
+    ),
+    dct AS (
+      SELECT b.doc_id, r.u AS u, c2.u AS v, SUM(b.g * r.s * c2.s) AS d
+      FROM blocks b
+      JOIN bsum r  ON r.blk  = b.i // 8
+      JOIN bsum c2 ON c2.blk = b.i % 8
+      GROUP BY b.doc_id, r.u, c2.u
+    ),
+    med AS (
+      SELECT doc_id, d AS m FROM (
+        SELECT doc_id, d,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY d) AS rn
+        FROM dct) WHERE rn = 32
+    ),
+    hashes AS (
+      SELECT doc_id,
+             CAST(CASE WHEN hh >= 9223372036854775808::HUGEINT
+                       THEN hh - 18446744073709551616::HUGEINT
+                       ELSE hh END AS BIGINT) AS ph
+      FROM (SELECT dct.doc_id,
+                   SUM(CASE WHEN d > m THEN (1::HUGEINT << (u*8+v))
+                            ELSE 0::HUGEINT END) AS hh
+            FROM dct JOIN med USING (doc_id) GROUP BY dct.doc_id)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
+    FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.ph, b.ph)) <= 7
+    """,
+)
+def x_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs via perceptual hash, value-verified
+    END-TO-END through the real codec: each doc becomes a 64×64
+    grayscale image of flat 8×8 blocks whose 64 values derive from
+    doc_id — four docs per group (gid = doc_id // 4) share a base
+    pattern whose block values are md5(gid:quarter) digest bytes,
+    and differ only in one corner block by 0-3 gray levels. The
+    8×8 block GRID matters as much as the pseudorandom values: the
+    pooled 32×32 image's DCT is B·G·Bᵀ for the block-value matrix G,
+    so a 4×4 grid (rank-4 DCT) or any linear-in-i pattern collapses
+    the hash's entropy and cross-group pairs explode quadratically
+    (measured: 27k hamming-0 pairs from 500 docs for linear
+    patterns, 9.7 pairs/doc and rising for rank-4 random ones);
+    the full-rank 8×8 grid keeps the pair count linear in docs —
+    the shape a bench arm must have to survive ×100.
+    Images are encoded to an exactly-round-tripping baseline
+    JPEG (all-ones quant, as x_multimodal_jpeg), decoded back through
+    the REAL Huffman+IDCT path, hashed with the fixed-point-DCT pHash
+    (operators/imagehash.py:phash64 — integer-exact by contract,
+    which is what lets DuckDB mirror the hash bit-for-bit from the
+    analytic block values), then paired by Hamming-banded self-join
+    (hamming_neardup_pairs — 8 exact-match bands; max_distance 7 < 8
+    bands makes banding recall COMPLETE by pigeonhole, so the banded
+    plan is bit-identical to the oracle's quadratic scan). Any bit
+    error in JPEG round-trip, pooling, the DCT table, median rank,
+    bit packing, banding, or popcount fails the hash gate."""
+    import numpy as np
+
+    from mfdb_hafro_etl_spark.operators import imagehash as ih
+    from mfdb_hafro_etl_spark.operators import jpegcodec as jc
+    from mfdb_hafro_etl_spark.session import ensure_package_shipped, spread_for_kernel
+
+    ensure_package_shipped(spark)
+    docs = spread_for_kernel(
+        load_table(spark, sf_dir, "documents").select(
+            F.col("doc_id").cast("long").alias("media_id")
+        )
+    )
+
+    def build(batches):
+        import pandas as pd
+
+        import hashlib
+
+        ones = (np.ones(64, dtype=np.int64), np.ones(64, dtype=np.int64))
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                gid = mid // 4
+                digests = [
+                    hashlib.md5(f"{gid}:{q}".encode()).hexdigest()
+                    for q in range(4)
+                ]
+                img = np.zeros((64, 64), dtype=np.uint8)
+                for i in range(64):
+                    j = i % 16
+                    g = int(digests[i // 16][j * 2 : j * 2 + 2], 16)
+                    if i == 63:
+                        g = (g + mid % 4) % 256
+                    img[
+                        (i // 8) * 8 : (i // 8) * 8 + 8,
+                        (i % 8) * 8 : (i % 8) * 8 + 8,
+                    ] = g
+                payloads.append(jc.encode_jpeg(img, quant_tables=ones))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "content": payloads}
+            )
+
+    media = docs.mapInPandas(build, schema="media_id long, content binary")
+    hashes = ih.image_phash(media)
+    return ih.hamming_neardup_pairs(
+        hashes, "media_id", "phash", max_distance=7, n_bands=8
+    )
+
+
 # PNG header payloads built in pure Column algebra: doc_id-derived
 # dimensions and color type packed into a byte-exact IHDR via
 # to_binary(hex). The Spark side then PARSES the bytes back with the
@@ -1747,6 +1873,29 @@ def p12_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     components), so the INTEGRATION is hash-verified too — stage
     wiring bugs (filtering after split, packing before dedup) would
     flip the counts."""
+    return corpus_build(spark, sf_dir)
+
+
+def corpus_build(
+    spark: SparkSession,
+    sf_dir: str,
+    tokenizer: str = "whitespace",
+    n_merges: int = 16,
+) -> DataFrame:
+    """The p12 pipeline body, parameterized by the token accounting
+    that drives packing:
+
+    - ``whitespace`` (the oracle-verified arm's default): n_tok =
+      whitespace token count — tokenizer-approximate, zero extra
+      passes;
+    - ``bpe``: train ``n_merges`` BPE merges on the deduped corpus
+      (bpe_train — one corpus shuffle) and count each doc's ACTUAL
+      encoded tokens (bpe_encode — map-only kernel), so packing is
+      token-exact the way a real pretraining corpus needs. Costs one
+      extra corpus pass + a doc-keyed join; not SQL-oracle
+      expressible at reasonable cost (the rank-deep merge fold is
+      iterative), so it's pinned by tests/test_corpus_ops.py
+      instead of a driver slot."""
     from mfdb_hafro_etl_spark.operators import cleaning as cl
     from mfdb_hafro_etl_spark.operators import sampling as sp
 
@@ -1771,7 +1920,14 @@ def p12_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     split_df = sp.hash_split(
         s2, "doc_id", {"train": 0.9, "valid": 0.05, "test": 0.05}, salt="cb"
     )
-    with_tok = split_df.withColumn("n_tok", tx.token_count(F.col("text")))
+    if tokenizer == "bpe":
+        merges = tx.bpe_train(s2, "text", n_merges=n_merges)
+        ntok = tx.bpe_encode(s2, merges, "doc_id", "text").select(
+            "doc_id", F.size("tokens").alias("n_tok")
+        )
+        with_tok = split_df.join(ntok, "doc_id")
+    else:
+        with_tok = split_df.withColumn("n_tok", tx.token_count(F.col("text")))
     packed = sp.pack_sequences(
         with_tok.filter(F.col("split") == "train"), "doc_id", "n_tok",
         max_len=256, salt="cbp",
@@ -1783,9 +1939,14 @@ def p12_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").cast("long").alias("n_tokens"),
     )
-    return summary.join(nseq, "split", "left").select(
-        "split", "n_docs", "n_tokens",
-        F.coalesce(F.col("n_seqs"), F.lit(0)).cast("long").alias("n_seqs"),
+    from mfdb_hafro_etl_spark.session import pin_to_result
+
+    return pin_to_result(
+        summary.join(nseq, "split", "left").select(
+            "split", "n_docs", "n_tokens",
+            F.coalesce(F.col("n_seqs"), F.lit(0)).cast("long").alias("n_seqs"),
+        ),
+        [s1],
     )
 
 

@@ -804,6 +804,92 @@ def test_bpe_train_matches_reference_bpe(spark):
     assert got == expected
 
 
+def test_bpe_encode_matches_sequential_reference(spark):
+    """bpe_encode (priority-loop merge with a per-task word memo) vs
+    an independent pure-Python SEQUENTIAL application — merge 1
+    exhaustively, then merge 2, ... — the form the operator's
+    docstring proves equivalent and the SQL oracle replays. The
+    corpus plants the hazards: repeated-symbol runs (greedy
+    left-to-right: 'aaa' under (a,a) → ['aa','a']), merged symbols
+    feeding later merges, words unseen during training (encode must
+    handle them — only their learned sub-pairs merge), and
+    single-char/empty-ish docs."""
+    from mfdb_hafro_etl_spark.operators import text as tx
+
+    train_texts = [
+        "aaa aab abab bb b a low lower lowest",
+        "newer newest wider wide wide new new new",
+        "abab abab aaa lowest b a a",
+        "banana bandana ana ana anna",
+    ]
+    # encode a partly-DIFFERENT corpus than we trained on
+    enc_texts = [
+        "aaaa lowball widest bananas",
+        "zq a bb newer",
+        "   ",
+    ]
+    df_train = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(train_texts)], "doc_id long, text string"
+    )
+    merges_df = tx.bpe_train(df_train, "text", n_merges=6)
+    merges = tx.bpe_merges(merges_df)
+
+    def seq_encode(text: str) -> list:
+        out = []
+        for w in text.lower().split():
+            s = list(w)
+            for x, y in merges:  # rank order, each applied exhaustively
+                nxt, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == x and s[i + 1] == y:
+                        nxt.append(x + y)
+                        i += 2
+                    else:
+                        nxt.append(s[i])
+                        i += 1
+                s = nxt
+            out.extend(s)
+        return out
+
+    df_enc = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(enc_texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: list(r["tokens"])
+        for r in tx.bpe_encode(df_enc, merges_df, "doc_id", "text").collect()
+    }
+    for i, t in enumerate(enc_texts):
+        assert got[i] == seq_encode(t), (i, t, got[i], seq_encode(t))
+    # list-of-pairs input behaves identically to the DataFrame input
+    got2 = {
+        r["doc_id"]: list(r["tokens"])
+        for r in tx.bpe_encode(df_enc, merges, "doc_id", "text").collect()
+    }
+    assert got2 == got
+
+
+def test_corpus_build_bpe_token_exact(spark, sf_dir):
+    """corpus_build(tokenizer='bpe') drives packing with ACTUAL
+    encoded token counts: same docs per split as the whitespace
+    arm (the split hash ignores tokens), strictly more tokens
+    (char-level BPE with few merges yields ≥1 symbol per word), and
+    a packed-sequence count consistent with the bpe totals."""
+    from mfdb_hafro_etl_spark.suite.extensions import corpus_build
+
+    ws = {r["split"]: r for r in corpus_build(spark, sf_dir).collect()}
+    bp = {
+        r["split"]: r
+        for r in corpus_build(spark, sf_dir, tokenizer="bpe", n_merges=8).collect()
+    }
+    assert set(ws) == set(bp) == {"train", "valid", "test"}
+    for s in ws:
+        assert bp[s]["n_docs"] == ws[s]["n_docs"]
+        assert bp[s]["n_tokens"] >= ws[s]["n_tokens"]
+    # packing at max_len=256: n_seqs must cover the train tokens
+    assert bp["train"]["n_seqs"] >= -(-bp["train"]["n_tokens"] // 256)
+    assert bp["train"]["n_seqs"] >= ws["train"]["n_seqs"]
+
+
 def test_bpe_word_freq_is_single_shuffle(spark):
     """The corpus only ever feeds ONE aggregation (the distinct-word
     frequency table); each merge round must plan against that
@@ -1037,3 +1123,113 @@ def test_spread_for_kernel_scan_bytes_drive_width(spark, tmp_path):
     nparts = scan.rdd.getNumPartitions()
     mid = spread_for_kernel(scan, bytes_per_task=budget)
     assert mid.rdd.getNumPartitions() == max(nparts, expected)
+
+
+def test_lsh_index_append_equals_rebuild(spark, tmp_path):
+    """The standing-service contract of the materialized dedup index:
+    probe-vs-APPENDED-index ≡ probe-vs-REBUILT-index ≡ the index-free
+    dedup_against over the same corpus — append order must not
+    matter, min-id resolution must span all appends, and parameter
+    mismatches must refuse loudly."""
+    from mfdb_hafro_etl_spark.operators import dedup as dd
+
+    import pytest
+
+    corpus1 = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),
+            (11, "entirely different text about spark shuffles"),
+            (12, "the quick brown fox jumps over the lazy dog"),
+        ],
+        "doc_id long, text string",
+    )
+    corpus2 = spark.createDataFrame(
+        [
+            (20, "a third batch with the quick brown fox jumps inside"),
+            (21, "unrelated content on parquet footers and row groups"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog"),  # exact
+            (101, "the quick brown fox jumps over a sleepy dog"),  # near
+            (102, "nothing like anything indexed here at all ok"),  # clean
+        ],
+        "doc_id long, text string",
+    )
+
+    appended = str(tmp_path / "appended")
+    dd.lsh_index_write(corpus1, appended, "doc_id", "text")
+    dd.lsh_index_append(corpus2, appended, "doc_id", "text")
+
+    rebuilt = str(tmp_path / "rebuilt")
+    dd.lsh_index_write(corpus1.unionByName(corpus2), rebuilt, "doc_id", "text")
+
+    def rows(df):
+        return sorted((r.doc_id, r.dup_kind, r.match_id) for r in df.collect())
+
+    got_a = rows(dd.dedup_against_index(spark, appended, batch, "doc_id", "text"))
+    got_r = rows(dd.dedup_against_index(spark, rebuilt, batch, "doc_id", "text"))
+    got_f = rows(
+        dd.dedup_against(corpus1.unionByName(corpus2), batch, "doc_id", "text")
+    )
+    assert got_a == got_r == got_f
+    assert (100, "exact", 10) in got_a
+    assert any(d == 101 and k == "near" for d, k, _ in got_a)
+    assert all(d != 102 for d, _, _ in got_a)
+
+    # parameter mismatch = silent recall loss -> must raise
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        dd.dedup_against_index(spark, appended, batch, "doc_id", "text", k=16)
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        dd.lsh_index_append(batch, appended, "doc_id", "text", n=5)
+
+
+def test_lsh_index_compact_invariant(spark, tmp_path):
+    """Compaction folds append-accumulated small files without
+    changing a single row of either subtable, and probes answer
+    identically before and after."""
+    from mfdb_hafro_etl_spark.operators import dedup as dd
+
+    import os
+
+    path = str(tmp_path / "idx")
+    batches = [
+        spark.createDataFrame(
+            [(i * 10 + j, f"document number {i} {j} with shared shingle text")
+             for j in range(3)],
+            "doc_id long, text string",
+        )
+        for i in range(5)
+    ]
+    dd.lsh_index_write(batches[0], path, "doc_id", "text")
+    for b in batches[1:]:
+        dd.lsh_index_append(b, path, "doc_id", "text")
+
+    def snap(sub):
+        return sorted(
+            map(tuple, spark.read.parquet(os.path.join(path, sub)).collect())
+        )
+
+    before_bands, before_exact = snap("bands"), snap("exact")
+    probe = spark.createDataFrame(
+        [(900, "document number 2 1 with shared shingle text")],
+        "doc_id long, text string",
+    )
+    before_probe = sorted(
+        map(tuple, dd.dedup_against_index(spark, path, probe, "doc_id", "text").collect())
+    )
+    report = dd.lsh_index_compact(spark, path)
+    assert snap("bands") == before_bands
+    assert snap("exact") == before_exact
+    after_probe = sorted(
+        map(tuple, dd.dedup_against_index(spark, path, probe, "doc_id", "text").collect())
+    )
+    assert after_probe == before_probe
+    # five appends of tiny files must actually trigger folding
+    assert report["exact"]["files_after"] <= report["exact"]["files_before"]
+    assert report["bands"]["files_after"] <= report["bands"]["files_before"]
+    assert (
+        report["exact"]["files_before"] >= 2 or report["bands"]["files_before"] >= 2
+    )

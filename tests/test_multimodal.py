@@ -251,3 +251,48 @@ def test_real_resize_is_nearest_neighbor(png_media):
     for mid, img in imgs.items():
         expect = ic.resize_nearest(ic.to_channels(img, 3), 4, 3).tobytes()
         assert out[mid] == expect, f"media {mid} resize mismatch"
+
+
+def test_phash64_invariants():
+    """phash64's integer-exactness contract (operators/imagehash.py):
+    - POOLING EXACTNESS: pixel-doubling an image (each px -> 2x2) is
+      invisible to the hash (box pool of flat cells == original);
+    - GRAYSCALE: equal-channel RGB == its grayscale plane;
+    - DC/brightness: adding a constant leaves every AC coefficient
+      unchanged, so the hash moves at most a few bits;
+    - SENSITIVITY: independent random images land far apart (the
+      arm's linear pair count depends on this).
+    """
+    import numpy as np
+
+    from mfdb_hafro_etl_spark.operators.imagehash import phash64
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(32, 32), dtype=np.uint8)
+
+    doubled = np.kron(img, np.ones((2, 2), dtype=np.uint8))
+    assert phash64(doubled) == phash64(img)
+
+    rgb = np.repeat(img[:, :, None], 3, axis=2)
+    assert phash64(rgb) == phash64(img)
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    brighter = np.clip(img.astype(np.int64) + 40, 0, 255).astype(np.uint8)
+    assert ham(phash64(brighter), phash64(img)) <= 8
+
+    other = rng.integers(0, 256, size=(32, 32), dtype=np.uint8)
+    assert ham(phash64(other), phash64(img)) > 16
+
+
+def test_image_phash_through_real_codecs(png_media):
+    """image_phash decodes REAL payloads (PNG here; the suite arm
+    covers JPEG) and must equal phash64 of the known pixels."""
+    from mfdb_hafro_etl_spark.operators import imagehash as ih
+    from mfdb_hafro_etl_spark.operators.imagehash import phash64
+
+    df, imgs = png_media
+    got = {r.media_id: r.phash for r in ih.image_phash(df).collect()}
+    for mid, img in imgs.items():
+        assert got[mid] == phash64(img), f"media {mid} phash mismatch"

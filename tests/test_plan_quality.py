@@ -342,6 +342,50 @@ def test_tfidf_pairs_no_cartesian_and_gated_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_phash_pairs_banded_not_all_pairs(spark):
+    """hamming_neardup_pairs candidates must form on a (band, val)
+    EQUI self-join — never a cartesian/nested-loop over the hash
+    table (the banding is what makes image dedup survive 100 TB;
+    pigeonhole makes it lossless for max_distance < n_bands, which
+    the operator asserts). Also pins exact banded==brute-force
+    equivalence on adversarial hashes: random 64-bit values plus
+    planted mutations at every distance 0-9 (per-band-boundary bit
+    picks included), verified against a pure-Python popcount scan."""
+    import itertools
+    import random
+
+    from mfdb_hafro_etl_spark.operators import imagehash as ih
+
+    rng = random.Random(7)
+    hashes = []
+    base = [rng.getrandbits(64) for _ in range(12)]
+    for h in base:
+        hashes.append(h)
+        for d in range(10):
+            bits = rng.sample(range(64), d)
+            m = h
+            for b in bits:
+                m ^= 1 << b
+            hashes.append(m)
+
+    def signed(h):
+        return h - (1 << 64) if h >= 1 << 63 else h
+
+    rows = [(i, signed(h)) for i, h in enumerate(hashes)]
+    df = spark.createDataFrame(rows, "img_id long, phash long")
+    out = ih.hamming_neardup_pairs(df, "img_id", "phash", max_distance=7)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    got = sorted((r.id_a, r.id_b, r.hamming) for r in out.collect())
+    want = sorted(
+        (i, j, bin((hashes[i] ^ hashes[j])).count("1"))
+        for i, j in itertools.combinations(range(len(hashes)), 2)
+        if bin(hashes[i] ^ hashes[j]).count("1") <= 7
+    )
+    assert got == want
+
+
 def test_kmeans_assignment_is_map_only(spark, sf_dir):
     """The k-means final assignment (after driver-side centroid
     refinement) is a narrow Arrow map over the vectors: the plan
@@ -509,13 +553,27 @@ def test_multi_consumer_intermediates_materialize_once(spark, sf_dir):
     tf = search.tfidf_similar_pairs(docs, "doc_id", "text", threshold=0.5)
     assert "InMemoryTableScan" in _plan(tf)
 
+    # duplicate_spans BYTE-GATES its eager cache (r7): below
+    # _SPANS_CACHE_MIN_BYTES of compressed leaf input the
+    # materialization barrier is pure toll on a sub-second query —
+    # the double explode is cheaper — while big inputs (the 60 MB
+    # 100× fixture: 6.2 s cached vs 29.2 s not) must still pin.
     before_spans = filled_caches()
     spans = dedup.duplicate_spans(docs, "doc_id", "text")
-    assert filled_caches() > before_spans, (
-        "duplicate_spans must eagerly fill its positional-gram cache"
-        " — a lazy cache misses for both its agg and join consumers"
+    assert filled_caches() == before_spans, (
+        "duplicate_spans must SKIP the eager cache below the byte"
+        " gate — the barrier was the r6 bench's only flagged drift"
     )
-    assert "InMemoryTableScan" in _plan(spans)
+    assert "InMemoryTableScan" not in _plan(spans)
+    spans_forced = dedup.duplicate_spans(
+        docs, "doc_id", "text", cache_min_bytes=0
+    )
+    assert filled_caches() > before_spans, (
+        "over the byte gate duplicate_spans must eagerly fill its"
+        " positional-gram cache — a lazy cache misses for both its"
+        " agg and join consumers"
+    )
+    assert "InMemoryTableScan" in _plan(spans_forced)
 
     # ReusedExchange appears only in the FINAL adaptive plan of the
     # df's own query execution (collect(), not count() — count wraps
@@ -531,6 +589,26 @@ def test_multi_consumer_intermediates_materialize_once(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert "ReusedExchange" in jac_plan, jac_plan[:3000]
+
+    # pin scoping (r7, session.pin_to_result): operator-pinned
+    # caches are tied to the returned DataFrame's LIFETIME — once a
+    # caller drops the result, the pins release without any
+    # session-level sweep (the footgun ADVICE r5/r6 flagged for
+    # long-lived multi-tenant sessions). unpersist is non-blocking,
+    # so poll briefly.
+    import gc
+    import time
+
+    assert filled_caches() > 0
+    del pairs, tf, spans, spans_forced, jac
+    gc.collect()
+    deadline = time.time() + 10
+    while filled_caches() > 0 and time.time() < deadline:
+        time.sleep(0.1)
+    assert filled_caches() == 0, (
+        "dropping the returned DataFrames must release every"
+        " operator-pinned cache (session.pin_to_result)"
+    )
 
     release_cached_intermediates(spark)
     assert filled_caches() == 0

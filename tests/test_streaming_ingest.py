@@ -329,3 +329,45 @@ def test_auto_sink_dir_gate_and_reuse(spark, sf_dir, tmp_path, monkeypatch):
     open(marker, "w").write("x")
     p2 = st.auto_sink_dir("arm", sf_dir)
     assert p2 == p1 and not os.path.exists(marker)
+    # concurrency + hygiene (ADVICE r6): the path is pid-scoped so
+    # concurrent runs of one arm can't clobber each other's
+    # in-flight sink, rooted per-user so a foreign /tmp dir on a
+    # shared host can't break makedirs, and dirs left by DEAD pids
+    # are reaped on entry (pid churn across rounds must not
+    # accumulate streamed gigabytes)
+    assert f"_pid{os.getpid()}" in os.path.basename(p1)
+    root = os.path.dirname(p1)
+    dead = os.path.join(root, "other_deadbeef_pid999999999")
+    os.makedirs(dead, exist_ok=True)
+    live_foreign = os.path.join(root, "other_deadbeef_pid1")  # pid 1: alive
+    os.makedirs(live_foreign, exist_ok=True)
+    try:
+        st.auto_sink_dir("arm", sf_dir)
+        assert not os.path.exists(dead)
+        assert os.path.exists(live_foreign)
+    finally:
+        os.rmdir(live_foreign) if os.path.exists(live_foreign) else None
+
+
+def test_read_batched_sink_empty_batch_dirs(spark, tmp_path):
+    """A foreachBatch sink whose only batches were EMPTY leaves
+    batch_id= directories with no data files; parquet schema
+    inference over that tree raises, and the reader must fall back
+    to the memory sink's empty-table contract (ADVICE r6)."""
+    import os
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from mfdb_hafro_etl_spark.streaming.jobs import _read_batched_sink
+
+    sink = str(tmp_path / "sink")
+    os.makedirs(os.path.join(sink, "batch_id=0"))
+    schema = StructType([StructField("user_id", LongType())])
+    out = _read_batched_sink(spark, sink, schema)
+    assert out.count() == 0 and out.columns == ["user_id"]
+    # and with data present, empty batch dirs are just skipped
+    spark.createDataFrame([(7,)], schema).write.parquet(
+        os.path.join(sink, "batch_id=1")
+    )
+    out2 = _read_batched_sink(spark, sink, schema)
+    assert [r.user_id for r in out2.collect()] == [7]
