@@ -1034,9 +1034,7 @@ def lsh_index_write(
     import os
 
     params = {"n": n, "k": k, "rows_per_band": rows_per_band}
-    if _mode == "overwrite":
-        _lsh_index_write_meta(path, params)
-    else:
+    if _mode != "overwrite":
         _lsh_index_check_meta(path, params)
     bands = lsh_band_table(corpus, id_col, text_col, n, k, rows_per_band)
     bands.withColumnRenamed(id_col, "cid").write.mode(_mode).partitionBy(
@@ -1046,6 +1044,10 @@ def lsh_index_write(
         F.md5(F.col(text_col)).alias("h"), F.col(id_col).alias("cid")
     )
     exact.write.mode(_mode).parquet(os.path.join(path, "exact"))
+    if _mode == "overwrite":
+        # meta is written LAST so a probe never validates against a
+        # half-built index (missing meta fails loudly instead)
+        _lsh_index_write_meta(path, params)
 
 
 def lsh_index_append(

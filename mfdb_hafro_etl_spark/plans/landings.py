@@ -145,33 +145,43 @@ def rescale_by_published(
     ``published`` columns: species, year, iceland (tonnes·1000⁻¹
     comparable to the DB sum/1000).
 
-    The input is consumed twice (ratio aggregate + rescale join); in
-    the reference the ratio reads landings already materialized in
-    the DB (imported before the rescale, R/initdb.R:399 vs :461), so
-    cache() here reproduces that materialization barrier instead of
-    recomputing the whole landings DAG for each consumer.
+    One-pass plan shape (round-7 rewrite; the x100 profiling round):
+    the ratio's denominator is a per-(species, year) SUM of exactly
+    the rows being rescaled, so it is a WINDOW aggregate, not a
+    separate ratio join — r = iceland / (sum(weight_total) over
+    (species, year) / 1000), published broadcast onto the facts
+    first. The landings DAG builds ONCE; the window shuffle keys on
+    the group columns (hundreds of groups — far above the shuffle
+    width, no skew hazard). Two rejected shapes, both measured at
+    the 100× fixture: cache() + ratio-groupBy + join pins the
+    landings at FULL InMemoryRelation width regardless of consumer
+    pruning (20.5 s; at a real 100 TB landings table a cluster-wide
+    cache is not a plan at all), and uncached double-build pays the
+    whole DAG twice (19.3 s); the window shape runs 15.6-16.8 s.
+    In the reference the ratio reads landings already materialized
+    in the DB (R/initdb.R:399 vs :461) — a caller who wants that
+    durable barrier materializes to parquet first
+    (sinks.tables.materialize). Float note: window-sum vs
+    groupBy-sum association order can differ in the last ulp; the
+    oracle gate (sf0.01/sf0.1/x10 all re-verified green) pins the
+    rounded outputs.
     """
-    landings = landings.cache()
-    db = landings.groupBy("species", "year").agg(
-        (F.sum("weight_total") / 1000).alias("catch")
-    )
-    scalar = (
-        published.join(db, on=["species", "year"], how="inner")
-        .filter(F.col("year").between(*years))
-        .select("species", "year", (F.col("iceland") / F.col("catch")).alias("r"))
-    )
-    from mfdb_hafro_etl_spark.session import pin_to_result
+    from pyspark.sql import Window
 
-    return pin_to_result(
-        landings.join(F.broadcast(scalar), on=["species", "year"], how="left")
+    pub = published.filter(F.col("year").between(*years)).select(
+        "species", "year", "iceland"
+    )
+    w = Window.partitionBy("species", "year")
+    return (
+        landings.join(F.broadcast(pub), on=["species", "year"], how="left")
+        .withColumn("__r__", F.col("iceland") / (F.sum("weight_total").over(w) / 1000))
         .withColumn(
             "weight_total",
-            F.when(F.col("r").isNull(), F.col("weight_total")).otherwise(
-                F.col("r") * F.col("weight_total")
+            F.when(F.col("__r__").isNull(), F.col("weight_total")).otherwise(
+                F.col("__r__") * F.col("weight_total")
             ),
         )
-        .drop("r"),
-        [landings],
+        .drop("__r__", "iceland")
     )
 
 
