@@ -163,22 +163,41 @@ def hamming_neardup_pairs(
     hash column (pHash, SimHash): (id_a, id_b, hamming) with
     id_a < id_b and hamming ≤ ``max_distance``.
 
-    Scale shape — banded, never all-pairs: the hash splits into
-    ``n_bands`` disjoint bit bands; by pigeonhole any pair within
-    Hamming ``max_distance`` < n_bands agrees EXACTLY on ≥1 band, so
-    candidates come from a band-value equi self-join (the
-    minhash/simhash band idiom, dedup.py) with COMPLETE recall —
-    the asserted max_distance < n_bands makes the banding a pure
-    optimization, bit-identical to the quadratic scan an oracle
-    runs. Verification is one popcount per candidate
-    (bit_count(xor)). ``max_bucket_df`` is the hot-bucket gate
-    (identical discipline and mechanism to minhash_lsh_pairs): a
-    band value shared by B images fans out B²/2 candidates in one
-    task, so over-gate buckets drop via the runtime-sized
-    skew.hot_key_anti_join BEFORE the join — their members are
-    exact/flat-image duplicates that exact dedup on the full hash
-    handles at linear cost. Over-cap pins are scoped to the
-    returned DataFrame (session.pin_to_result)."""
+    Scale shape — banded over DISTINCT hashes, popcount inside the
+    join, never a materialized all-pairs:
+
+    1. IDENTICAL hashes (hamming 0 — the bulk of real image dedup)
+       pair through a plain hash-keyed self-join: per-bucket work is
+       group-sized, output is the contract's within-group pairs.
+    2. DISTINCT hashes band into ``n_bands`` disjoint bit bands; by
+       pigeonhole any pair within Hamming ``max_distance`` < n_bands
+       agrees EXACTLY on ≥1 band, so candidates come from a
+       band-value equi self-join (the minhash/simhash band idiom,
+       dedup.py) with COMPLETE recall — bit-identical to the
+       quadratic scan an oracle runs. Collapsing to distinct hashes
+       first matters quadratically: a 64-bit hash cut into 8 bands
+       leaves only 256 values PER BAND, so the join's bucket width
+       grows with corpus size ÷ 256 and the uncollapsed join fanned
+       out ~4·10⁹ candidate rows at the 500k-image fixture.
+    3. The Hamming verification rides INSIDE the join condition
+       (``bit_count(xor) ≤ d`` as a join predicate, visible in the
+       plan's join node) — failing candidates are compared and
+       discarded in place, never shuffled or deduplicated: the
+       surviving pair set is true-match-sized.
+    4. Qualified (hash_a, hash_b) pairs expand back to image-id
+       pairs through two id joins (cross products of the two
+       identical-hash groups — exactly the contract's output rows).
+
+    Residual scale limit, stated honestly: with b bands over a
+    64-bit hash the banded join still performs ~(distinct_hashes)²·
+    b / 2^(64/b) popcount probes. At 10⁶-10⁷ distinct hashes
+    (deduplicated multimodal corpora) that is comfortably in-task
+    CPU; toward 10⁹+, trade recall window for width (max_distance 3
+    → 4 bands of 16 bits → 65536 values/band) or sub-band
+    multi-index probing. ``max_bucket_df`` is the hot-bucket gate
+    (identical discipline to minhash_lsh_pairs) for adversarial
+    band-value pileups; over-cap pins are scoped to the returned
+    DataFrame (session.pin_to_result)."""
     assert 0 <= max_distance < n_bands, (
         "banding guarantees complete recall only for "
         "max_distance < n_bands"
@@ -197,26 +216,32 @@ def hamming_neardup_pairs(
     df = df.select(id_col, hash_col).cache()
     df.count()
     pinned: list[DataFrame] = [df]
+    # (1) identical hashes: hash-keyed self-join, per-bucket work is
+    # group-sized (the hamming-0 bulk never touches the band join)
+    ia = df.select(F.col(id_col).alias("id_a"), F.col(hash_col).alias("__h__"))
+    ib = df.select(F.col(id_col).alias("id_b"), F.col(hash_col).alias("__h__"))
+    same = (
+        ia.join(ib, on="__h__")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(0).alias("hamming"))
+    )
+    # (2) band-join DISTINCT hashes only
+    uniq = df.select(F.col(hash_col).alias("__h__")).distinct()
     width = 64 // n_bands
     mask = (1 << width) - 1
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.shiftrightunsigned(F.col(hash_col), b * width)
+                F.shiftrightunsigned(F.col("__h__"), b * width)
                 .bitwiseAND(F.lit(mask))
                 .alias("val"),
             )
             for b in range(n_bands)
         ]
     )
-    exploded = df.select(
-        F.col(id_col), F.col(hash_col), F.explode(bands).alias("bv")
-    ).select(
-        F.col(id_col),
-        F.col(hash_col),
-        F.col("bv.band").alias("band"),
-        F.col("bv.val").alias("val"),
+    exploded = uniq.select(F.col("__h__"), F.explode(bands).alias("bv")).select(
+        F.col("__h__"), F.col("bv.band").alias("band"), F.col("bv.val").alias("val")
     )
     hot = (
         exploded.groupBy("band", "val")
@@ -225,24 +250,46 @@ def hamming_neardup_pairs(
         .select("band", "val")
     )
     exploded = hot_key_anti_join(exploded, hot, on=["band", "val"], pins=pinned)
-    a = exploded.select(
-        F.col(id_col).alias("id_a"), F.col(hash_col).alias("__ha__"), "band", "val"
+    ha = exploded.select(
+        F.col("__h__").alias("__ha__"),
+        F.col("band").alias("__ba__"),
+        F.col("val").alias("__va__"),
     )
-    b = exploded.select(
-        F.col(id_col).alias("id_b"), F.col(hash_col).alias("__hb__"), "band", "val"
+    hb = exploded.select(
+        F.col("__h__").alias("__hb__"),
+        F.col("band").alias("__bb__"),
+        F.col("val").alias("__vb__"),
     )
-    cand = (
-        a.join(b, on=["band", "val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "__ha__", "__hb__")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    return pin_to_result(
-        cand.withColumn(
-            "hamming",
-            F.bit_count(F.col("__ha__").bitwiseXOR(F.col("__hb__"))),
+    # (3) popcount INSIDE the join condition: failing candidates die
+    # in the join operator instead of shuffling into dropDuplicates
+    cond = (
+        (F.col("__ba__") == F.col("__bb__"))
+        & (F.col("__va__") == F.col("__vb__"))
+        & (F.col("__ha__") < F.col("__hb__"))
+        & (
+            F.bit_count(F.col("__ha__").bitwiseXOR(F.col("__hb__")))
+            <= F.lit(max_distance)
         )
-        .filter(F.col("hamming") <= max_distance)
-        .select("id_a", "id_b", "hamming"),
-        pinned,
     )
+    hash_pairs = (
+        ha.join(hb, on=cond)
+        .select("__ha__", "__hb__")
+        .dropDuplicates(["__ha__", "__hb__"])
+        .withColumn(
+            "hamming", F.bit_count(F.col("__ha__").bitwiseXOR(F.col("__hb__")))
+        )
+    )
+    # (4) expand hash pairs back to image-id pairs (cross product of
+    # the two identical-hash groups, normalized to id_a < id_b)
+    ga = df.select(F.col(hash_col).alias("__ha__"), F.col(id_col).alias("__ia__"))
+    gb = df.select(F.col(hash_col).alias("__hb__"), F.col(id_col).alias("__ib__"))
+    near = (
+        hash_pairs.join(ga, on="__ha__")
+        .join(gb, on="__hb__")
+        .select(
+            F.least("__ia__", "__ib__").alias("id_a"),
+            F.greatest("__ia__", "__ib__").alias("id_b"),
+            "hamming",
+        )
+    )
+    return pin_to_result(same.unionByName(near), pinned)
