@@ -1036,6 +1036,17 @@ def lsh_index_write(
     params = {"n": n, "k": k, "rows_per_band": rows_per_band}
     if _mode != "overwrite":
         _lsh_index_check_meta(path, params)
+    else:
+        # Rebuilding ONTO an existing index: retire the old meta FIRST,
+        # otherwise a crash between the band/exact rewrites below and the
+        # final meta write leaves the OLD meta validating NEW (possibly
+        # mismatched-parameter) band data — the silent recall loss
+        # _lsh_index_check_meta exists to prevent. With the meta gone,
+        # any partial rebuild fails loudly on the missing-meta path.
+        try:
+            os.remove(_lsh_index_meta_path(path))
+        except FileNotFoundError:
+            pass
     bands = lsh_band_table(corpus, id_col, text_col, n, k, rows_per_band)
     bands.withColumnRenamed(id_col, "cid").write.mode(_mode).partitionBy(
         "band"
@@ -1107,13 +1118,29 @@ def _compact_flat(
     n_bytes = sum(b for _, _, b in stats)
     if n_files <= 1 or n_bytes / n_files >= target_bytes / 2:
         return {"compacted": [], "files_before": n_files, "files_after": n_files}
-    staged = tempfile.mkdtemp(prefix="compact_flat_")
+    import os
+
+    # stage NEXT TO the target (same filesystem) so the swap below is a
+    # pair of atomic renames, never a copy
+    staged = tempfile.mkdtemp(
+        prefix=".compact_flat_", dir=os.path.dirname(path.rstrip("/"))
+    )
     try:
         df = spark.read.parquet(path)
         df.repartition(max(1, 1 + n_bytes // target_bytes)).write.mode(
             "overwrite"
         ).parquet(staged)
-        spark.read.parquet(staged).write.mode("overwrite").parquet(path)
+        # Swap the staged output into place with directory renames instead
+        # of read(staged)->overwrite(path): Spark's overwrite deletes the
+        # target before committing, so a failure mid-rewrite would destroy
+        # the live exact subtable with no recovery path. Renames keep the
+        # original on disk until the staged (already-committed) copy takes
+        # its place, and the retired copy is only dropped after the swap.
+        retired = path.rstrip("/") + ".__retired__"
+        shutil.rmtree(retired, ignore_errors=True)
+        os.rename(path, retired)
+        os.rename(staged, path)
+        shutil.rmtree(retired, ignore_errors=True)
     finally:
         shutil.rmtree(staged, ignore_errors=True)
     after = sum(n for _, n, _ in table_file_stats(spark, path))

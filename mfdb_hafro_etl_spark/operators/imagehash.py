@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from mfdb_hafro_etl_spark.operators.skew import hot_key_anti_join
 from mfdb_hafro_etl_spark.session import (
+    cheap_to_recompute,
     ensure_package_shipped,
     pin_to_result,
     spread_for_kernel,
@@ -158,6 +159,7 @@ def hamming_neardup_pairs(
     max_distance: int = 7,
     n_bands: int = 8,
     max_bucket_df: int = 100_000,
+    cache: bool | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs under Hamming distance over a 64-bit
     hash column (pHash, SimHash): (id_a, id_b, hamming) with
@@ -197,7 +199,10 @@ def hamming_neardup_pairs(
     multi-index probing. ``max_bucket_df`` is the hot-bucket gate
     (identical discipline to minhash_lsh_pairs) for adversarial
     band-value pileups; over-cap pins are scoped to the returned
-    DataFrame (session.pin_to_result)."""
+    DataFrame (session.pin_to_result). ``cache``: None (default)
+    auto-pins the (id, hash) input unless it is cheap to recompute
+    (a pre-materialized parquet hash table — scan + narrow ops
+    only); True/False force it."""
     assert 0 <= max_distance < n_bands, (
         "banding guarantees complete recall only for "
         "max_distance < n_bands"
@@ -211,11 +216,22 @@ def hamming_neardup_pairs(
     # per row, which would otherwise run once PER consumer
     # (measured: 9.7 s → ~3 s on the 5k-image suite arm). The table
     # is (id, int64) — doc-count-sized, the cheapest thing in the
-    # plan to pin — so no byte gate is needed; the pin is scoped to
-    # the returned DataFrame (session.pin_to_result).
-    df = df.select(id_col, hash_col).cache()
-    df.count()
-    pinned: list[DataFrame] = [df]
+    # plan to pin. GATED on recompute cost, not bytes: a byte gate
+    # would skip the pin exactly on small-but-codec-expensive image
+    # fixtures, so the gate is structural — a PRE-MATERIALIZED hash
+    # table (parquet-backed scan + narrow ops, cheap_to_recompute)
+    # skips the pin and lets each consumer re-read the pruned scan;
+    # anything with a kernel / agg / join upstream keeps it.
+    # ``cache=True/False`` overrides the auto rule either way; the
+    # pin is scoped to the returned DataFrame (session.pin_to_result).
+    df = df.select(id_col, hash_col)
+    pinned: list[DataFrame] = []
+    if cache is None:
+        cache = not cheap_to_recompute(df)
+    if cache:
+        df = df.cache()
+        df.count()
+        pinned.append(df)
     # (1) identical hashes: hash-keyed self-join, per-bucket work is
     # group-sized (the hamming-0 bulk never touches the band join)
     ia = df.select(F.col(id_col).alias("id_a"), F.col(hash_col).alias("__h__"))

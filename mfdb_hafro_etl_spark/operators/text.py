@@ -559,7 +559,15 @@ def bpe_encode(
     ensure_package_shipped(df.sparkSession)
     src = spread_for_kernel(df.select(id_col, text_col))
     id_type = src.schema[id_col].dataType.simpleString()
-    ws = _re.compile(r"\s+")
+    # re.ASCII: Python's \s is Unicode-aware (U+00A0, U+2009, ...) but
+    # bpe_word_freq/bpe_train split with Java \s (ASCII-only) and the
+    # DuckDB oracle uses RE2 \s (also ASCII) — an ASCII splitter is the
+    # only choice all three engines agree on, keeping the "matches
+    # bpe_word_freq exactly" contract on text with Unicode whitespace.
+    # (Lowercasing edge: str.lower() is full-Unicode like Spark's
+    # lower(); both differ from DuckDB's ASCII lower() only on
+    # non-ASCII letters, which the oracle fixtures avoid.)
+    ws = _re.compile(r"\s+", _re.ASCII)
 
     def _encode_word(word: str, cache: dict) -> list:
         got = cache.get(word)

@@ -168,8 +168,16 @@ def rescale_by_published(
     """
     from pyspark.sql import Window
 
-    pub = published.filter(F.col("year").between(*years)).select(
-        "species", "year", "iceland"
+    pub = (
+        published.filter(F.col("year").between(*years))
+        .select("species", "year", "iceland")
+        # (species, year) must be unique: a duplicated key would fan out
+        # landings rows through the left join AND inflate the window
+        # denominator below (a doubled key halves __r__) — the old
+        # groupBy-before-join shape only duplicated output rows but kept
+        # the ratio right, so dedup here keeps malformed published input
+        # from silently changing the rescale.
+        .dropDuplicates(["species", "year"])
     )
     w = Window.partitionBy("species", "year")
     return (

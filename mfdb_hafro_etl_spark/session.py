@@ -246,6 +246,43 @@ def _leaf_scan_bytes(df) -> int | None:
         return None
 
 
+#: optimized-plan node names whose presence means re-running the plan
+#: per consumer repeats real work: Python/Arrow kernels (ms-per-row),
+#: wide transforms (a shuffle per rerun), or generators (explode fanout).
+_EXPENSIVE_PLAN_NODES = (
+    "MapInPandas",
+    "MapInArrow",
+    "FlatMapGroupsInPandas",
+    "FlatMapCoGroupsInPandas",
+    "ArrowEvalPython",
+    "BatchEvalPython",
+    "pythonUDF",
+    "Aggregate",
+    "Window",
+    "Join",
+    "Generate",
+    "Sort",
+    "Deduplicate",
+    "Distinct",
+)
+
+
+def cheap_to_recompute(df) -> bool:
+    """True when the DataFrame's optimized plan is scan + narrow ops
+    only (project / filter / repartition over leaf relations) — the
+    case where an eager multi-consumer cache is pure toll, because
+    each consumer just re-reads a (column-pruned) scan. False for
+    anything containing a Python/Arrow kernel, aggregate, window,
+    join, or generate (rerunning those per consumer repeats real
+    work), and False when the JVM internals are unreachable (unknown
+    → conservative: let the caller cache)."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:
+        return False
+    return not any(node in plan for node in _EXPENSIVE_PLAN_NODES)
+
+
 def spread_for_kernel(df, factor: int = 2, bytes_per_task: int | None = None):
     """Give a CPU-dense Arrow kernel cluster-wide parallelism.
 

@@ -27,7 +27,6 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -159,13 +158,25 @@ def _read_batched_sink(spark: SparkSession, sink_dir: str, schema) -> DataFrame:
     batches were empty — e.g. the final watermark-commit batch of a
     stateful query emitting zero rows — still creates the per-batch
     directory, and parquet schema inference over an all-empty tree
-    raises)."""
-    if not any(e.startswith("batch_id=") for e in os.listdir(sink_dir)):
+    raises).
+
+    Emptiness is detected STRUCTURALLY (walk the batch_id= dirs for
+    data files) rather than by catching AnalysisException around the
+    read: a blanket catch would make genuine read failures — schema
+    drift between batch_id dirs, corrupt footers, a bad path — look
+    identical to 'the stream produced zero rows'. With the structural
+    check, those propagate."""
+    batch_dirs = [
+        e for e in os.listdir(sink_dir) if e.startswith("batch_id=")
+    ]
+    has_data = any(
+        f.endswith(".parquet")
+        for d in batch_dirs
+        for f in os.listdir(os.path.join(sink_dir, d))
+    )
+    if not has_data:
         return spark.createDataFrame([], schema)
-    try:
-        return spark.read.parquet(sink_dir).drop("batch_id")
-    except AnalysisException:
-        return spark.createDataFrame([], schema)
+    return spark.read.parquet(sink_dir).drop("batch_id")
 
 
 def auto_state_partitions(spark: SparkSession, sf_dir: str) -> int:

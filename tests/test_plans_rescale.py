@@ -1,0 +1,32 @@
+"""rescale_by_published edge semantics (ADVICE r7, plans/landings.py):
+a duplicated (species, year) row in published must not fan out
+landings rows or inflate the window denominator."""
+
+from __future__ import annotations
+
+
+def _rows(df):
+    return sorted(
+        (r.species, r.year, round(r.weight_total, 6)) for r in df.collect()
+    )
+
+
+def test_rescale_duplicate_published_key_is_inert(spark):
+    from mfdb_hafro_etl_spark.plans.landings import rescale_by_published
+
+    landings = spark.createDataFrame(
+        [(1, 1999, 500.0), (1, 1999, 1500.0), (2, 1999, 800.0)],
+        "species int, year int, weight_total double",
+    )
+    pub = spark.createDataFrame(
+        [(1, 1999, 4.0)], "species int, year int, iceland double"
+    )
+    pub_dup = pub.unionByName(pub)  # malformed: doubled key
+
+    want = _rows(rescale_by_published(landings, pub))
+    got = _rows(rescale_by_published(landings, pub_dup))
+    assert got == want
+    # and the ratio itself is right: sum=2000 kg -> 2.0 t; r = 4/2 = 2
+    assert (1, 1999, 1000.0) in want and (1, 1999, 3000.0) in want
+    # unmatched species passes through
+    assert (2, 1999, 800.0) in want

@@ -371,3 +371,26 @@ def test_read_batched_sink_empty_batch_dirs(spark, tmp_path):
     )
     out2 = _read_batched_sink(spark, sink, schema)
     assert [r.user_id for r in out2.collect()] == [7]
+
+
+def test_read_batched_sink_corrupt_data_propagates(spark, tmp_path):
+    """Genuine sink read failures must PROPAGATE, not read as 'the
+    stream produced zero rows': emptiness is detected structurally
+    (no data files under any batch_id= dir), so a batch dir holding
+    a corrupt parquet file raises instead of returning an empty
+    frame (ADVICE r7)."""
+    import os
+
+    import pytest
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from mfdb_hafro_etl_spark.streaming.jobs import _read_batched_sink
+
+    sink = str(tmp_path / "sink")
+    bd = os.path.join(sink, "batch_id=0")
+    os.makedirs(bd)
+    with open(os.path.join(bd, "part-00000.parquet"), "wb") as f:
+        f.write(b"this is not a parquet footer")
+    schema = StructType([StructField("user_id", LongType())])
+    with pytest.raises(Exception):
+        _read_batched_sink(spark, sink, schema).collect()
