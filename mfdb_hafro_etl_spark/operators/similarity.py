@@ -605,11 +605,20 @@ def build_ivf_index(
                 built_with = json.load(fh)
         except (OSError, ValueError):
             built_with = None
-        if built_with == params:
+        if built_with is not None and all(
+            built_with.get(k) == v for k, v in params.items()
+        ):
             return [
                 (int(r[0]), [float(x) for x in r[1]])
                 for r in spark.read.parquet(os.path.join(path, "centroids")).collect()
             ]
+    # rebuilding onto an existing index: retire the old marker FIRST
+    # (the lsh_index_write discipline) so a crash mid-rebuild leaves a
+    # loudly-invalid index, never an old marker validating new data
+    try:
+        os.remove(marker)
+    except FileNotFoundError:
+        pass
     cents = _ivf_centroids(emb, n_centroids, id_col, vec_col)
     cents = _kmeans_refine(emb, cents, kmeans_iters, id_col, vec_col)
     fanned = emb.repartition(spark.sparkContext.defaultParallelism)
@@ -624,9 +633,119 @@ def build_ivf_index(
     local_df(
         spark, [(cid, cv) for cid, cv in cents], "cid INT, centroid ARRAY<DOUBLE>"
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    # rows_at_build + dims anchor the append-time drift guard
+    # (ivf_index_append): appended vectors keep STALE centroids, so
+    # recall silently degrades as the appended fraction grows
+    rows_at_build = spark.read.parquet(os.path.join(path, "vectors")).count()
     with open(marker, "w") as fh:
-        json.dump(params, fh)
+        json.dump(
+            {
+                **params,
+                "rows_at_build": rows_at_build,
+                "dims": len(cents[0][1]) if cents else 0,
+            },
+            fh,
+        )
     return cents
+
+
+def _ivf_read_marker(path: str) -> dict:
+    """Load the index marker, failing LOUDLY when absent — a missing
+    marker means a half-built or mid-rebuild index, and probing or
+    appending against one silently serves wrong partitions."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_INDEX_OK")) as fh:
+        return json.load(fh)
+
+
+def ivf_index_append(
+    batch: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_appended_frac: float = 0.25,
+) -> None:
+    """Append one increment of vectors to a materialized IVF index
+    (build_ivf_index) WITHOUT re-clustering: the batch is assigned to
+    the index's EXISTING centroids (the same Arrow matmul kernel as
+    the build) and blind-appended under the matching ``__cid__=``
+    partitions — probe-vs-appended-index is row-identical to
+    probe-vs-rebuilt-with-the-same-centroids (pinned by
+    tests/test_corpus_ops.py), because probes scan whole partitions
+    and scoring within a cell is exact. Appends stay blind-write-only
+    (the lsh_index_append discipline): no read-modify-write of any
+    shared state, so idempotent retries are the caller's
+    replace-by-source pattern, and concurrent increments can't race.
+
+    RECLUSTER POLICY — the honest limit of appending: appended
+    vectors are quantized by STALE centroids. Cells drift away from
+    the data's true density, recall at fixed n_probe degrades
+    silently, and no within-append check can see it (each append is
+    locally correct). The guard is therefore volumetric: when total
+    appended rows would exceed ``max_appended_frac`` of rows_at_build
+    (marker-recorded; current size comes from parquet footer counts,
+    a metadata-only job), the append REFUSES with the rebuild
+    instruction — `build_ivf_index(..., rebuild=True)` re-derives
+    centroids over the full corpus and resets the budget. Pass a
+    bigger fraction to loosen deliberately; there is no warn-and-
+    proceed mode, because a warning in a scheduled pipeline's log is
+    the same as silence. Parameter/shape mismatches (vector dims vs
+    the index's) also refuse loudly.
+
+    Run ivf_index_compact periodically: every append adds ≥1 file
+    per touched cell, and thousand-increment indexes pay per-file
+    footer reads until compacted."""
+    import os
+
+    spark = batch.sparkSession
+    meta = _ivf_read_marker(path)
+    dims = int(
+        batch.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()[0]["d"]
+    )
+    if meta.get("dims") and dims != meta["dims"]:
+        raise ValueError(
+            f"IVF index at {path} holds {meta['dims']}-dim vectors; "
+            f"append batch has {dims}-dim vectors — assigning them to "
+            "these centroids is meaningless. Build a separate index."
+        )
+    vectors = os.path.join(path, "vectors")
+    rows_at_build = int(meta.get("rows_at_build", 0))
+    current = spark.read.parquet(vectors).count()
+    batch_rows = batch.count()
+    appended_after = current + batch_rows - rows_at_build
+    if rows_at_build and appended_after > max_appended_frac * rows_at_build:
+        raise ValueError(
+            f"IVF index at {path}: appending {batch_rows} rows would put "
+            f"{appended_after} appended rows over the recluster budget "
+            f"({max_appended_frac:.0%} of {rows_at_build} built rows). "
+            "Appended vectors are quantized by STALE centroids and recall "
+            "degrades silently — rebuild with build_ivf_index(..., "
+            "rebuild=True), or raise max_appended_frac deliberately."
+        )
+    cents = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in spark.read.parquet(os.path.join(path, "centroids")).collect()
+    ]
+    fanned = batch.repartition(spark.sparkContext.defaultParallelism)
+    assigned = _ivf_assign_table(fanned, cents, id_col, vec_col)
+    assigned.repartition(len(cents), F.col("__cid__")).write.mode(
+        "append"
+    ).partitionBy("__cid__").parquet(vectors)
+
+
+def ivf_index_compact(spark, path: str) -> dict:
+    """Fold append-accumulated small files in the IVF vectors table
+    back to scan-efficient sizes. Partition-local rewrites only
+    (sinks.tables.compact_partitions, dynamic partition overwrite —
+    cells untouched by appends are never rewritten); row set is
+    invariant. Returns the compaction report."""
+    import os
+
+    from mfdb_hafro_etl_spark.sinks.tables import compact_partitions
+
+    return compact_partitions(spark, os.path.join(path, "vectors"), ["__cid__"])
 
 
 def ann_ivf_topk_indexed(
