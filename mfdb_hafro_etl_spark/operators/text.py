@@ -11,7 +11,7 @@ a parity test pins it byte-identical to the Column formulation).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 # Tiny per-language marker lists for the language-ID heuristic
@@ -502,12 +502,20 @@ def bpe_merges(merges_df: DataFrame) -> list[tuple[str, str]]:
     ]
 
 
+#: SentencePiece-style word-start marker used by
+#: bpe_encode(mark_word_start=True) / bpe_decode. Applied AFTER the
+#: merge loop (pure post-processing), so the trained merge table needs
+#: no marker-aware vocabulary.
+BPE_WORD_MARK = "▁"  # ▁
+
+
 def bpe_encode(
     df: DataFrame,
     merges: DataFrame | list,
     id_col: str = "doc_id",
     text_col: str = "text",
     out_col: str = "tokens",
+    mark_word_start: bool = False,
 ) -> DataFrame:
     """Apply a trained BPE merge table to tokenize a corpus —
     the operator that makes bpe_train load-bearing (token-exact
@@ -546,6 +554,15 @@ def bpe_encode(
     ``merges``: a bpe_train result DataFrame (collected vocab-sized,
     see bpe_merges) or an already-collected list of (x, y) tuples /
     "x y" strings in rank order.
+
+    ``mark_word_start``: prefix each word's FIRST token with
+    BPE_WORD_MARK ('▁', SentencePiece-style) AFTER the merge loop.
+    Post-processing only — merges apply to unmarked symbols, so the
+    trained table is shared between both modes — but it makes the
+    token stream LOSSLESS w.r.t. the pretokenized text: bpe_decode
+    (concat → marker→space → trim) recovers it exactly, where the
+    unmarked stream cannot know word boundaries. Default False keeps
+    the oracle-pinned x_bpe_encode stream unchanged.
     """
     import re as _re
 
@@ -599,6 +616,8 @@ def bpe_encode(
         cache[word] = syms
         return syms
 
+    mark = BPE_WORD_MARK if mark_word_start else None
+
     def gen(batches):
         import pandas as pd
 
@@ -609,10 +628,83 @@ def bpe_encode(
                 words = [w for w in ws.split((t or "").lower()) if w]
                 doc: list = []
                 for w in words:
-                    doc.extend(_encode_word(w, cache))
+                    syms = _encode_word(w, cache)
+                    if mark:  # copy — never mutate the memoized list
+                        doc.append(mark + syms[0])
+                        doc.extend(syms[1:])
+                    else:
+                        doc.extend(syms)
                 toks.append(doc)
             yield pd.DataFrame({id_col: pdf[id_col], out_col: toks})
 
     return src.mapInPandas(
         gen, schema=f"{id_col} {id_type}, {out_col} array<string>"
     )
+
+
+def bpe_decode(tokens_col: Column | str) -> Column:
+    """Inverse of bpe_encode(mark_word_start=True): concatenate the
+    token stream, turn each word-start marker back into the single
+    space the ASCII-whitespace pretokenizer collapsed to, and trim
+    the leading one. Pure Column algebra (no UDF), and SQL-mirrorable
+    one-for-one (array_to_string + replace + trim).
+
+    Round-trip contract (property-pinned in tests):
+    decode(encode(x, mark_word_start=True)) == the PRETOKENIZED text
+    — lowercased, ASCII-whitespace runs collapsed to single spaces,
+    leading/trailing whitespace dropped. Tokens from the unmarked
+    mode are NOT decodable (word boundaries aren't in the stream);
+    decoding them returns the bare symbol concatenation."""
+    c = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    return F.trim(F.regexp_replace(F.array_join(c, ""), BPE_WORD_MARK, " "))
+
+
+#: tokenizer artifact layout version (_tokenizer_meta.json)
+_BPE_EXPORT_VERSION = 1
+
+
+def bpe_export(merges_df: DataFrame, path: str) -> None:
+    """Persist a trained BPE merge table as a durable artifact other
+    sessions/jobs load with bpe_import — without this, the tokenizer
+    exists only as a DataFrame inside the training session. Layout:
+    ``path``/merges (parquet: rank, pair, freq) plus
+    _tokenizer_meta.json written LAST (the index-marker discipline:
+    a crash mid-export leaves a loudly-invalid artifact, never a
+    silently short merge table)."""
+    import json
+    import os
+
+    out = merges_df.select("rank", "pair", "freq").orderBy("rank")
+    out.coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "merges"))
+    n = int(
+        merges_df.sparkSession.read.parquet(os.path.join(path, "merges")).count()
+    )
+    with open(os.path.join(path, "_tokenizer_meta.json"), "w") as fh:
+        json.dump({"version": _BPE_EXPORT_VERSION, "n_merges": n}, fh)
+
+
+def bpe_import(spark: SparkSession, path: str) -> DataFrame:
+    """Load a bpe_export artifact, meta-guarded: a missing meta
+    (half-written export) fails loudly with FileNotFoundError; a
+    version or row-count mismatch (layout drift, torn merge table)
+    raises ValueError. Returns the (rank, pair, freq) DataFrame,
+    usable anywhere a bpe_train result is (bpe_encode, bpe_merges,
+    token_count packing)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_tokenizer_meta.json")) as fh:
+        meta = json.load(fh)
+    if meta.get("version") != _BPE_EXPORT_VERSION:
+        raise ValueError(
+            f"tokenizer artifact at {path} has layout version "
+            f"{meta.get('version')}; this engine reads {_BPE_EXPORT_VERSION}"
+        )
+    merges = spark.read.parquet(os.path.join(path, "merges"))
+    n = merges.count()
+    if n != meta.get("n_merges"):
+        raise ValueError(
+            f"tokenizer artifact at {path} is torn: meta records "
+            f"{meta.get('n_merges')} merges, table holds {n}"
+        )
+    return merges
