@@ -101,6 +101,127 @@ def symbol_word_ratio(col: Column | str) -> Column:
     return n_sym / F.greatest(F.size(toks), F.lit(1))
 
 
+# ---------------------------------------- HTML boilerplate stripping
+#: block-level elements: each opening OR closing tag is a block
+#: boundary. (?i) case-insensitive; \b keeps 'p' from matching
+#: '<pre>' — RE2-compatible (ASCII word boundary, no lookaround).
+HTML_BLOCK_SPLIT = (
+    r"(?i)</?(?:p|div|li|ul|ol|h[1-6]|br|table|thead|tbody|tr|td|th|"
+    r"section|article|aside|header|footer|nav|blockquote|pre|form|main|"
+    r"figure|figcaption)\b[^>]*>"
+)
+#: anchor inner text (group 1) — the link-density numerator
+HTML_ANCHOR = r"(?is)<a\b[^>]*>(.*?)</a>"
+#: any remaining tag
+HTML_TAG = r"(?s)<[^>]*>"
+#: invisible / non-content elements removed before block splitting
+HTML_NOISE = (
+    r"(?is)<script\b[^>]*>.*?</script>",
+    r"(?is)<style\b[^>]*>.*?</style>",
+    r"(?s)<!--.*?-->",
+)
+#: minimal entity decode, applied after tag stripping; '&amp;' LAST so
+#: '&amp;lt;' decodes to '&lt;' (one level), never to '<'.
+HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&nbsp;", " "),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&amp;", "&"),
+)
+
+
+def _html_unescape(c: Column) -> Column:
+    for ent, ch in HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return c
+
+
+def _norm_ws(c: Column) -> Column:
+    # explicit ASCII class, NOT \s: Java \s is ASCII but Python's is
+    # not — an explicit class means every engine (Java, RE2, Python
+    # re) normalizes identically
+    return F.trim(F.regexp_replace(c, r"[ \t\r\n]+", " "))
+
+
+def _drop_noise(c: Column) -> Column:
+    for pat in HTML_NOISE:
+        c = F.regexp_replace(c, pat, " ")
+    return c
+
+
+def strip_tags(col: Column | str) -> Column:
+    """Plain text of an HTML fragment: script/style/comments dropped,
+    every tag replaced by a space, minimal entity decode, whitespace
+    normalized. Pure Column algebra (codegen'd regex passes)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return _norm_ws(_html_unescape(F.regexp_replace(_drop_noise(c), HTML_TAG, " ")))
+
+
+def html_main_content(
+    col: Column | str,
+    min_block_chars: int = 30,
+    max_link_density: float = 0.30,
+) -> Column:
+    """Rule-based main-content extraction for raw HTML — the standard
+    step between a crawl and every text operator downstream
+    (boilerplate navigation/footer chrome poisons dedup shingles,
+    quality scores, and token counts alike). Deterministic block
+    algebra in the jusText/Boilerpipe family, engine-portable by
+    construction (every rule is an RE2-compatible regex or integer
+    arithmetic, so a SQL oracle replays it exactly):
+
+    1. drop invisible elements (script/style/comments);
+    2. split on block-level tag boundaries (HTML_BLOCK_SPLIT) —
+       blocks are the natural boilerplate granularity, markup depth
+       is irrelevant to it;
+    3. per block, compute the tag-stripped text and its anchor-only
+       text (HTML_ANCHOR inner content, same normalization);
+    4. keep blocks with >= ``min_block_chars`` of text whose
+       link-text share is <= ``max_link_density`` — navigation bars
+       and footers are short and nearly-all-links, prose is neither
+       (the classic link-density heuristic);
+    5. join kept blocks in document order, single-spaced.
+
+    Inputs with no tag at all bypass the gates (normalize + entity
+    decode only), so plain text passes through regardless of length
+    and the operator is idempotent on its own output (caveat: text
+    whose CONTENT contains literal angle-bracket pairs or encoded
+    entities is altered by a second pass — re-cleaning cleaned text
+    is a caller bug the bypass makes harmless for real prose).
+
+    One narrow projection per row — no shuffle, no UDF; at 100 TB
+    this runs inside the scan stage like every other Column op."""
+    c = F.col(col) if isinstance(col, str) else col
+    pre = _drop_noise(c)
+    blocks = F.split(pre, HTML_BLOCK_SPLIT)
+
+    def _metrics(b: Column) -> Column:
+        txt = _norm_ws(_html_unescape(F.regexp_replace(b, HTML_TAG, " ")))
+        ltxt = _norm_ws(
+            _html_unescape(
+                F.regexp_replace(
+                    F.array_join(F.regexp_extract_all(b, F.lit(HTML_ANCHOR), F.lit(1)), " "),
+                    HTML_TAG,
+                    " ",
+                )
+            )
+        )
+        return F.struct(txt.alias("txt"), F.length(ltxt).alias("ln"))
+
+    kept = F.filter(
+        F.transform(blocks, _metrics),
+        lambda s: (F.length(s["txt"]) >= F.lit(min_block_chars))
+        & (
+            s["ln"].cast("double")
+            <= F.lit(float(max_link_density)) * F.length(s["txt"]).cast("double")
+        ),
+    )
+    joined = _norm_ws(F.array_join(F.transform(kept, lambda s: s["txt"]), " "))
+    return F.when(~c.rlike(HTML_TAG), _norm_ws(_html_unescape(c))).otherwise(joined)
+
+
 def gopher_rules(
     col: Column | str,
     min_tokens: int = 5,

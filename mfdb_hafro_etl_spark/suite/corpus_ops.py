@@ -162,6 +162,117 @@ def x_clean_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------- HTML boilerplate strip
+# Synthetic crawl page wrapped around each document's text: chrome
+# (nav, footer, a short spam block, an all-link block) that the
+# link-density + min-length rules must drop, with the prose kept.
+# Both engines build the IDENTICAL string, then replay the identical
+# rule chain (cleaning.html_main_content's regexes are RE2-compatible
+# by construction).
+_HTML_PRE = (
+    '<html><head><style>p{color:red}</style><script>var x=1;</script>'
+    '</head><body><nav><a href="/">Home</a> <a href="/about">About</a> '
+    '<a href="/contact">Contact</a></nav><div>'
+)
+_HTML_MID = '</div><p>spam</p><!-- ad slot --><div><a href="/x">'
+_HTML_SUF = (
+    '</a></div><footer><a href="/terms">Terms</a> &amp; '
+    '<a href="/privacy">Privacy</a> copyright 2024</footer></body></html>'
+)
+
+# entity decode exactly as cleaning.HTML_ENTITIES, in order
+_ENT_SQL_STEPS = (
+    ("&nbsp;", "' '"),
+    ("&quot;", "'\"'"),
+    ("&#39;", "chr(39)"),
+    ("&lt;", "'<'"),
+    ("&gt;", "'>'"),
+    ("&amp;", "'&'"),
+)
+
+
+def _ent_sql(expr: str) -> str:
+    for ent, rep in _ENT_SQL_STEPS:
+        expr = f"replace({expr}, '{ent}', {rep})"
+    return expr
+
+
+def _clean_html_oracle() -> str:
+    from mfdb_hafro_etl_spark.operators.cleaning import (
+        HTML_ANCHOR,
+        HTML_BLOCK_SPLIT,
+        HTML_TAG,
+    )
+
+    txt = _ent_sql(f"regexp_replace(raw, '{HTML_TAG}', ' ', 'g')")
+    ltxt = _ent_sql(
+        "regexp_replace(array_to_string(regexp_extract_all(raw, "
+        f"'{HTML_ANCHOR}', 1), ' '), '{HTML_TAG}', ' ', 'g')"
+    )
+    return f"""
+    WITH src AS (
+      SELECT doc_id,
+             '{_HTML_PRE}' || text || '{_HTML_MID}'
+               || substr(text, 1, 40) || '{_HTML_SUF}' AS html
+      FROM documents
+    ),
+    pre AS (
+      SELECT doc_id,
+        regexp_replace(regexp_replace(regexp_replace(html,
+          '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+          '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+          '(?s)<!--.*?-->', ' ', 'g') AS h
+      FROM src
+    ),
+    blocks AS (
+      SELECT doc_id, regexp_split_to_array(h, '{HTML_BLOCK_SPLIT}') AS bs
+      FROM pre
+    ),
+    b AS (
+      SELECT doc_id, i, bs[i] AS raw
+      FROM blocks, unnest(generate_series(1, len(bs))) u(i)
+    ),
+    m AS (
+      SELECT doc_id, i,
+        trim(regexp_replace({txt}, '[ \t\r\n]+', ' ', 'g')) AS txt,
+        COALESCE(trim(regexp_replace({ltxt}, '[ \t\r\n]+', ' ', 'g')), '') AS ltxt
+      FROM b
+    ),
+    agg AS (
+      SELECT doc_id, string_agg(txt, ' ' ORDER BY i) AS joined
+      FROM m
+      WHERE length(txt) >= 30
+        AND CAST(length(ltxt) AS DOUBLE) <= 0.30 * CAST(length(txt) AS DOUBLE)
+      GROUP BY doc_id
+    )
+    SELECT s.doc_id, COALESCE(agg.joined, '') AS main_txt,
+           length(COALESCE(agg.joined, '')) AS n_chars
+    FROM src s LEFT JOIN agg ON s.doc_id = agg.doc_id
+    """
+
+
+@register("x_clean_html", _clean_html_oracle())
+def x_clean_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate strip (cleaning.html_main_content): rule-based
+    main-content extraction — block split on block-level tags, per-
+    block link-density + min-length gates, kept blocks rejoined in
+    document order. Narrow Column algebra: one codegen'd projection
+    per row, no shuffle, scales with the scan. The oracle replays the
+    identical regex/arithmetic chain through DuckDB's RE2 on the
+    identically-built fixture page."""
+    docs = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(_HTML_PRE),
+        F.col("text"),
+        F.lit(_HTML_MID),
+        F.substring(F.col("text"), 1, 40),
+        F.lit(_HTML_SUF),
+    )
+    return docs.select(
+        "doc_id", cl.html_main_content(html).alias("main_txt")
+    ).withColumn("n_chars", F.length("main_txt"))
+
+
 # ------------------------------------------------------ decontamination
 @register(
     "x_clean_decontam",

@@ -124,7 +124,7 @@ COMBOS: dict[str, list[str]] = {
         "x_sample_pack",
         "x_sample_temperature",
     ],
-    "x_cleaning": ["x_clean_pii", "x_clean_gopher", "x_clean_decontam"],
+    "x_cleaning": ["x_clean_pii", "x_clean_gopher", "x_clean_html", "x_clean_decontam"],
     "x_text_all": [
         "x_text_stats",
         "x_text_quality",
@@ -312,6 +312,7 @@ _ARM_COLS: dict[str, list[tuple[str, str]]] = {
     "x_sample_temperature": [("source", "s"), ("n_kept", "i"), ("min_id", "i"), ("max_id", "i")],
     "x_clean_pii": [("c_custkey", "i"), ("n_email", "i"), ("n_phone", "i"), ("n_ip", "i"), ("redacted", "s")],
     "x_clean_gopher": [("doc_id", "i"), ("n_tokens", "i"), ("ttr", "d"), ("top_bigram", "d"), ("sym_ratio", "d"), ("keep", "i")],
+    "x_clean_html": [("doc_id", "i"), ("main_txt", "s"), ("n_chars", "i")],
     "x_clean_decontam": [("doc_id", "i"), ("n_shared_ngrams", "i")],
     "x_text_fingerprint": [("doc_id", "i"), ("fingerprint", "s")],
     "x_text_winnow": [("doc_id", "i"), ("fp", "i")],
