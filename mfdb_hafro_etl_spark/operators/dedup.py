@@ -1147,6 +1147,65 @@ def _compact_flat(
     return {"compacted": [path], "files_before": n_files, "files_after": after}
 
 
+def lsh_index_publish_bucketed(
+    spark: SparkSession,
+    path: str,
+    table_prefix: str,
+    n_buckets: int = 32,
+) -> None:
+    """Publish a path-backed LSH index (lsh_index_write) into catalog
+    BUCKETED tables, so every probe reads the corpus side
+    SHUFFLE-FREE: ``<prefix>_bands`` bucketed on (band, val) — the
+    probe join's exact keys — and ``<prefix>_exact`` bucketed on the
+    content hash. With bucketing, only the (increment-sized) batch
+    side of each probe join shuffles, into n_buckets; the corpus
+    side's Exchange disappears from the plan (pinned by
+    tests/test_plan_quality.py). The index parameters travel in a
+    one-row ``<prefix>_meta`` table, validated by every catalog
+    probe exactly as the path meta is — publishing can't outrun the
+    parameter guard. Size n_buckets to the deployment: at 100 TB the
+    band table wants hundreds of buckets, each a few GB."""
+    import os
+
+    from mfdb_hafro_etl_spark.sinks.tables import materialize_bucketed
+
+    # validate + load the source index's parameters (loud on missing)
+    import json
+
+    with open(_lsh_index_meta_path(path)) as f:
+        meta = json.load(f)
+    bands = spark.read.parquet(os.path.join(path, "bands"))
+    materialize_bucketed(bands, f"{table_prefix}_bands", ["band", "val"], n_buckets)
+    exact = spark.read.parquet(os.path.join(path, "exact"))
+    materialize_bucketed(exact, f"{table_prefix}_exact", ["h"], n_buckets)
+    from mfdb_hafro_etl_spark.localrel import local_df
+
+    local_df(
+        spark,
+        [(int(meta["version"]), int(meta["n"]), int(meta["k"]), int(meta["rows_per_band"]))],
+        "version INT, n INT, k INT, rows_per_band INT",
+    ).write.mode("overwrite").saveAsTable(f"{table_prefix}_meta")
+
+
+def _lsh_catalog_check_meta(spark: SparkSession, table_prefix: str, params: dict) -> None:
+    rows = spark.table(f"{table_prefix}_meta").collect()
+    if len(rows) != 1:
+        raise ValueError(
+            f"LSH catalog index {table_prefix}_meta must hold exactly one "
+            f"row, found {len(rows)} — the published index is torn"
+        )
+    meta = rows[0].asDict()
+    mismatched = {
+        key: (meta.get(key), v) for key, v in params.items() if meta.get(key) != v
+    }
+    if mismatched:
+        raise ValueError(
+            "LSH index parameter mismatch — an index probed with different "
+            f"(n, k, rows_per_band) silently loses recall; catalog index "
+            f"{table_prefix} has {mismatched} (stored, requested)."
+        )
+
+
 def dedup_against_index(
     spark: SparkSession,
     path: str,
@@ -1156,6 +1215,7 @@ def dedup_against_index(
     n: int = 3,
     k: int = 8,
     rows_per_band: int = 2,
+    catalog_prefix: str | None = None,
 ) -> DataFrame:
     """dedup_against, probing a MATERIALIZED index instead of
     recomputing the corpus side per batch: same output contract
@@ -1164,13 +1224,27 @@ def dedup_against_index(
     shuffles: both probes are equi-joins of the batch against the
     index scan, min-id aggregation happens over MATCHED rows only
     (the semi-join keeps it increment-sized), and the corpus is
-    never re-shingled."""
+    never re-shingled.
+
+    ``catalog_prefix``: probe the catalog-bucketed publication
+    (lsh_index_publish_bucketed) instead of the parquet path — the
+    corpus side of both probe joins then reads pre-bucketed on the
+    join keys and never shuffles (plan-pinned); parameters validate
+    against the published meta table."""
     import os
 
-    _lsh_index_check_meta(
-        path, {"n": n, "k": k, "rows_per_band": rows_per_band}
-    )
-    exact_index = spark.read.parquet(os.path.join(path, "exact"))
+    if catalog_prefix is not None:
+        _lsh_catalog_check_meta(
+            spark, catalog_prefix, {"n": n, "k": k, "rows_per_band": rows_per_band}
+        )
+        exact_index = spark.table(f"{catalog_prefix}_exact")
+        corpus_bands_src = spark.table(f"{catalog_prefix}_bands")
+    else:
+        _lsh_index_check_meta(
+            path, {"n": n, "k": k, "rows_per_band": rows_per_band}
+        )
+        exact_index = spark.read.parquet(os.path.join(path, "exact"))
+        corpus_bands_src = None
     b_hash = batch.select(F.col(id_col), F.md5(F.col(text_col)).alias("h"))
     exact = (
         b_hash.join(exact_index, on="h")
@@ -1178,7 +1252,11 @@ def dedup_against_index(
         .agg(F.min("cid").alias("match_id"))
         .select(F.col(id_col), F.lit("exact").alias("dup_kind"), "match_id")
     )
-    corpus_bands = spark.read.parquet(os.path.join(path, "bands"))
+    corpus_bands = (
+        corpus_bands_src
+        if corpus_bands_src is not None
+        else spark.read.parquet(os.path.join(path, "bands"))
+    )
     batch_bands = lsh_band_table(batch, id_col, text_col, n, k, rows_per_band)
     near_all = (
         batch_bands.join(
