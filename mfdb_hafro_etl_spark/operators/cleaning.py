@@ -102,14 +102,29 @@ def symbol_word_ratio(col: Column | str) -> Column:
 
 
 # ---------------------------------------- HTML boilerplate stripping
+#: block-level tag-name alternation shared by the splitter and the
+#: anchor peel below
+_BLOCK_TAGS = (
+    "p|div|li|ul|ol|h[1-6]|br|table|thead|tbody|tr|td|th|"
+    "section|article|aside|header|footer|nav|blockquote|pre|form|main|"
+    "figure|figcaption"
+)
 #: block-level elements: each opening OR closing tag is a block
 #: boundary. (?i) case-insensitive; \b keeps 'p' from matching
 #: '<pre>' — RE2-compatible (ASCII word boundary, no lookaround).
-HTML_BLOCK_SPLIT = (
-    r"(?i)</?(?:p|div|li|ul|ol|h[1-6]|br|table|thead|tbody|tr|td|th|"
-    r"section|article|aside|header|footer|nav|blockquote|pre|form|main|"
-    r"figure|figcaption)\b[^>]*>"
-)
+HTML_BLOCK_SPLIT = r"(?i)</?(?:" + _BLOCK_TAGS + r")\b[^>]*>"
+#: a block-level tag sitting directly inside an anchor (anchor-open,
+#: then tag-free text, then the block tag). Peeled out BEFORE block
+#: splitting so card/button markup like <a><div>text</div></a> stays
+#: one anchor — otherwise the split separates the anchor open from
+#: its text and an all-link navigation block sneaks past the
+#: link-density gate as prose. Each peel pass removes one tag layer
+#: (no lookaround, so RE2-legal); see _ANCHOR_PEEL_PASSES.
+HTML_ANCHOR_BLOCK = r"(?is)(<a\b[^>]*>[^<]*)</?(?:" + _BLOCK_TAGS + r")\b[^>]*>"
+#: peel passes: 4 covers real chrome nesting (a > div > h3-ish);
+#: deeper pathological nesting degrades to the pre-peel behavior
+#: (block kept/dropped by its own text), never breaks
+_ANCHOR_PEEL_PASSES = 4
 #: anchor inner text (group 1) — the link-density numerator
 HTML_ANCHOR = r"(?is)<a\b[^>]*>(.*?)</a>"
 #: any remaining tag
@@ -195,6 +210,11 @@ def html_main_content(
     this runs inside the scan stage like every other Column op."""
     c = F.col(col) if isinstance(col, str) else col
     pre = _drop_noise(c)
+    # keep anchors whole across the block split: peel block tags out
+    # of anchor interiors (HTML_ANCHOR_BLOCK) so all-link card markup
+    # can't dodge the link-density gate
+    for _ in range(_ANCHOR_PEEL_PASSES):
+        pre = F.regexp_replace(pre, HTML_ANCHOR_BLOCK, r"$1 ")
     blocks = F.split(pre, HTML_BLOCK_SPLIT)
 
     def _metrics(b: Column) -> Column:

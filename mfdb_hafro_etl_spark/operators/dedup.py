@@ -1133,13 +1133,20 @@ def _compact_flat(
         # Swap the staged output into place with directory renames instead
         # of read(staged)->overwrite(path): Spark's overwrite deletes the
         # target before committing, so a failure mid-rewrite would destroy
-        # the live exact subtable with no recovery path. Renames keep the
-        # original on disk until the staged (already-committed) copy takes
-        # its place, and the retired copy is only dropped after the swap.
+        # the live exact subtable with no recovery path. Each rename is
+        # atomic; the pair is not — a failure between them rolls back to
+        # the original, and a PROCESS DEATH in that (microsecond) window
+        # leaves the original intact under the .__retired__ name, which
+        # is the manual recovery path. Either way the data always exists
+        # in exactly one committed copy.
         retired = path.rstrip("/") + ".__retired__"
         shutil.rmtree(retired, ignore_errors=True)
         os.rename(path, retired)
-        os.rename(staged, path)
+        try:
+            os.rename(staged, path)
+        except BaseException:
+            os.rename(retired, path)  # roll back: original table returns
+            raise
         shutil.rmtree(retired, ignore_errors=True)
     finally:
         shutil.rmtree(staged, ignore_errors=True)
@@ -1174,6 +1181,12 @@ def lsh_index_publish_bucketed(
 
     with open(_lsh_index_meta_path(path)) as f:
         meta = json.load(f)
+    # retire the old meta TABLE first (the lsh_index_write discipline):
+    # a crash between the bands/exact overwrites below and the final
+    # meta write must leave the publication failing loudly on a
+    # missing meta table, never an old meta row validating
+    # mismatched-parameter band data
+    spark.sql(f"DROP TABLE IF EXISTS {table_prefix}_meta")
     bands = spark.read.parquet(os.path.join(path, "bands"))
     materialize_bucketed(bands, f"{table_prefix}_bands", ["band", "val"], n_buckets)
     exact = spark.read.parquet(os.path.join(path, "exact"))

@@ -627,9 +627,16 @@ def build_ivf_index(
     # without it every map task writes a file per cluster it saw
     # (tasks × n_centroids small files); with it each partition
     # directory gets files from only the tasks owning that key.
+    # partitionOverwriteMode=static for THIS write, whatever the session
+    # conf says (replace_by_source sets dynamic session-wide): a rebuild
+    # with fewer/refined centroids must truncate ALL old __cid__=
+    # partitions — under dynamic overwrite, cells absent from the new
+    # assignment would keep their stale files behind a fresh marker
     assigned.repartition(n_centroids, F.col("__cid__")).write.mode(
         "overwrite"
-    ).partitionBy("__cid__").parquet(os.path.join(path, "vectors"))
+    ).option("partitionOverwriteMode", "static").partitionBy(
+        "__cid__"
+    ).parquet(os.path.join(path, "vectors"))
     local_df(
         spark, [(cid, cv) for cid, cv in cents], "cid INT, centroid ARRAY<DOUBLE>"
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
@@ -701,9 +708,22 @@ def ivf_index_append(
 
     spark = batch.sparkSession
     meta = _ivf_read_marker(path)
-    dims = int(
-        batch.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()[0]["d"]
-    )
+    if "rows_at_build" not in meta or "dims" not in meta:
+        raise ValueError(
+            f"IVF index at {path} was built by an older layout without "
+            "append anchors (rows_at_build/dims) — the drift and shape "
+            "guards cannot run, so appends would silently degrade recall. "
+            "Rebuild once with build_ivf_index(..., rebuild=True)."
+        )
+    first = batch.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    if not first:
+        return  # empty increment: a blind append of nothing is a no-op
+    if first[0]["d"] is None:
+        raise ValueError(
+            f"append batch's first {vec_col} is NULL — IVF assignment is "
+            "undefined for NULL vectors; filter them out upstream"
+        )
+    dims = int(first[0]["d"])
     if meta.get("dims") and dims != meta["dims"]:
         raise ValueError(
             f"IVF index at {path} holds {meta['dims']}-dim vectors; "

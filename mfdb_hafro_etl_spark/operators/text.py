@@ -654,7 +654,13 @@ def bpe_decode(tokens_col: Column | str) -> Column:
     — lowercased, ASCII-whitespace runs collapsed to single spaces,
     leading/trailing whitespace dropped. Tokens from the unmarked
     mode are NOT decodable (word boundaries aren't in the stream);
-    decoding them returns the bare symbol concatenation."""
+    decoding them returns the bare symbol concatenation.
+
+    Marker-collision limit (shared with SentencePiece itself): a
+    document whose CONTENT contains a literal U+2581 '▁' decodes that
+    character to a space — the in-band marker is indistinguishable
+    from it. Corpora that may carry it (e.g. text ABOUT tokenizers)
+    should map it to a private-use codepoint before encode."""
     c = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
     return F.trim(F.regexp_replace(F.array_join(c, ""), BPE_WORD_MARK, " "))
 

@@ -168,17 +168,30 @@ def rescale_by_published(
     """
     from pyspark.sql import Window
 
-    pub = (
-        published.filter(F.col("year").between(*years))
-        .select("species", "year", "iceland")
-        # (species, year) must be unique: a duplicated key would fan out
-        # landings rows through the left join AND inflate the window
-        # denominator below (a doubled key halves __r__) — the old
-        # groupBy-before-join shape only duplicated output rows but kept
-        # the ratio right, so dedup here keeps malformed published input
-        # from silently changing the rescale.
-        .dropDuplicates(["species", "year"])
+    pub = published.filter(F.col("year").between(*years)).select(
+        "species", "year", "iceland"
     )
+    # (species, year) must be unique: a duplicated key would fan out
+    # landings rows through the left join AND inflate the window
+    # denominator below (a doubled key halves __r__). Exact duplicate
+    # rows collapse silently (same ratio either way); CONFLICTING
+    # values for one key have no right answer and picking one at
+    # random would make the rescale nondeterministic — refuse loudly
+    # (the published table is policy-sized, so this check is one tiny
+    # driver-side job, not a corpus pass).
+    conflicts = (
+        pub.groupBy("species", "year")
+        .agg(F.countDistinct("iceland").alias("nv"))
+        .filter(F.col("nv") > 1)
+        .count()
+    )
+    if conflicts:
+        raise ValueError(
+            f"published landings carry {conflicts} (species, year) keys "
+            "with CONFLICTING iceland values — the rescale ratio is "
+            "undefined; fix the published input"
+        )
+    pub = pub.dropDuplicates(["species", "year"])
     w = Window.partitionBy("species", "year")
     return (
         landings.join(F.broadcast(pub), on=["species", "year"], how="left")

@@ -246,17 +246,17 @@ def _leaf_scan_bytes(df) -> int | None:
         return None
 
 
-#: optimized-plan node names whose presence means re-running the plan
-#: per consumer repeats real work: Python/Arrow kernels (ms-per-row),
-#: wide transforms (a shuffle per rerun), or generators (explode fanout).
+#: LOGICAL-plan node names whose presence means re-running the plan
+#: per consumer repeats real work: Python/Arrow map kernels
+#: (ms-per-row), wide transforms (a shuffle per rerun), or generators
+#: (explode fanout). Scalar Python/pandas UDFs do NOT surface as named
+#: logical nodes (they hide inside Project expressions) — those are
+#: caught by the physical-plan check below.
 _EXPENSIVE_PLAN_NODES = (
     "MapInPandas",
     "MapInArrow",
     "FlatMapGroupsInPandas",
     "FlatMapCoGroupsInPandas",
-    "ArrowEvalPython",
-    "BatchEvalPython",
-    "pythonUDF",
     "Aggregate",
     "Window",
     "Join",
@@ -268,19 +268,32 @@ _EXPENSIVE_PLAN_NODES = (
 
 
 def cheap_to_recompute(df) -> bool:
-    """True when the DataFrame's optimized plan is scan + narrow ops
-    only (project / filter / repartition over leaf relations) — the
-    case where an eager multi-consumer cache is pure toll, because
-    each consumer just re-reads a (column-pruned) scan. False for
-    anything containing a Python/Arrow kernel, aggregate, window,
-    join, or generate (rerunning those per consumer repeats real
-    work), and False when the JVM internals are unreachable (unknown
-    → conservative: let the caller cache)."""
+    """True when the DataFrame's plan is scan + narrow JVM ops only
+    (project / filter / repartition over leaf relations) — the case
+    where an eager multi-consumer cache is pure toll, because each
+    consumer just re-reads a (column-pruned) scan. False for anything
+    containing a Python/Arrow kernel, aggregate, window, join, or
+    generate (rerunning those per consumer repeats real work), and
+    False when the JVM internals are unreachable (unknown →
+    conservative: let the caller cache).
+
+    Two plan scans: the optimized LOGICAL plan names the wide
+    operators and the pandas MAP kernels, but scalar Python/pandas
+    UDFs appear only as expressions inside Project — the physical
+    plan materializes them as *EvalPython nodes ('Python'/'Pandas'
+    substrings cover ArrowEvalPython, BatchEvalPython, and every
+    pandas map variant), so the physical string is checked too.
+    sparkPlan (pre-AQE) is used: planning it is cheap for the
+    scan-rooted inputs this gate serves."""
     try:
-        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        qe = df._jdf.queryExecution()
+        logical = qe.optimizedPlan().toString()
+        physical = qe.sparkPlan().toString()
     except Exception:
         return False
-    return not any(node in plan for node in _EXPENSIVE_PLAN_NODES)
+    if any(node in logical for node in _EXPENSIVE_PLAN_NODES):
+        return False
+    return not ("Python" in physical or "Pandas" in physical)
 
 
 def spread_for_kernel(df, factor: int = 2, bytes_per_task: int | None = None):

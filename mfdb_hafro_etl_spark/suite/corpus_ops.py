@@ -199,7 +199,9 @@ def _ent_sql(expr: str) -> str:
 
 def _clean_html_oracle() -> str:
     from mfdb_hafro_etl_spark.operators.cleaning import (
+        _ANCHOR_PEEL_PASSES,
         HTML_ANCHOR,
+        HTML_ANCHOR_BLOCK,
         HTML_BLOCK_SPLIT,
         HTML_TAG,
     )
@@ -209,6 +211,16 @@ def _clean_html_oracle() -> str:
         "regexp_replace(array_to_string(regexp_extract_all(raw, "
         f"'{HTML_ANCHOR}', 1), ' '), '{HTML_TAG}', ' ', 'g')"
     )
+    # anchor peel, mirrored: same pattern, same pass count (DuckDB
+    # backrefs are \1 where Spark's are $1 — same semantics)
+    peeled = (
+        "regexp_replace(regexp_replace(regexp_replace(html,"
+        " '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),"
+        " '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),"
+        " '(?s)<!--.*?-->', ' ', 'g')"
+    )
+    for _ in range(_ANCHOR_PEEL_PASSES):
+        peeled = f"regexp_replace({peeled}, '{HTML_ANCHOR_BLOCK}', '\\1 ', 'g')"
     return f"""
     WITH src AS (
       SELECT doc_id,
@@ -217,11 +229,7 @@ def _clean_html_oracle() -> str:
       FROM documents
     ),
     pre AS (
-      SELECT doc_id,
-        regexp_replace(regexp_replace(regexp_replace(html,
-          '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
-          '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
-          '(?s)<!--.*?-->', ' ', 'g') AS h
+      SELECT doc_id, {peeled} AS h
       FROM src
     ),
     blocks AS (

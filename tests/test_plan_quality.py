@@ -760,3 +760,24 @@ def test_lsh_catalog_probe_corpus_side_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         for t in (f"{prefix}_bands", f"{prefix}_exact", f"{prefix}_meta"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_cheap_to_recompute_catches_scalar_pandas_udf(spark, tmp_path):
+    """Scalar pandas UDFs hide inside Project expressions in the
+    logical plan — the physical-plan check must classify them as
+    expensive so hamming_neardup_pairs keeps its pin (self-review
+    r8)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from mfdb_hafro_etl_spark.session import cheap_to_recompute
+
+    path = str(tmp_path / "t")
+    spark.range(32).selectExpr("id", "id * 7 AS x").write.parquet(path)
+    scan = spark.read.parquet(path)
+    assert cheap_to_recompute(scan.select("id", "x"))
+
+    # lambda form: the module's postponed annotations break hint
+    # inference for the decorator form
+    slow_hash = pandas_udf(lambda s: s * 2, "long")
+
+    assert not cheap_to_recompute(scan.select("id", slow_hash("x").alias("h")))

@@ -30,3 +30,22 @@ def test_rescale_duplicate_published_key_is_inert(spark):
     assert (1, 1999, 1000.0) in want and (1, 1999, 3000.0) in want
     # unmatched species passes through
     assert (2, 1999, 800.0) in want
+
+
+def test_rescale_conflicting_published_values_refuse(spark):
+    """Conflicting iceland values for one (species, year) have no
+    right answer — picking one at random would make the rescale
+    nondeterministic, so it refuses loudly (self-review r8)."""
+    import pytest
+
+    from mfdb_hafro_etl_spark.plans.landings import rescale_by_published
+
+    landings = spark.createDataFrame(
+        [(1, 1999, 500.0)], "species int, year int, weight_total double"
+    )
+    pub = spark.createDataFrame(
+        [(1, 1999, 4.0), (1, 1999, 6.0)],
+        "species int, year int, iceland double",
+    )
+    with pytest.raises(ValueError, match="CONFLICTING"):
+        rescale_by_published(landings, pub)
