@@ -157,7 +157,9 @@ def rescale_by_published(
     landings at FULL InMemoryRelation width regardless of consumer
     pruning (20.5 s; at a real 100 TB landings table a cluster-wide
     cache is not a plan at all), and uncached double-build pays the
-    whole DAG twice (19.3 s); the window shape runs 15.6-16.8 s.
+    whole DAG twice (19.3 s); the window shape measures 12.9-13.6 s
+    in round-8 isolated x100 probes (in-suite artifact context runs
+    higher — long-lived-heap GC + neighbours; SCALE_BENCH_r08).
     In the reference the ratio reads landings already materialized
     in the DB (R/initdb.R:399 vs :461) — a caller who wants that
     durable barrier materializes to parquet first
@@ -176,22 +178,33 @@ def rescale_by_published(
     # denominator below (a doubled key halves __r__). Exact duplicate
     # rows collapse silently (same ratio either way); CONFLICTING
     # values for one key have no right answer and picking one at
-    # random would make the rescale nondeterministic — refuse loudly
-    # (the published table is policy-sized, so this check is one tiny
-    # driver-side job, not a corpus pass).
-    conflicts = (
-        pub.groupBy("species", "year")
-        .agg(F.countDistinct("iceland").alias("nv"))
-        .filter(F.col("nv") > 1)
-        .count()
-    )
+    # random would make the rescale nondeterministic — refuse loudly.
+    # The published table is POLICY-sized by contract (official
+    # per-species-per-year figures — hundreds of rows at any corpus
+    # scale), so it is collected ONCE and checked driver-side; the
+    # join side is rebuilt as a local relation from the same collect,
+    # which keeps the published DAG to a single run (a DataFrame-side
+    # conflict count would execute it twice: once for the check's
+    # action, once inside the join — measured +1 s at x1 / +7 s at
+    # x100 on the scale fixture).
+    rows = pub.collect()
+    seen: dict = {}
+    conflicts = set()
+    for r in rows:
+        key = (r["species"], r["year"])
+        if key in seen and seen[key] != r["iceland"]:
+            conflicts.add(key)
+        seen[key] = r["iceland"]
     if conflicts:
         raise ValueError(
-            f"published landings carry {conflicts} (species, year) keys "
-            "with CONFLICTING iceland values — the rescale ratio is "
-            "undefined; fix the published input"
+            f"published landings carry {len(conflicts)} (species, year) "
+            f"keys with CONFLICTING iceland values (e.g. "
+            f"{sorted(conflicts)[:3]}) — the rescale ratio is undefined; "
+            "fix the published input"
         )
-    pub = pub.dropDuplicates(["species", "year"])
+    pub = published.sparkSession.createDataFrame(
+        [(s, y, v) for (s, y), v in sorted(seen.items())], pub.schema
+    )
     w = Window.partitionBy("species", "year")
     return (
         landings.join(F.broadcast(pub), on=["species", "year"], how="left")
