@@ -371,3 +371,100 @@ def decontaminate(
         .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
         .filter(F.col("n_shared_ngrams") >= min_shared)
     )
+
+
+# ------------------------------------------------- URL canonicalization
+#: query parameters dropped by canonicalize_url: per-click tracking
+#: noise that makes byte-identical pages look distinct to an exact
+#: URL dedup (the first dedup any crawl pipeline runs, before any
+#: content is even fetched twice). RE2-compatible, anchored at the
+#: start of one `key=value` token.
+URL_TRACKING_PARAM = r"^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_eid|ref|ref_src)="
+
+#: scheme prefix that marks a string as a canonicalizable URL
+_URL_SCHEME = r"^[A-Za-z][A-Za-z0-9+.-]*://"
+
+
+def canonicalize_url(
+    col: Column | str,
+    strip_www: bool = True,
+    tracking_param_pattern: str = URL_TRACKING_PARAM,
+) -> Column:
+    """Canonical form of a URL for exact URL-level dedup — the
+    cheapest and first dedup step of a crawl pipeline (dedupe the
+    frontier/seen-set BEFORE fetching or shingling anything):
+
+    1. drop the fragment (``#...`` is client-side only);
+    2. lowercase the scheme and host (case-insensitive per RFC 3986);
+    3. drop a leading ``www.`` label (``strip_www=True``);
+    4. drop the default port (``http:80`` / ``https:443``);
+    5. collapse duplicate slashes in the path and strip trailing
+       slashes (empty path -> ``/``);
+    6. drop tracking query parameters (``tracking_param_pattern``)
+       and SORT the survivors, so parameter order can't split one
+       resource into many keys.
+
+    Non-URL strings (no ``scheme://`` prefix) pass through trimmed
+    but otherwise unchanged, so the operator is safe on mixed
+    columns; userinfo/IPv6-literal authorities are out of scope
+    (kept verbatim inside the host token). Idempotent on its own
+    output (property-tested).
+
+    Pure Column algebra — regexp/array expressions in one codegen'd
+    projection, no UDF, no shuffle; every pattern is RE2-compatible
+    so a DuckDB oracle replays the identical chain (suite arm
+    x_clean_urldedup)."""
+    c = F.trim(F.col(col) if isinstance(col, str) else col)
+    nofrag = F.regexp_replace(c, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(nofrag, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(nofrag, _URL_SCHEME + r"([^/?#]*)", 1))
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    host = F.regexp_replace(hostport, r":[0-9]+$", "")
+    if strip_www:
+        host = F.regexp_replace(host, r"^www\.", "")
+    portpart = F.when(
+        (port == "")
+        | ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443")),
+        F.lit(""),
+    ).otherwise(F.concat(F.lit(":"), port))
+    rawpath = F.regexp_extract(nofrag, _URL_SCHEME + r"[^/?#]*([^?#]*)", 1)
+    path = F.regexp_replace(F.regexp_replace(rawpath, r"//+", "/"), r"/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(nofrag, r"\?([^#]*)", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(tracking_param_pattern),
+    )
+    qs = F.array_join(F.array_sort(params), "&")
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        portpart,
+        path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )
+    return F.when(c.rlike(_URL_SCHEME), canon).otherwise(c)
+
+
+def url_dedup(
+    df: DataFrame, url_col: str, id_col: str, strip_www: bool = True
+) -> DataFrame:
+    """Exact dedup at URL granularity: group by canonicalize_url,
+    keep the smallest id per canonical key. Returns (canonical_url,
+    keep_id, n_dupes) — one row per distinct resource. A single
+    hash aggregation over the scan (the same linear shape as
+    exact_dedup over content); at 100 TB the canonical key is
+    computed inside the scan stage and only the aggregate shuffles."""
+    return (
+        df.select(
+            canonicalize_url(url_col, strip_www=strip_www).alias("canonical_url"),
+            F.col(id_col),
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dupes"),
+        )
+    )

@@ -1008,6 +1008,9 @@ def lsh_index_write(
     k: int = 8,
     rows_per_band: int = 2,
     _mode: str = "overwrite",
+    _bands: DataFrame | None = None,
+    _exact: DataFrame | None = None,
+    _parallel: bool = False,
 ) -> None:
     """Materialize the corpus-side dedup index ONCE: the MinHash band
     table (``path``/bands, parquet partitioned by band) and the exact
@@ -1047,14 +1050,48 @@ def lsh_index_write(
             os.remove(_lsh_index_meta_path(path))
         except FileNotFoundError:
             pass
-    bands = lsh_band_table(corpus, id_col, text_col, n, k, rows_per_band)
-    bands.withColumnRenamed(id_col, "cid").write.mode(_mode).partitionBy(
-        "band"
-    ).parquet(os.path.join(path, "bands"))
-    exact = corpus.select(
-        F.md5(F.col(text_col)).alias("h"), F.col(id_col).alias("cid")
+    # _bands/_exact: computed-once reuse for callers that already hold
+    # the batch's band/hash tables (streaming.jobs.dedup_ingest_handler
+    # shares ONE band build across probe, intra-batch dedup, and this
+    # append — recomputing the minhash here tripled the md5 passes)
+    bands = (
+        _bands
+        if _bands is not None
+        else lsh_band_table(corpus, id_col, text_col, n, k, rows_per_band)
     )
-    exact.write.mode(_mode).parquet(os.path.join(path, "exact"))
+    exact = (
+        _exact
+        if _exact is not None
+        else corpus.select(
+            F.md5(F.col(text_col)).alias("h"), F.col(id_col).alias("cid")
+        )
+    )
+
+    def _write_bands() -> None:
+        bands.withColumnRenamed(id_col, "cid").write.mode(_mode).partitionBy(
+            "band"
+        ).parquet(os.path.join(path, "bands"))
+
+    def _write_exact() -> None:
+        exact.write.mode(_mode).parquet(os.path.join(path, "exact"))
+
+    if _parallel:
+        # the two subtables are independent: submit both write jobs
+        # concurrently (Spark supports concurrent actions on one
+        # session; the scheduler interleaves their tasks). The meta
+        # write below still happens strictly AFTER both commit, so
+        # the fail-loud half-built-index guarantee is unchanged.
+        # Worth ~1 write latency per increment on the streaming
+        # ingest's micro-batch path.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fb, fe = pool.submit(_write_bands), pool.submit(_write_exact)
+            fb.result()
+            fe.result()
+    else:
+        _write_bands()
+        _write_exact()
     if _mode == "overwrite":
         # meta is written LAST so a probe never validates against a
         # half-built index (missing meta fails loudly instead)
@@ -1069,6 +1106,9 @@ def lsh_index_append(
     n: int = 3,
     k: int = 8,
     rows_per_band: int = 2,
+    _bands: DataFrame | None = None,
+    _exact: DataFrame | None = None,
+    _parallel: bool = False,
 ) -> None:
     """Append one increment to a materialized dedup index (see
     lsh_index_write): computes the increment's band + exact rows and
@@ -1077,9 +1117,21 @@ def lsh_index_append(
     because both probes resolve min-id over the UNION of all appended
     rows. Run lsh_index_compact periodically: every append adds a
     file set, and thousand-increment indexes pay per-file footer
-    reads until compacted."""
+    reads until compacted. ``_bands``/``_exact``: precomputed band /
+    (h, cid) tables for the SAME batch and params (computed-once
+    reuse, see lsh_index_write)."""
     lsh_index_write(
-        batch, path, id_col, text_col, n, k, rows_per_band, _mode="append"
+        batch,
+        path,
+        id_col,
+        text_col,
+        n,
+        k,
+        rows_per_band,
+        _mode="append",
+        _bands=_bands,
+        _exact=_exact,
+        _parallel=_parallel,
     )
 
 
@@ -1229,6 +1281,9 @@ def dedup_against_index(
     k: int = 8,
     rows_per_band: int = 2,
     catalog_prefix: str | None = None,
+    exclude_match_ids: DataFrame | None = None,
+    batch_bands: DataFrame | None = None,
+    batch_hash: DataFrame | None = None,
 ) -> DataFrame:
     """dedup_against, probing a MATERIALIZED index instead of
     recomputing the corpus side per batch: same output contract
@@ -1243,7 +1298,24 @@ def dedup_against_index(
     (lsh_index_publish_bucketed) instead of the parquet path — the
     corpus side of both probe joins then reads pre-bucketed on the
     join keys and never shuffles (plan-pinned); parameters validate
-    against the published meta table."""
+    against the published meta table.
+
+    ``exclude_match_ids``: single-column DataFrame of corpus ids
+    whose matches are discarded BEFORE min-id resolution, so a
+    surviving verdict always points at the smallest NON-excluded
+    match. The streaming ingest (streaming.jobs.stream_dedup_ingest)
+    passes the current batch's own ids here: a batch redelivered
+    after its index append then reproduces the first delivery's
+    verdicts exactly instead of matching its own admissions. Also the
+    'don't match my own data_source' knob for batch callers. The set
+    is increment-sized by contract (it anti-joins matched rows,
+    which are already increment-scale).
+
+    ``batch_bands``/``batch_hash``: precomputed band table /
+    (id, h md5) table for the SAME batch and params — computed-once
+    reuse for callers that need these tables anyway (the streaming
+    ingest computes them once for probe + intra-batch dedup +
+    append)."""
     import os
 
     if catalog_prefix is not None:
@@ -1258,10 +1330,23 @@ def dedup_against_index(
         )
         exact_index = spark.read.parquet(os.path.join(path, "exact"))
         corpus_bands_src = None
-    b_hash = batch.select(F.col(id_col), F.md5(F.col(text_col)).alias("h"))
+    excl = (
+        exclude_match_ids.toDF("__xid__").dropDuplicates()
+        if exclude_match_ids is not None
+        else None
+    )
+    b_hash = (
+        batch_hash
+        if batch_hash is not None
+        else batch.select(F.col(id_col), F.md5(F.col(text_col)).alias("h"))
+    )
+    exact_matches = b_hash.join(exact_index, on="h")
+    if excl is not None:
+        exact_matches = exact_matches.join(
+            excl, on=exact_matches["cid"] == excl["__xid__"], how="left_anti"
+        )
     exact = (
-        b_hash.join(exact_index, on="h")
-        .groupBy(id_col)
+        exact_matches.groupBy(id_col)
         .agg(F.min("cid").alias("match_id"))
         .select(F.col(id_col), F.lit("exact").alias("dup_kind"), "match_id")
     )
@@ -1270,14 +1355,18 @@ def dedup_against_index(
         if corpus_bands_src is not None
         else spark.read.parquet(os.path.join(path, "bands"))
     )
-    batch_bands = lsh_band_table(batch, id_col, text_col, n, k, rows_per_band)
-    near_all = (
-        batch_bands.join(
-            corpus_bands.select("band", "val", F.col("cid").alias("__mid__")),
-            on=["band", "val"],
+    if batch_bands is None:
+        batch_bands = lsh_band_table(batch, id_col, text_col, n, k, rows_per_band)
+    near_matches = batch_bands.join(
+        corpus_bands.select("band", "val", F.col("cid").alias("__mid__")),
+        on=["band", "val"],
+    )
+    if excl is not None:
+        near_matches = near_matches.join(
+            excl, on=near_matches["__mid__"] == excl["__xid__"], how="left_anti"
         )
-        .groupBy(id_col)
-        .agg(F.min("__mid__").alias("match_id"))
+    near_all = near_matches.groupBy(id_col).agg(
+        F.min("__mid__").alias("match_id")
     )
     near = near_all.join(exact.select(id_col), on=id_col, how="left_anti").select(
         F.col(id_col), F.lit("near").alias("dup_kind"), "match_id"

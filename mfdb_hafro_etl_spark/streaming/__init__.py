@@ -9,11 +9,14 @@ any of them into a verifiable batch job over the testdata."""
 from mfdb_hafro_etl_spark.streaming.jobs import (
     auto_sink_dir,
     auto_state_partitions,
+    dedup_ingest_handler,
     events_source_bytes,
     finalize_session_updates,
     read_events_stream,
     run_available_now,
+    staging_dir,
     stream_dedup,
+    stream_dedup_ingest,
     stream_enriched_window_agg,
     stream_interval_join,
     stream_sessionize,
@@ -23,11 +26,14 @@ from mfdb_hafro_etl_spark.streaming.jobs import (
 __all__ = [
     "auto_sink_dir",
     "auto_state_partitions",
+    "dedup_ingest_handler",
     "events_source_bytes",
     "finalize_session_updates",
     "read_events_stream",
     "run_available_now",
+    "staging_dir",
     "stream_dedup",
+    "stream_dedup_ingest",
     "stream_enriched_window_agg",
     "stream_interval_join",
     "stream_sessionize",

@@ -281,6 +281,116 @@ def x_clean_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("n_chars", F.length("main_txt"))
 
 
+# ------------------------------------------------------ URL dedup
+# Synthetic crawl URLs: consecutive doc pairs (doc_id DIV 2) get two
+# messy spellings of the SAME resource — tracking params + fragment +
+# default port + WWW/case noise + duplicate/trailing slashes — so the
+# canonicalizer must collapse exactly the intended pairs. Both
+# engines build the identical string, then replay the identical
+# RE2-compatible canonicalization chain (cleaning.canonicalize_url).
+_URL_SCHEME_SQL = "^[A-Za-z][A-Za-z0-9+.-]*://"
+
+
+def _clean_urldedup_oracle() -> str:
+    from mfdb_hafro_etl_spark.operators.cleaning import URL_TRACKING_PARAM
+
+    return f"""
+    WITH src AS (
+      SELECT doc_id,
+        CASE CAST(doc_id % 4 AS INT)
+          WHEN 0 THEN 'https://WWW.Example-' || CAST((doc_id // 2) % 50 AS VARCHAR)
+                      || '.COM:443/a/' || CAST(doc_id // 2 AS VARCHAR)
+                      || '/?utm_source=x&b=2&a=1#frag'
+          WHEN 1 THEN 'https://example-' || CAST((doc_id // 2) % 50 AS VARCHAR)
+                      || '.com/a/' || CAST(doc_id // 2 AS VARCHAR) || '?a=1&b=2'
+          WHEN 2 THEN 'HTTP://News.Site.org:80//p/' || CAST(doc_id // 2 AS VARCHAR)
+                      || '/?gclid=abc&q=term'
+          ELSE 'http://news.site.org/p/' || CAST(doc_id // 2 AS VARCHAR) || '?q=term'
+        END AS url
+      FROM documents
+    ),
+    p1 AS (
+      SELECT doc_id, regexp_replace(trim(url), '#.*$', '') AS nofrag FROM src
+    ),
+    p2 AS (
+      SELECT doc_id,
+        lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        lower(regexp_extract(nofrag, '{_URL_SCHEME_SQL}([^/?#]*)', 1)) AS hostport,
+        regexp_extract(nofrag, '{_URL_SCHEME_SQL}[^/?#]*([^?#]*)', 1) AS rawpath,
+        regexp_extract(nofrag, '\\?([^#]*)', 1) AS query
+      FROM p1
+    ),
+    p3 AS (
+      SELECT doc_id, scheme,
+        regexp_replace(regexp_replace(hostport, ':[0-9]+$', ''), '^www\\.', '') AS host,
+        regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+        CASE WHEN regexp_replace(regexp_replace(rawpath, '//+', '/', 'g'), '/+$', '') = ''
+             THEN '/'
+             ELSE regexp_replace(regexp_replace(rawpath, '//+', '/', 'g'), '/+$', '')
+        END AS path,
+        array_to_string(list_sort(list_filter(string_split(query, '&'),
+          p -> p <> '' AND NOT regexp_matches(p, '{URL_TRACKING_PARAM}'))), '&') AS qs
+      FROM p2
+    ),
+    canon AS (
+      SELECT doc_id,
+        scheme || '://' || host
+          || CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                    OR (scheme = 'https' AND port = '443')
+                  THEN '' ELSE ':' || port END
+          || path
+          || CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS canonical_url
+      FROM p3
+    )
+    SELECT canonical_url, MIN(doc_id) AS keep_id, COUNT(*) AS n_dupes
+    FROM canon GROUP BY canonical_url
+    """
+
+
+@register("x_clean_urldedup", _clean_urldedup_oracle())
+def x_clean_urldedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level exact dedup (cleaning.canonicalize_url + url_dedup):
+    fragment/tracking-param/default-port/www/case/slash noise
+    collapsed to one canonical key per resource, then a single hash
+    aggregation keeps the smallest doc id per key — the cheapest
+    first dedup of any crawl pipeline, run on the frontier before
+    anything is fetched twice. Pure codegen'd Column algebra; only
+    the group-by shuffles (one narrow row per URL). The oracle
+    replays the identical regex/array chain through DuckDB RE2 on
+    the identically-built fixture URLs."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = F.expr("doc_id DIV 2").cast("string")
+    hostn = F.expr("(doc_id DIV 2) % 50").cast("string")
+    url = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("https://WWW.Example-"), hostn, F.lit(".COM:443/a/"),
+                b, F.lit("/?utm_source=x&b=2&a=1#frag"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit("https://example-"), hostn, F.lit(".com/a/"),
+                b, F.lit("?a=1&b=2"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit("HTTP://News.Site.org:80//p/"), b, F.lit("/?gclid=abc&q=term"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("http://news.site.org/p/"), b, F.lit("?q=term"))
+        )
+    )
+    return cl.url_dedup(
+        docs.select("doc_id", url.alias("url")), "url", "doc_id"
+    )
+
+
 # ------------------------------------------------------ decontamination
 @register(
     "x_clean_decontam",

@@ -99,6 +99,7 @@ COMBOS: dict[str, list[str]] = {
         "x_dedup_winnow",
         "x_dedup_incremental",
         "x_dedup_spans",
+        "x_stream_dedup_ingest",
     ],
     "x_fingerprints": ["x_text_fingerprint", "x_text_winnow", "x_text_chunks"],
     "x_search_topk": [
@@ -124,7 +125,13 @@ COMBOS: dict[str, list[str]] = {
         "x_sample_pack",
         "x_sample_temperature",
     ],
-    "x_cleaning": ["x_clean_pii", "x_clean_gopher", "x_clean_html", "x_clean_decontam"],
+    "x_cleaning": [
+        "x_clean_pii",
+        "x_clean_gopher",
+        "x_clean_html",
+        "x_clean_urldedup",
+        "x_clean_decontam",
+    ],
     "x_text_all": [
         "x_text_stats",
         "x_text_quality",
@@ -295,6 +302,7 @@ _ARM_COLS: dict[str, list[tuple[str, str]]] = {
     "x_dedup_minhash_lsh": [("id_a", "i"), ("id_b", "i"), ("jaccard", "d")],
     "x_dedup_winnow": [("id_a", "i"), ("id_b", "i"), ("n_shared", "i")],
     "x_dedup_incremental": [("doc_id", "i"), ("dup_kind", "s"), ("match_id", "i")],
+    "x_stream_dedup_ingest": [("doc_id", "i"), ("dup_kind", "s"), ("match_id", "i"), ("origin", "s")],
     "x_dedup_spans": [("doc_id", "i"), ("span_start", "i"), ("span_end", "i"), ("n_dup_grams", "i")],
     "x_dedup_ngram_jaccard": [("id_a", "i"), ("id_b", "i"), ("jaccard", "d")],
     "x_embed_neardup": [("id_a", "i"), ("id_b", "i"), ("cos_sim", "d")],
@@ -313,6 +321,7 @@ _ARM_COLS: dict[str, list[tuple[str, str]]] = {
     "x_clean_pii": [("c_custkey", "i"), ("n_email", "i"), ("n_phone", "i"), ("n_ip", "i"), ("redacted", "s")],
     "x_clean_gopher": [("doc_id", "i"), ("n_tokens", "i"), ("ttr", "d"), ("top_bigram", "d"), ("sym_ratio", "d"), ("keep", "i")],
     "x_clean_html": [("doc_id", "i"), ("main_txt", "s"), ("n_chars", "i")],
+    "x_clean_urldedup": [("canonical_url", "s"), ("keep_id", "i"), ("n_dupes", "i")],
     "x_clean_decontam": [("doc_id", "i"), ("n_shared_ngrams", "i")],
     "x_text_fingerprint": [("doc_id", "i"), ("fingerprint", "s")],
     "x_text_winnow": [("doc_id", "i"), ("fp", "i")],

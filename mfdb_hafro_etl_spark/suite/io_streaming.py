@@ -298,3 +298,139 @@ def x_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         sink_dir=st.auto_sink_dir("stream_sessions", sf_dir),
     )
     return st.finalize_session_updates(log)
+
+
+# ------------------------------------------- streaming dedup ingestion
+def _stream_ingest_oracle() -> str:
+    """DuckDB replay of two sequential micro-batches through the
+    standing-index dedup (streaming.jobs.stream_dedup_ingest):
+    role 0 = pre-built corpus index (doc_id % 10 == 0), batch 1 =
+    odd ids, batch 2 = the rest. Candidates carry (kr, orr) rank
+    bits — exact beats near, corpus beats batch-mate — and each doc
+    keeps its minimal (kr, orr, match_id), exactly the handler's
+    min-struct resolution. Batch 2 probes idx1 = corpus + batch-1
+    admissions, which IS the sequential-admission semantics."""
+    from mfdb_hafro_etl_spark.suite.extensions import _incr_bands_sql, _SH_SQL
+
+    def _cands(role: int, idx: str) -> str:
+        # corpus arms join the standing index as of this batch;
+        # batch arms join smaller-id batch-mates
+        return f"""
+      SELECT b.doc_id, 0 AS kr, 0 AS orr, MIN(c.doc_id) AS match_id
+      FROM hr b JOIN hr c ON b.h = c.h JOIN {idx} i ON c.doc_id = i.doc_id
+      WHERE b.role = {role} GROUP BY b.doc_id
+      UNION ALL
+      SELECT b.doc_id, 1, 0, MIN(c.doc_id)
+      FROM br b JOIN br c ON b.band = c.band AND b.val = c.val
+                JOIN {idx} i ON c.doc_id = i.doc_id
+      WHERE b.role = {role} GROUP BY b.doc_id
+      UNION ALL
+      SELECT b.doc_id, 0, 1, MIN(c.doc_id)
+      FROM hr b JOIN hr c ON b.h = c.h AND c.role = {role}
+                AND c.doc_id < b.doc_id
+      WHERE b.role = {role} GROUP BY b.doc_id
+      UNION ALL
+      SELECT b.doc_id, 1, 1, MIN(c.doc_id)
+      FROM br b JOIN br c ON b.band = c.band AND b.val = c.val
+                AND c.role = {role} AND c.doc_id < b.doc_id
+      WHERE b.role = {role} GROUP BY b.doc_id"""
+
+    return f"""
+    WITH {_SH_SQL},
+    {_incr_bands_sql()},
+    r AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0 THEN 0
+                  WHEN doc_id % 2 = 1 THEN 1 ELSE 2 END AS role
+      FROM documents
+    ),
+    hr AS (
+      SELECT d.doc_id, md5(d.text) AS h, r.role
+      FROM documents d JOIN r ON d.doc_id = r.doc_id
+    ),
+    br AS (
+      SELECT b.doc_id, b.band, b.val, r.role
+      FROM ibands b JOIN r ON b.doc_id = r.doc_id
+    ),
+    idx0 AS (SELECT doc_id FROM r WHERE role = 0),
+    c1 AS ({_cands(1, "idx0")}),
+    v1 AS (
+      SELECT doc_id, kr, orr, match_id FROM (
+        SELECT c1.*, ROW_NUMBER() OVER (
+          PARTITION BY doc_id ORDER BY kr, orr, match_id) AS rn
+        FROM c1
+      ) t WHERE rn = 1
+    ),
+    idx1 AS (
+      SELECT doc_id FROM idx0
+      UNION ALL
+      SELECT doc_id FROM r
+      WHERE role = 1 AND doc_id NOT IN (SELECT doc_id FROM v1)
+    ),
+    c2 AS ({_cands(2, "idx1")}),
+    v2 AS (
+      SELECT doc_id, kr, orr, match_id FROM (
+        SELECT c2.*, ROW_NUMBER() OVER (
+          PARTITION BY doc_id ORDER BY kr, orr, match_id) AS rn
+        FROM c2
+      ) t WHERE rn = 1
+    ),
+    allv AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+    SELECT doc_id,
+           CASE WHEN kr = 0 THEN 'exact' ELSE 'near' END AS dup_kind,
+           match_id,
+           CASE WHEN orr = 0 THEN 'corpus' ELSE 'batch' END AS origin
+    FROM allv
+    """
+
+
+def _stage_single_file(df: DataFrame, src_dir: str, name: str, mtime: int) -> None:
+    """Write ``df`` as ONE parquet file named ``name`` with a pinned
+    mtime, so maxFilesPerTrigger=1 makes it exactly one deterministic
+    micro-batch. Verification harness only: the single-file squeeze is
+    how the finite fixture gets reproducible batch boundaries, not the
+    production shape (there, files arrive from the crawler and each
+    is already a natural increment)."""
+    stage = os.path.join(src_dir, f"__stage_{name}")
+    df.repartition(1).write.mode("overwrite").parquet(stage)
+    part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+    dest = os.path.join(src_dir, name)
+    os.replace(os.path.join(stage, part), dest)
+    shutil.rmtree(stage, ignore_errors=True)
+    os.utime(dest, (mtime, mtime))
+
+
+@register("x_stream_dedup_ingest", _stream_ingest_oracle())
+def x_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup ingestion against a standing materialized LSH
+    index (streaming.jobs.stream_dedup_ingest): the corpus slice
+    (doc_id % 10 == 0) is indexed once with dedup.lsh_index_write,
+    the rest streams through availableNow in two file-bounded
+    micro-batches; each batch is probed against the index (exact md5
+    + MinHash LSH bands), deduplicated within itself (min id wins),
+    and its novel docs are appended so batch 2 dedups against batch
+    1's admissions. The oracle replays both batches sequentially in
+    SQL — including the exact-beats-near / corpus-beats-batch verdict
+    precedence and the admission of unflagged docs into the index."""
+    from mfdb_hafro_etl_spark.operators.dedup import lsh_index_write
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = st.staging_dir("stream_dedup_ingest", sf_dir)
+    idx = os.path.join(base, "idx")
+    vdir = os.path.join(base, "verdicts")
+    src = os.path.join(base, "src")
+    os.makedirs(src, exist_ok=True)
+    corpus = docs.filter(F.col("doc_id") % 10 == 0)
+    lsh_index_write(corpus, idx, "doc_id", "text", n=3, k=8, rows_per_band=2)
+    d = F.col("doc_id")
+    _stage_single_file(docs.filter((d % 10 != 0) & (d % 2 == 1)), src, "b1.parquet", 1_000)
+    _stage_single_file(docs.filter((d % 10 != 0) & (d % 2 == 0)), src, "b2.parquet", 1_001)
+    stream = (
+        spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    return st.stream_dedup_ingest(
+        stream, idx, vdir, "doc_id", "text", n=3, k=8, rows_per_band=2,
+        state_partitions=st.auto_state_partitions(spark, sf_dir),
+    )

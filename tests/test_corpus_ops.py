@@ -1714,3 +1714,85 @@ def test_ivf_rebuild_truncates_stale_cells(spark, tmp_path):
     cids = {r["__cid__"] for r in vec.select("__cid__").distinct().collect()}
     assert len(cids) <= 2, cids  # no stale cells from the 8-centroid build
     assert vec.count() == 32  # and no duplicated vectors
+
+
+# ----------------------------------------------------- URL canonicalization
+def test_canonicalize_url_known_cases(spark):
+    """Each rule in isolation and combined (fragment, case, www,
+    default port, slash noise, tracking params, param sort)."""
+    cases = [
+        # combined noise -> one canonical key
+        ("https://WWW.Example.COM:443/a/b/?utm_source=x&b=2&a=1#frag",
+         "https://example.com/a/b?a=1&b=2"),
+        ("HTTP://Site.org:80//p//q/", "http://site.org/p/q"),
+        # NON-default port survives
+        ("http://site.org:8080/", "http://site.org:8080/"),
+        # non-http scheme: generic rules apply, no port assumption
+        ("ftp://Host.Net/Dir/", "ftp://host.net/Dir"),
+        # path case is significant (RFC 3986: only scheme+host fold)
+        ("https://a.com/CaseSensitive", "https://a.com/CaseSensitive"),
+        # empty path -> '/'
+        ("https://a.com", "https://a.com/"),
+        ("https://a.com/?", "https://a.com/"),
+        # every tracking param shape dropped, survivors sorted
+        ("https://a.com/x?ref=nav&z=1&utm_campaign=c&fbclid=f&gclid=g&a=2",
+         "https://a.com/x?a=2&z=1"),
+        # all params tracking -> no query at all
+        ("https://a.com/x?utm_source=s", "https://a.com/x"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "u STRING")
+    got = [r[0] for r in df.select(cl.canonicalize_url("u")).collect()]
+    assert got == [w for _, w in cases]
+
+
+def test_canonicalize_url_passthrough_and_idempotence(spark):
+    """Non-URL strings pass through trimmed; the operator is a
+    fixpoint on its own output (re-canonicalizing is safe)."""
+    rows = [
+        ("  plain text, no scheme  ",),
+        ("relative/path?utm_source=x",),
+        ("https://WWW.B.io:443//z/?gclid=1&b=2&a=1#f",),
+        ("",),
+    ]
+    df = spark.createDataFrame(rows, "u STRING")
+    c1 = df.select(cl.canonicalize_url("u").alias("c"))
+    out = [r[0] for r in c1.collect()]
+    assert out[0] == "plain text, no scheme"
+    assert out[1] == "relative/path?utm_source=x"  # no scheme -> untouched
+    assert out[3] == ""
+    twice = c1.select(F.col("c"), cl.canonicalize_url("c").alias("c2"))
+    assert twice.filter(F.col("c") != F.col("c2")).count() == 0
+
+
+def test_canonicalize_url_strip_www_flag(spark):
+    df = spark.createDataFrame([("https://www.a.com/x",)], "u STRING")
+    keep = df.select(cl.canonicalize_url("u", strip_www=False)).collect()[0][0]
+    drop = df.select(cl.canonicalize_url("u", strip_www=True)).collect()[0][0]
+    assert keep == "https://www.a.com/x"
+    assert drop == "https://a.com/x"
+
+
+def test_url_dedup_groups_and_plan(spark):
+    """url_dedup keeps min id per canonical key; the plan is one hash
+    aggregate over the scan — no join, no extra exchange beyond the
+    group-by (the 100 TB contract for a frontier dedup)."""
+    rows = [
+        (1, "https://www.a.com/x?utm_source=s"),
+        (2, "https://a.com/x"),
+        (3, "HTTP://a.com:80/x"),          # http != https: distinct key
+        (4, "https://b.com/y/"),
+        (5, "https://b.com/y"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, url STRING")
+    out = cl.url_dedup(df, "url", "doc_id")
+    got = {r["canonical_url"]: (r["keep_id"], r["n_dupes"]) for r in out.collect()}
+    assert got == {
+        "https://a.com/x": (1, 2),
+        "http://a.com/x": (3, 1),
+        "https://b.com/y": (4, 2),
+    }
+    # AQE plan text repeats under "== Initial Plan =="; count the
+    # final section only
+    plan = _plan(out).split("== Initial Plan ==")[0]
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1

@@ -394,3 +394,163 @@ def test_read_batched_sink_corrupt_data_propagates(spark, tmp_path):
     schema = StructType([StructField("user_id", LongType())])
     with pytest.raises(Exception):
         _read_batched_sink(spark, sink, schema).collect()
+
+
+# ------------------------------------------------- streaming dedup ingest
+def _docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+_CORPUS = [
+    (1, "the quick brown fox jumps over the lazy dog tonight"),
+    (2, "spark shuffles wide dependencies across executor boundaries"),
+]
+# batch 1: 10 exact-dups corpus#1, 11 clean, 12 exact-dups 11 (batch-mate)
+# batch 2: 20 near-dups 11 (one-word change), 21 clean
+# batch 3: 30 exact-dups 21 (admitted in batch 2 -> corpus origin)
+_B1 = [
+    (10, "the quick brown fox jumps over the lazy dog tonight"),
+    (11, "entirely novel document about distributed query planning"),
+    (12, "entirely novel document about distributed query planning"),
+]
+_B2 = [
+    (20, "entirely novel document about distributed query planning today"),
+    (21, "another unique text with no overlap to anything before"),
+]
+_B3 = [
+    (30, "another unique text with no overlap to anything before"),
+]
+
+
+def _build_index(spark, tmp_path, name="idx"):
+    from mfdb_hafro_etl_spark.operators.dedup import lsh_index_write
+
+    index = str(tmp_path / name)
+    lsh_index_write(_docs_df(spark, _CORPUS), index, "doc_id", "text", n=3, k=8)
+    return index
+
+
+def test_stream_dedup_ingest_end_to_end(spark, tmp_path):
+    """availableNow run over 3 file-ordered micro-batches: corpus
+    exact + batch exact + cross-batch near + cross-batch exact all
+    land with the right origin/match, and the index holds exactly
+    corpus + admitted docs afterwards."""
+    import pyspark.sql.functions as F
+
+    from mfdb_hafro_etl_spark.streaming.jobs import stream_dedup_ingest
+
+    index = _build_index(spark, tmp_path)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, rows in enumerate([_B1, _B2, _B3]):
+        _write_jsonl(
+            src, f"b{i}.jsonl",
+            [{"doc_id": d, "text": t} for d, t in rows], mtime=1_000 + i,
+        )
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    out = stream_dedup_ingest(
+        stream, index, str(tmp_path / "verdicts"), "doc_id", "text",
+        state_partitions=4,
+    )
+    got = {
+        r["doc_id"]: (r["dup_kind"], r["match_id"], r["origin"])
+        for r in out.collect()
+    }
+    assert got == {
+        10: ("exact", 1, "corpus"),
+        12: ("exact", 11, "batch"),
+        20: ("near", 11, "corpus"),
+        30: ("exact", 21, "corpus"),
+    }
+    # admitted = clean docs only; the index's exact table now covers
+    # corpus + admissions
+    cids = {
+        r["cid"]
+        for r in spark.read.parquet(os.path.join(index, "exact")).collect()
+    }
+    assert cids == {1, 2, 11, 21}
+
+
+def test_dedup_ingest_handler_marker_short_circuits(spark, tmp_path):
+    from mfdb_hafro_etl_spark.streaming.jobs import dedup_ingest_handler
+
+    index = _build_index(spark, tmp_path)
+    vdir = str(tmp_path / "v")
+    handle = dedup_ingest_handler(index, vdir, "doc_id", "text")
+    handle(_docs_df(spark, _B1), 0)
+    n_exact = spark.read.parquet(os.path.join(index, "exact")).count()
+    handle(_docs_df(spark, _B1), 0)  # marker present -> no-op
+    assert spark.read.parquet(os.path.join(index, "exact")).count() == n_exact
+
+
+def test_dedup_ingest_crash_window_redelivery_is_idempotent(spark, tmp_path):
+    """Simulate a crash AFTER the index append + verdict write but
+    BEFORE the marker: redelivering the batch must reproduce the
+    identical verdicts (own-batch admissions can't match themselves)
+    and the re-appended index rows must not change any later probe."""
+    from mfdb_hafro_etl_spark.operators.dedup import dedup_against_index
+    from mfdb_hafro_etl_spark.streaming.jobs import dedup_ingest_handler
+
+    index = _build_index(spark, tmp_path)
+    vdir = str(tmp_path / "v")
+    handle = dedup_ingest_handler(index, vdir, "doc_id", "text")
+    handle(_docs_df(spark, _B1), 0)
+    first = sorted(
+        tuple(r) for r in spark.read.parquet(os.path.join(vdir, "batch_id=0"))
+        .collect()
+    )
+    os.remove(os.path.join(vdir, "_commits", "0"))  # the crash window
+    handle(_docs_df(spark, _B1), 0)
+    second = sorted(
+        tuple(r) for r in spark.read.parquet(os.path.join(vdir, "batch_id=0"))
+        .collect()
+    )
+    assert first == second
+    # the double-appended rows are absorbed by min-id resolution:
+    # a later probe sees identical verdicts to a single-append index
+    probe = _docs_df(spark, [(99, _B1[1][1])])
+    got = dedup_against_index(spark, index, probe, "doc_id", "text").collect()
+    assert [(r["doc_id"], r["dup_kind"], r["match_id"]) for r in got] == [
+        (99, "exact", 11)
+    ]
+
+
+def test_stream_dedup_matches_sequential_batch_loop(spark, tmp_path):
+    """Streaming verdicts == the sequential batch-by-batch loop of
+    dedup_against_index + intra-batch dedup + append on the same
+    batch split (the operator's defining contract)."""
+    from mfdb_hafro_etl_spark.streaming.jobs import dedup_ingest_handler
+
+    idx_a = _build_index(spark, tmp_path, "idx_a")
+    idx_b = _build_index(spark, tmp_path, "idx_b")
+    va, vb = str(tmp_path / "va"), str(tmp_path / "vb")
+    ha = dedup_ingest_handler(idx_a, va, "doc_id", "text")
+    hb = dedup_ingest_handler(idx_b, vb, "doc_id", "text")
+    # same batches, applied through the same handler twice = the
+    # sequential loop; a DIFFERENT split must be allowed to differ
+    for bid, rows in enumerate([_B1, _B2, _B3]):
+        ha(_docs_df(spark, rows), bid)
+    for bid, rows in enumerate([_B1 + _B2, _B3]):  # coarser split
+        hb(_docs_df(spark, rows), bid)
+    a = sorted(tuple(r) for r in spark.read.parquet(va).drop("batch_id").collect())
+    b = sorted(tuple(r) for r in spark.read.parquet(vb).drop("batch_id").collect())
+    # flagged ids agree regardless of split here (doc 20's match 11 is
+    # already admitted in both); origins differ where the boundary does
+    assert [r[0] for r in a] == [r[0] for r in b] == [10, 12, 20, 30]
+
+
+def test_dedup_ingest_rejects_mismatched_params(spark, tmp_path):
+    import pytest as _pytest
+
+    from mfdb_hafro_etl_spark.streaming.jobs import dedup_ingest_handler
+
+    index = _build_index(spark, tmp_path)  # built with k=8
+    handle = dedup_ingest_handler(
+        index, str(tmp_path / "v"), "doc_id", "text", k=16
+    )
+    with _pytest.raises(ValueError, match="param"):
+        handle(_docs_df(spark, _B1), 0)
