@@ -157,9 +157,11 @@ def rescale_by_published(
     landings at FULL InMemoryRelation width regardless of consumer
     pruning (20.5 s; at a real 100 TB landings table a cluster-wide
     cache is not a plan at all), and uncached double-build pays the
-    whole DAG twice (19.3 s); the window shape measures 12.9-13.6 s
-    in round-8 isolated x100 probes (in-suite artifact context runs
-    higher — long-lived-heap GC + neighbours; SCALE_BENCH_r08).
+    whole DAG twice (19.3 s); the window shape measures 12.9-14.0 s
+    across six round-8 isolated fresh-JVM x100 probes, including
+    three run on the final artifact tree (in-suite artifact context
+    runs higher — long-lived-heap GC + neighbours; adjudication in
+    SCALE_BENCH_r08.md).
     In the reference the ratio reads landings already materialized
     in the DB (R/initdb.R:399 vs :461) — a caller who wants that
     durable barrier materializes to parquet first
