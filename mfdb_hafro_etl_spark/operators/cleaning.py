@@ -378,8 +378,13 @@ def decontaminate(
 #: noise that makes byte-identical pages look distinct to an exact
 #: URL dedup (the first dedup any crawl pipeline runs, before any
 #: content is even fetched twice). RE2-compatible, anchored at the
-#: start of one `key=value` token.
-URL_TRACKING_PARAM = r"^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_eid|ref|ref_src)="
+#: start of one `key=value` token. Deliberately UNAMBIGUOUS shapes
+#: only: bare `ref` is excluded because major sites use it as a
+#: resource selector (e.g. ?ref=<branch>), where dropping it merges
+#: distinct resources — permanent recall loss, the one failure a
+#: dedup key must never cause; `ref_src` is the Twitter-specific
+#: tracking variant and stays.
+URL_TRACKING_PARAM = r"^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_eid|ref_src)="
 
 #: scheme prefix that marks a string as a canonicalizable URL
 _URL_SCHEME = r"^[A-Za-z][A-Za-z0-9+.-]*://"
@@ -406,9 +411,12 @@ def canonicalize_url(
 
     Non-URL strings (no ``scheme://`` prefix) pass through trimmed
     but otherwise unchanged, so the operator is safe on mixed
-    columns; userinfo/IPv6-literal authorities are out of scope
-    (kept verbatim inside the host token). Idempotent on its own
-    output (property-tested).
+    columns. A ``userinfo@`` prefix in the authority is kept
+    VERBATIM (case-sensitive per RFC 3986 — only scheme and host
+    fold); IPv6-literal authorities are out of scope (the bracketed
+    literal is treated as part of the host token). Idempotent on its
+    own output (property-tested, including stacked ``www.www.``
+    labels).
 
     Pure Column algebra — regexp/array expressions in one codegen'd
     projection, no UDF, no shuffle; every pattern is RE2-compatible
@@ -417,11 +425,19 @@ def canonicalize_url(
     c = F.trim(F.col(col) if isinstance(col, str) else col)
     nofrag = F.regexp_replace(c, r"#.*$", "")
     scheme = F.lower(F.regexp_extract(nofrag, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    hostport = F.lower(F.regexp_extract(nofrag, _URL_SCHEME + r"([^/?#]*)", 1))
+    authority = F.regexp_extract(nofrag, _URL_SCHEME + r"([^/?#]*)", 1)
+    # userinfo (anything through the last '@') folds NOTHING —
+    # credentials/identities are case-sensitive; only the host after
+    # it lowercases
+    userinfo = F.regexp_extract(authority, r"^(.*@)", 1)
+    hostport = F.lower(F.regexp_replace(authority, r"^.*@", ""))
     port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
     host = F.regexp_replace(hostport, r":[0-9]+$", "")
     if strip_www:
-        host = F.regexp_replace(host, r"^www\.", "")
+        # (www.)+ not www.: stacked labels must collapse in ONE pass
+        # or the output isn't a fixpoint and a re-canonicalized key
+        # migrates
+        host = F.regexp_replace(host, r"^(www\.)+", "")
     portpart = F.when(
         (port == "")
         | ((scheme == "http") & (port == "80"))
@@ -440,6 +456,7 @@ def canonicalize_url(
     canon = F.concat(
         scheme,
         F.lit("://"),
+        userinfo,
         host,
         portpart,
         path,

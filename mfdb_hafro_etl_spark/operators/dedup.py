@@ -1271,6 +1271,20 @@ def _lsh_catalog_check_meta(spark: SparkSession, table_prefix: str, params: dict
         )
 
 
+def _read_index_or_empty(spark: SparkSession, path: str, ddl: str) -> DataFrame:
+    """Read an index subtable, returning an empty frame with the
+    expected schema when the directory holds no parquet data files
+    (the empty-corpus bootstrap — see dedup_against_index). Genuine
+    read failures (corrupt footers, schema drift) still propagate:
+    only the structurally-empty case short-circuits."""
+    import os
+
+    for root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return spark.read.parquet(path)
+    return spark.createDataFrame([], ddl)
+
+
 def dedup_against_index(
     spark: SparkSession,
     path: str,
@@ -1318,6 +1332,7 @@ def dedup_against_index(
     append)."""
     import os
 
+    id_t = batch.schema[id_col].dataType.simpleString()
     if catalog_prefix is not None:
         _lsh_catalog_check_meta(
             spark, catalog_prefix, {"n": n, "k": k, "rows_per_band": rows_per_band}
@@ -1328,7 +1343,17 @@ def dedup_against_index(
         _lsh_index_check_meta(
             path, {"n": n, "k": k, "rows_per_band": rows_per_band}
         )
-        exact_index = spark.read.parquet(os.path.join(path, "exact"))
+        # structural empty check, not schema inference: an index
+        # bootstrapped from an EMPTY corpus (or one whose docs are all
+        # too short to shingle) has subtable dirs with no data files —
+        # Spark's partitionBy write of an empty frame emits only
+        # _SUCCESS — and a raw read raises UNABLE_TO_INFER_SCHEMA.
+        # The meta check above already authenticated the index, so a
+        # data-file-free subtable IS the empty corpus, probed as an
+        # empty frame (every batch doc comes back novel).
+        exact_index = _read_index_or_empty(
+            spark, os.path.join(path, "exact"), f"h string, cid {id_t}"
+        )
         corpus_bands_src = None
     excl = (
         exclude_match_ids.toDF("__xid__").dropDuplicates()
@@ -1353,7 +1378,11 @@ def dedup_against_index(
     corpus_bands = (
         corpus_bands_src
         if corpus_bands_src is not None
-        else spark.read.parquet(os.path.join(path, "bands"))
+        else _read_index_or_empty(
+            spark,
+            os.path.join(path, "bands"),
+            f"cid {id_t}, val string, band int",
+        )
     )
     if batch_bands is None:
         batch_bands = lsh_band_table(batch, id_col, text_col, n, k, rows_per_band)

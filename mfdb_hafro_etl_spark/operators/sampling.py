@@ -270,3 +270,45 @@ def temperature_sample(
     over the corpus, no join, no shuffle."""
     rates = temperature_rates(df, source_col, temperature, target_frac)
     return stratified_sample(df, id_col, source_col, rates, salt=salt)
+
+
+def global_shuffle(
+    df: DataFrame,
+    id_col: str,
+    salt: str = "",
+    buckets: int = 1024,
+    rank_col: str = "shuffle_rank",
+) -> DataFrame:
+    """Deterministic corpus-wide shuffle order — the step between a
+    curated corpus and its training export (sequential-source bias is
+    the classic failure a shuffled order prevents). Appends
+    ``rank_col``: the row's 0-based position in the (hash_unit(salt,
+    id), id) total order — reproducible across runs, repartitions,
+    and engines, and disjoint orders come from different salts.
+
+    The rank is a distributed prefix COUNT in pack_sequences' two-pass
+    shape: a within-bucket row_number (window partitioned by hash
+    bucket — parallel) plus broadcast per-bucket base offsets
+    (``buckets`` dimension-sized rows). Never a global
+    single-partition window; one shuffle + one broadcast join. To
+    EXPORT in shuffle order, write sorted by ``rank_col`` (Spark's
+    sort is a parallel range exchange) or feed pack_sequences, which
+    embeds the same order."""
+    from pyspark.sql import Window
+
+    u = hash_unit(id_col, salt)
+    withb = df.withColumn("__u__", u).withColumn(
+        "__b__", F.floor(F.col("__u__") * buckets).cast("int")
+    )
+    wb = Window.partitionBy("__b__").orderBy("__u__", id_col)
+    local = withb.withColumn("__ln__", F.row_number().over(wb))
+    totals = withb.groupBy("__b__").agg(F.count(F.lit(1)).alias("__btot__"))
+    wtot = Window.orderBy("__b__").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "__base__", F.coalesce(F.sum("__btot__").over(wtot), F.lit(0))
+    ).select("__b__", "__base__")
+    return (
+        local.join(F.broadcast(offsets), on="__b__")
+        .withColumn(rank_col, F.col("__base__") + F.col("__ln__") - 1)
+        .drop("__u__", "__b__", "__ln__", "__base__")
+    )

@@ -77,6 +77,27 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_events_ts(spark.readStream.schema(schema).parquet(path))
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _scoped_state_partitions(spark: SparkSession, n: int | None):
+    """Scope spark.sql.shuffle.partitions to a streaming run (the
+    batch-oriented session default is the wrong width for streaming
+    state — see run_available_now's docstring), restoring the prior
+    value however the run exits. One implementation for every
+    streaming entry point, so a future fix (unset conf, interrupt
+    handling) can't drift between copies."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if n is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        if n is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def run_available_now(
     sdf: DataFrame,
     name: str,
@@ -116,10 +137,7 @@ def run_available_now(
     cardinality × throughput; it is fixed for the life of a
     checkpointed query, which is why it's an explicit knob here."""
     spark = sdf.sparkSession
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    if state_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    try:
+    with _scoped_state_partitions(spark, state_partitions):
         if sink_dir is not None:
 
             def _write_batch(bdf, bid: int) -> None:
@@ -142,9 +160,6 @@ def run_available_now(
             )
         q = writer.trigger(availableNow=True).start()
         q.awaitTermination()
-    finally:
-        if state_partitions is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
     if sink_dir is not None:
         return _read_batched_sink(spark, sink_dir, sdf.schema)
     return spark.table(name)
@@ -179,10 +194,14 @@ def _read_batched_sink(spark: SparkSession, sink_dir: str, schema) -> DataFrame:
     return spark.read.parquet(sink_dir).drop("batch_id")
 
 
-def auto_state_partitions(spark: SparkSession, sf_dir: str) -> int:
-    """Size the stateful shuffle to the event-source volume: one
-    state partition per ~4 MB of on-disk events, clamped to
-    [8, 2 × defaultParallelism].
+def auto_state_partitions(
+    spark: SparkSession, sf_dir: str, table: str = "events"
+) -> int:
+    """Size the stateful shuffle to the STREAMED source's volume
+    (``table`` — pass the table the job actually reads; sizing a
+    documents stream from events bytes re-creates the starvation this
+    helper exists to fix): one state partition per ~4 MB of on-disk
+    source, clamped to [8, 2 × defaultParallelism].
 
     All three constants are measured: 8 keeps per-microbatch fixed
     costs (every partition is a state store + a Python worker PER
@@ -198,7 +217,7 @@ def auto_state_partitions(spark: SparkSession, sf_dir: str) -> int:
     this once from key cardinality × throughput; this helper is the
     harness analog driven by the one scale signal available up
     front, source bytes."""
-    nbytes = events_source_bytes(sf_dir)
+    nbytes = source_bytes(sf_dir, table)
     par = spark.sparkContext.defaultParallelism
     return max(8, min(2 * par, 1 + nbytes // (4 << 20)))
 
@@ -273,10 +292,15 @@ def _pid_alive(pid: int) -> bool:
 
 
 def events_source_bytes(sf_dir: str) -> int:
-    """Recursive on-disk byte count of ``sf_dir``/events.parquet (0
+    """source_bytes for the events table (the common case)."""
+    return source_bytes(sf_dir, "events")
+
+
+def source_bytes(sf_dir: str, table: str) -> int:
+    """Recursive on-disk byte count of ``sf_dir``/<table>.parquet (0
     when unreadable) — the up-front scale signal the streaming
     harness sizes itself from."""
-    src = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
+    src = os.path.abspath(os.path.join(sf_dir, f"{table}.parquet"))
     try:
         if os.path.isdir(src):
             # recurse: a hive-partitioned/nested layout measured via
@@ -735,19 +759,26 @@ def dedup_ingest_handler(
                 # 2) intra-batch first-occurrence dedup, deterministic
                 # (min id wins) so the admitted set is a pure function
                 # of the batch content — redelivery-stable. Both arms
-                # are running-min windows (min id among SMALLER-id
-                # group-mates; NULL = first occurrence): one shuffle
-                # of increment-sized rows each, where the natural
-                # aggregate+self-join formulation shuffles the batch
-                # twice and joins — the same answer, measured ~25%
-                # faster per micro-batch and strictly fewer exchanges
-                # at any scale.
+                # are running-min windows (min id among STRICTLY
+                # smaller-id group-mates; NULL = first occurrence):
+                # one shuffle of increment-sized rows each, where the
+                # natural aggregate+self-join formulation shuffles the
+                # batch twice and joins — the same answer, measured
+                # ~25% faster per micro-batch and strictly fewer
+                # exchanges at any scale. RANGE frames, not ROWS: a
+                # ROWS frame includes TIED ids (an upstream that
+                # re-emits the same record twice inside one file would
+                # flag the doc as an exact duplicate of ITSELF and
+                # never admit it), while a range frame over the
+                # numeric id excludes ties — the strict c.id < b.id
+                # the sequential contract (and the arm's SQL oracle)
+                # specifies.
                 from pyspark.sql.window import Window
 
                 wh = (
                     Window.partitionBy("h")
                     .orderBy(F.col(id_col))
-                    .rowsBetween(Window.unboundedPreceding, -1)
+                    .rangeBetween(Window.unboundedPreceding, -1)
                 )
                 intra_exact = (
                     b_hash.select(
@@ -765,7 +796,7 @@ def dedup_ingest_handler(
                 wb = (
                     Window.partitionBy("band", "val")
                     .orderBy(F.col(id_col))
-                    .rowsBetween(Window.unboundedPreceding, -1)
+                    .rangeBetween(Window.unboundedPreceding, -1)
                 )
                 intra_near = (
                     bands.select(
@@ -916,10 +947,7 @@ def stream_dedup_ingest(
     re-shingles the corpus, so a 100 TB standing corpus costs each
     micro-batch only its own band/hash probes."""
     spark = stream_df.sparkSession
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    if state_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    try:
+    with _scoped_state_partitions(spark, state_partitions):
         q = (
             stream_df.writeStream.foreachBatch(
                 dedup_ingest_handler(
@@ -933,9 +961,6 @@ def stream_dedup_ingest(
             .start()
         )
         q.awaitTermination()
-    finally:
-        if state_partitions is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
     id_type = stream_df.schema[id_col].dataType.simpleString()
     schema = (
         f"{id_col} {id_type}, dup_kind STRING, "

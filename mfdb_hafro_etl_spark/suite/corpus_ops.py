@@ -315,14 +315,17 @@ def _clean_urldedup_oracle() -> str:
     p2 AS (
       SELECT doc_id,
         lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-        lower(regexp_extract(nofrag, '{_URL_SCHEME_SQL}([^/?#]*)', 1)) AS hostport,
+        regexp_extract(regexp_extract(nofrag, '{_URL_SCHEME_SQL}([^/?#]*)', 1),
+                       '^(.*@)', 1) AS userinfo,
+        lower(regexp_replace(regexp_extract(nofrag, '{_URL_SCHEME_SQL}([^/?#]*)', 1),
+                             '^.*@', '')) AS hostport,
         regexp_extract(nofrag, '{_URL_SCHEME_SQL}[^/?#]*([^?#]*)', 1) AS rawpath,
         regexp_extract(nofrag, '\\?([^#]*)', 1) AS query
       FROM p1
     ),
     p3 AS (
-      SELECT doc_id, scheme,
-        regexp_replace(regexp_replace(hostport, ':[0-9]+$', ''), '^www\\.', '') AS host,
+      SELECT doc_id, scheme, userinfo,
+        regexp_replace(regexp_replace(hostport, ':[0-9]+$', ''), '^(www\\.)+', '') AS host,
         regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
         CASE WHEN regexp_replace(regexp_replace(rawpath, '//+', '/', 'g'), '/+$', '') = ''
              THEN '/'
@@ -334,7 +337,7 @@ def _clean_urldedup_oracle() -> str:
     ),
     canon AS (
       SELECT doc_id,
-        scheme || '://' || host
+        scheme || '://' || userinfo || host
           || CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
                     OR (scheme = 'https' AND port = '443')
                   THEN '' ELSE ':' || port END

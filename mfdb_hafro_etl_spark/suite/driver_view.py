@@ -123,6 +123,7 @@ COMBOS: dict[str, list[str]] = {
         "x_sample_stratified",
         "x_sample_pergroup",
         "x_sample_pack",
+        "x_sample_shuffle",
         "x_sample_temperature",
     ],
     "x_cleaning": [
@@ -322,6 +323,7 @@ _ARM_COLS: dict[str, list[tuple[str, str]]] = {
     "x_clean_gopher": [("doc_id", "i"), ("n_tokens", "i"), ("ttr", "d"), ("top_bigram", "d"), ("sym_ratio", "d"), ("keep", "i")],
     "x_clean_html": [("doc_id", "i"), ("main_txt", "s"), ("n_chars", "i")],
     "x_clean_urldedup": [("canonical_url", "s"), ("keep_id", "i"), ("n_dupes", "i")],
+    "x_sample_shuffle": [("doc_id", "i"), ("shuffle_rank", "i")],
     "x_clean_decontam": [("doc_id", "i"), ("n_shared_ngrams", "i")],
     "x_text_fingerprint": [("doc_id", "i"), ("fingerprint", "s")],
     "x_text_winnow": [("doc_id", "i"), ("fp", "i")],

@@ -2057,3 +2057,32 @@ def x_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle hash has no float hazards."""
     docs = load_table(spark, sf_dir, "documents")
     return dd.duplicate_spans(docs, "doc_id", "text", n=5, min_df=2)
+
+
+# ------------------------------------------------ global shuffle order
+@register(
+    "x_sample_shuffle",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5('gs' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               / CAST(16 ** 15 AS DOUBLE) AS u
+      FROM documents
+    )
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY u, doc_id) - 1 AS shuffle_rank
+    FROM u
+    """,
+)
+def x_sample_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle order (sampling.global_shuffle):
+    0-based rank in the portable (md5-unit, id) total order, computed
+    as a bucketed two-pass prefix count — the oracle's single global
+    window produces the identical ranks because the bucket order
+    refines the same total order."""
+    from mfdb_hafro_etl_spark.operators import sampling as sp
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sp.global_shuffle(docs, "doc_id", salt="gs").select(
+        "doc_id", "shuffle_rank"
+    )

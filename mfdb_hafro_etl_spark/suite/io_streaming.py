@@ -432,5 +432,8 @@ def x_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return st.stream_dedup_ingest(
         stream, idx, vdir, "doc_id", "text", n=3, k=8, rows_per_band=2,
-        state_partitions=st.auto_state_partitions(spark, sf_dir),
+        # size state to the table this arm actually streams: sizing a
+        # documents stream from events bytes starves it at fixtures
+        # where documents dominates
+        state_partitions=st.auto_state_partitions(spark, sf_dir, table="documents"),
     )

@@ -554,3 +554,56 @@ def test_dedup_ingest_rejects_mismatched_params(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="param"):
         handle(_docs_df(spark, _B1), 0)
+
+
+def test_dedup_ingest_empty_corpus_bootstrap(spark, tmp_path):
+    """The documented cold-start: an index bootstrapped from an EMPTY
+    corpus (bands/exact dirs hold no data files) must probe as 'all
+    novel', not crash on schema inference; after the first batch the
+    index serves normally."""
+    from mfdb_hafro_etl_spark.operators.dedup import lsh_index_write
+    from mfdb_hafro_etl_spark.streaming.jobs import dedup_ingest_handler
+
+    index = str(tmp_path / "idx")
+    empty = _docs_df(spark, []).filter("doc_id IS NOT NULL")
+    lsh_index_write(empty, index, "doc_id", "text")
+    vdir = str(tmp_path / "v")
+    handle = dedup_ingest_handler(index, vdir, "doc_id", "text")
+    handle(_docs_df(spark, _B1), 0)  # must not raise
+    got = {
+        r["doc_id"]: (r["dup_kind"], r["match_id"], r["origin"])
+        for r in spark.read.parquet(os.path.join(vdir, "batch_id=0")).collect()
+    }
+    # no corpus: only the intra-batch exact dup is flagged
+    assert got == {12: ("exact", 11, "batch")}
+    handle(_docs_df(spark, _B3 + [(31, _B1[1][1])]), 1)
+    got1 = {
+        r["doc_id"]: (r["dup_kind"], r["match_id"], r["origin"])
+        for r in spark.read.parquet(os.path.join(vdir, "batch_id=1")).collect()
+    }
+    assert got1 == {31: ("exact", 11, "corpus")}
+
+
+def test_dedup_ingest_duplicate_rows_within_batch_not_self_flagged(
+    spark, tmp_path
+):
+    """An upstream that re-emits the SAME record twice inside one
+    micro-batch (at-least-once sources do) must not flag the doc as a
+    duplicate of itself: tied ids are outside the strict-< running-min
+    frame, the doc is admitted once-worth of band rows twice (absorbed
+    by min-id resolution), and later batches still match it."""
+    from mfdb_hafro_etl_spark.operators.dedup import dedup_against_index
+    from mfdb_hafro_etl_spark.streaming.jobs import dedup_ingest_handler
+
+    index = _build_index(spark, tmp_path)
+    vdir = str(tmp_path / "v")
+    handle = dedup_ingest_handler(index, vdir, "doc_id", "text")
+    doubled = _docs_df(spark, [_B1[1], _B1[1]])  # (11, novel) twice
+    handle(doubled, 0)
+    verdicts = spark.read.parquet(os.path.join(vdir, "batch_id=0")).collect()
+    assert verdicts == []  # no self-verdict
+    probe = _docs_df(spark, [(99, _B1[1][1])])
+    got = dedup_against_index(spark, index, probe, "doc_id", "text").collect()
+    assert [(r["doc_id"], r["dup_kind"], r["match_id"]) for r in got] == [
+        (99, "exact", 11)
+    ]
