@@ -485,3 +485,37 @@ def url_dedup(
             F.count(F.lit(1)).alias("n_dupes"),
         )
     )
+
+
+def remove_repeated_units(
+    col: Column | str, sep: str = "\n", min_len: int = 0
+) -> Column:
+    """Drop repeated units (lines / paragraphs / sentences, per
+    ``sep``) WITHIN a document, keeping each unit's first occurrence
+    in order — the intra-document sibling of the cross-document span
+    dedup (dedup.duplicate_spans): crawled pages repeat nav strings,
+    cookie banners, and share-bar text many times inside one page,
+    and token counts / quality scores / shingle tables all skew on
+    the repeats. Units shorter than ``min_len`` characters are kept
+    unconditionally (blank separators and stub fragments are
+    structure, not boilerplate).
+
+    Pure Column algebra: split → keep a[i] iff array_position(a,
+    a[i]) == i (first occurrence) → rejoin. The per-doc work is
+    quadratic in the UNIT count of one document (array_position scans
+    per element) but runs JVM-side inside the scan projection —
+    bounded by document size, embarrassingly parallel across docs,
+    no shuffle. Idempotent; a document with no separator passes
+    through unchanged."""
+    import re as _re
+
+    c = F.col(col) if isinstance(col, str) else col
+    # split's pattern arg is a REGEX: escape the separator so '|',
+    # '.', etc. split literally (the oracle's string_split is literal)
+    a = F.split(c, _re.escape(sep))
+    kept = F.filter(
+        a,
+        lambda u, i: (F.length(u) < F.lit(min_len))
+        | (F.array_position(a, u) == i + F.lit(1)),
+    )
+    return F.array_join(kept, sep)

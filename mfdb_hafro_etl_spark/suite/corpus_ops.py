@@ -394,6 +394,53 @@ def x_clean_urldedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------- intra-doc repetition
+@register(
+    "x_clean_repeats",
+    """
+    WITH fx AS (
+      SELECT doc_id,
+             substr(text, 1, 25) || '|' || substr(text, 27, 25) || '|'
+             || substr(text, 1, 25) || '|' || substr(text, 53, 25) || '|'
+             || substr(text, 27, 25) AS t
+      FROM documents
+    ),
+    arr AS (SELECT doc_id, string_split(t, '|') AS a FROM fx),
+    kept AS (
+      SELECT doc_id,
+             array_to_string(
+               list_filter(a, (x, i) -> list_position(a, x) = i), '|') AS cleaned
+      FROM arr
+    )
+    SELECT doc_id, cleaned,
+           len(string_split(cleaned, '|')) AS n_units
+    FROM kept
+    """,
+)
+def x_clean_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repeated-unit removal
+    (cleaning.remove_repeated_units): the fixture interleaves two
+    repeated slices of each document among distinct ones; first
+    occurrences survive in order, repeats drop — the classic crawl
+    step for nav strings / cookie banners repeated inside one page.
+    One codegen'd array projection per row, no shuffle; the oracle
+    replays the identical first-occurrence rule via list_position."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    fx = F.concat_ws(
+        "|",
+        F.substring(t, 1, 25),
+        F.substring(t, 27, 25),
+        F.substring(t, 1, 25),
+        F.substring(t, 53, 25),
+        F.substring(t, 27, 25),
+    )
+    cleaned = cl.remove_repeated_units(fx, sep="|")
+    return docs.select("doc_id", cleaned.alias("cleaned")).withColumn(
+        "n_units", F.size(F.split(F.col("cleaned"), r"\|"))
+    )
+
+
 # ------------------------------------------------------ decontamination
 @register(
     "x_clean_decontam",

@@ -131,6 +131,7 @@ COMBOS: dict[str, list[str]] = {
         "x_clean_gopher",
         "x_clean_html",
         "x_clean_urldedup",
+        "x_clean_repeats",
         "x_clean_decontam",
     ],
     "x_text_all": [
@@ -324,6 +325,7 @@ _ARM_COLS: dict[str, list[tuple[str, str]]] = {
     "x_clean_html": [("doc_id", "i"), ("main_txt", "s"), ("n_chars", "i")],
     "x_clean_urldedup": [("canonical_url", "s"), ("keep_id", "i"), ("n_dupes", "i")],
     "x_sample_shuffle": [("doc_id", "i"), ("shuffle_rank", "i")],
+    "x_clean_repeats": [("doc_id", "i"), ("cleaned", "s"), ("n_units", "i")],
     "x_clean_decontam": [("doc_id", "i"), ("n_shared_ngrams", "i")],
     "x_text_fingerprint": [("doc_id", "i"), ("fingerprint", "s")],
     "x_text_winnow": [("doc_id", "i"), ("fp", "i")],

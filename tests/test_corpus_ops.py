@@ -1843,3 +1843,37 @@ def test_global_shuffle_no_global_window(spark):
     # dimension-sized bucket-totals window may have one
     assert "Window" in plan
     assert plan.count("SinglePartition") <= 1
+
+
+# -------------------------------------------- intra-doc repetition trim
+def test_remove_repeated_units_semantics(spark):
+    """First occurrence survives in order; repeats drop; no-separator
+    text passes through; literal (non-regex) separator; min_len keeps
+    short/blank units unconditionally; idempotent."""
+    rows = [
+        ("nav|body one|nav|body two|nav|footer",),
+        ("no separators here",),
+        ("x||y||x",),
+    ]
+    df = spark.createDataFrame(rows, "t STRING")
+    out = [
+        r[0]
+        for r in df.select(cl.remove_repeated_units("t", sep="|")).collect()
+    ]
+    assert out == ["nav|body one|body two|footer", "no separators here", "x||y"]
+    twice = [
+        r[0]
+        for r in df.select(
+            cl.remove_repeated_units(
+                cl.remove_repeated_units("t", sep="|"), sep="|"
+            )
+        ).collect()
+    ]
+    assert twice == out
+    keep_short = [
+        r[0]
+        for r in df.select(
+            cl.remove_repeated_units("t", sep="|", min_len=2)
+        ).collect()
+    ]
+    assert keep_short[2] == "x||y||x"  # 1-char units kept unconditionally
