@@ -461,3 +461,72 @@ def test_asof_join_matches_merge_asof_reference(spark, left, right):
         matches = [(rt, 100 * rg + rt) for rg, rt in right if rg == g and rt <= t]
         want[i] = max(matches)[1] if matches else None
     assert got == want
+
+
+# --------------------------------------------- URL canonicalization
+# adversarial URL parts: case noise, stacked www, tracking + real
+# params in random order, default/explicit ports, slash runs,
+# fragments, userinfo
+_scheme = st.sampled_from(["http", "HTTP", "https", "HTTPS", "ftp"])
+_host = st.sampled_from(
+    ["a.com", "WWW.a.com", "www.www.B.io", "News.Site.org", "x-y.net"]
+)
+_port = st.sampled_from(["", ":80", ":443", ":8080"])
+_path = st.sampled_from(["", "/", "/p", "/p/q/", "//p//q", "/CaseS"])
+_params = st.lists(
+    st.sampled_from(
+        ["a=1", "b=2", "z=9", "utm_source=x", "gclid=g", "ref=keep", "ref_src=t"]
+    ),
+    min_size=0,
+    max_size=5,
+)
+_frag = st.sampled_from(["", "#f", "#frag/with?q"])
+_user = st.sampled_from(["", "User:PW@"])
+
+
+@st.composite
+def _url(draw):
+    q = "&".join(draw(_params))
+    return (
+        draw(_scheme) + "://" + draw(_user) + draw(_host) + draw(_port)
+        + draw(_path) + (("?" + q) if q else "") + draw(_frag)
+    )
+
+
+@given(urls=st.lists(_url(), min_size=1, max_size=20))
+@settings(**_SETTINGS)
+def test_canonicalize_url_properties(spark, urls):
+    """Over adversarial URLs: (1) idempotent — canonical output is a
+    fixpoint; (2) fragment-insensitive — the same URL ± fragment maps
+    to one key; (3) param-order-insensitive; (4) the kept query
+    params are exactly the non-tracking ones."""
+    df = spark.createDataFrame([(u,) for u in urls], "u STRING")
+    c1 = df.select(
+        F.col("u"), cl.canonicalize_url("u").alias("c")
+    )
+    rows = c1.collect()
+    # idempotence
+    twice = c1.select(cl.canonicalize_url("c").alias("c2")).collect()
+    assert [r["c"] for r in rows] == [r["c2"] for r in twice]
+    for r in rows:
+        u, c = r["u"], r["c"]
+        # fragment never survives, tracking params never survive
+        assert "#" not in c
+        assert "utm_" not in c and "gclid" not in c and "ref_src" not in c
+        # functional params always survive
+        for p in ("a=1", "b=2", "z=9", "ref=keep"):
+            assert (p in u.split("#")[0]) == (p in c)
+    # order-insensitivity: shuffle the params of each url -> same key
+    import re as _re
+
+    def perm(u):
+        base, sep, rest = u.partition("?")
+        if not sep:
+            return u
+        q, _h, frag = rest.partition("#")
+        parts = q.split("&")
+        return base + "?" + "&".join(reversed(parts)) + (_h + frag)
+
+    df2 = spark.createDataFrame([(perm(u),) for u in urls], "u STRING")
+    c2 = [r[0] for r in df2.select(cl.canonicalize_url("u")).collect()]
+    assert c2 == [r["c"] for r in rows]
