@@ -423,7 +423,11 @@ def canonicalize_url(
     so a DuckDB oracle replays the identical chain (suite arm
     x_clean_urldedup)."""
     c = F.trim(F.col(col) if isinstance(col, str) else col)
-    nofrag = F.regexp_replace(c, r"#.*$", "")
+    # [\s\S] not '.': Java regex '.' won't cross an embedded newline
+    # without DOTALL, so a malformed URL with '\n' after '#' would
+    # keep its fragment — the class form holds the 'fragment never
+    # survives' invariant and reads identically in RE2 (DuckDB oracle)
+    nofrag = F.regexp_replace(c, r"#[\s\S]*", "")
     scheme = F.lower(F.regexp_extract(nofrag, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     authority = F.regexp_extract(nofrag, _URL_SCHEME + r"([^/?#]*)", 1)
     # userinfo (anything through the last '@') folds NOTHING —

@@ -1275,10 +1275,19 @@ def _read_index_or_empty(spark: SparkSession, path: str, ddl: str) -> DataFrame:
     """Read an index subtable, returning an empty frame with the
     expected schema when the directory holds no parquet data files
     (the empty-corpus bootstrap — see dedup_against_index). Genuine
-    read failures (corrupt footers, schema drift) still propagate:
-    only the structurally-empty case short-circuits."""
+    read failures (corrupt footers, schema drift, a MISSING directory)
+    still propagate: only the exists-but-holds-no-data case
+    short-circuits. A missing subtable dir under a surviving meta is a
+    torn index — silently treating it as empty would mark every probe
+    doc 'novel' (silent recall loss), so we raise instead."""
     import os
 
+    if not os.path.isdir(path):
+        raise FileNotFoundError(
+            f"LSH index subtable directory {path} is missing while the "
+            f"index meta survives — the index is torn; rebuild it rather "
+            f"than probing an empty corpus."
+        )
     for root, _dirs, files in os.walk(path):
         if any(f.endswith(".parquet") for f in files):
             return spark.read.parquet(path)

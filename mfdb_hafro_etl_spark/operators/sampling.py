@@ -296,6 +296,15 @@ def global_shuffle(
     embeds the same order."""
     from pyspark.sql import Window
 
+    clash = {"__u__", "__b__", "__ln__", "__base__", "__btot__"} & set(df.columns)
+    if clash:
+        # withColumn silently OVERWRITES same-named inputs and the
+        # temps are dropped before return — a caller's column of that
+        # name would vanish with no error, so refuse loudly instead
+        raise ValueError(
+            f"global_shuffle uses temp column names {sorted(clash)} that "
+            f"already exist in the input — rename them before shuffling."
+        )
     u = hash_unit(id_col, salt)
     withb = df.withColumn("__u__", u).withColumn(
         "__b__", F.floor(F.col("__u__") * buckets).cast("int")

@@ -14,6 +14,12 @@ from mfdb_hafro_etl_spark.functions.conditionals import nvl
 from mfdb_hafro_etl_spark.functions.domain import range_bucket, vessel_id
 from mfdb_hafro_etl_spark.operators.grids import month_spread
 
+# rescale_by_published's driver-side collect bound: official
+# per-species-per-year published figures run to hundreds of rows at
+# any corpus scale; 100k is orders of magnitude of headroom while
+# still refusing a mistakenly-passed fact table long before an OOM.
+MAX_PUBLISHED_ROWS = 100_000
+
 # port → division ranges (reference R/initdb.R:322-335). Later rules
 # overwrite earlier ones in R's masked-assignment style; expressed
 # here in first-match-wins order with the overlaps resolved the way
@@ -188,8 +194,18 @@ def rescale_by_published(
     # which keeps the published DAG to a single run (a DataFrame-side
     # conflict count would execute it twice: once for the check's
     # action, once inside the join — measured +1 s at x1 / +7 s at
-    # x100 on the scale fixture).
-    rows = pub.collect()
+    # x100 on the scale fixture). The limit(N+1) cap ENFORCES the
+    # policy-size contract: a caller passing a fact-sized frame gets
+    # this loud refusal instead of a driver OOM.
+    rows = pub.limit(MAX_PUBLISHED_ROWS + 1).collect()
+    if len(rows) > MAX_PUBLISHED_ROWS:
+        raise ValueError(
+            f"published landings exceed the policy-size contract "
+            f"(> {MAX_PUBLISHED_ROWS} rows in the {years} window) — "
+            "rescale_by_published collects the published table driver-side "
+            "for the uniqueness check; pass the official per-species-per-"
+            "year figures, not a fact table."
+        )
     seen: dict = {}
     conflicts = set()
     for r in rows:

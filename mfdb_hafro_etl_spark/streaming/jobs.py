@@ -255,7 +255,16 @@ def staging_dir(name: str, sf_dir: str) -> str:
     in one process reuse a single directory instead of leaking
     mkdtemps, concurrent runs (distinct pids) never clobber each
     other, and directories left by dead pids are reaped on entry.
-    Per-user root (MFDB_SUITE_TMP overrides)."""
+    Per-user root (MFDB_SUITE_TMP overrides).
+
+    Contract: ONE in-flight invocation of a given (name, sf_dir) arm
+    per process. The wipe-on-entry that makes repeated sequential
+    invocations leak-free means two THREADS of one process running the
+    same arm concurrently would clobber each other's in-flight
+    sink/checkpoint — the bench/suite harness is sequential per
+    process by construction, so this trade (bounded /tmp) is the right
+    one; a caller needing intra-process concurrency should pass
+    distinct `name`s."""
     import getpass
     import hashlib
     import shutil
@@ -945,7 +954,25 @@ def stream_dedup_ingest(
     absorbs). Scale shape: every join in the handler is increment ×
     index equi-join or increment × increment; nothing rescans or
     re-shingles the corpus, so a 100 TB standing corpus costs each
-    micro-batch only its own band/hash probes."""
+    micro-batch only its own band/hash probes.
+
+    Contract: ``id_col`` must be NUMERIC (integer/long/float/decimal).
+    The intra-batch running-min uses a RANGE window frame over the id
+    (ties excluded so a record re-emitted twice in one file can't
+    duplicate itself), and range frames require a numeric ordering
+    key. The batch index API (dedup_against_index) accepts string ids;
+    this streaming wrapper validates up front and refuses them rather
+    than throwing an opaque AnalysisException mid-stream."""
+    from pyspark.sql.types import NumericType
+
+    if not isinstance(stream_df.schema[id_col].dataType, NumericType):
+        raise TypeError(
+            f"stream_dedup_ingest requires a numeric id column for its "
+            f"tie-safe RANGE windows; {id_col!r} is "
+            f"{stream_df.schema[id_col].dataType.simpleString()}. Cast or "
+            f"derive a numeric surrogate id, or use dedup_against_index "
+            f"batch-side, which supports string ids."
+        )
     spark = stream_df.sparkSession
     with _scoped_state_partitions(spark, state_partitions):
         q = (

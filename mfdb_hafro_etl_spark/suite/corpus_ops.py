@@ -310,7 +310,7 @@ def _clean_urldedup_oracle() -> str:
       FROM documents
     ),
     p1 AS (
-      SELECT doc_id, regexp_replace(trim(url), '#.*$', '') AS nofrag FROM src
+      SELECT doc_id, regexp_replace(trim(url), '#[\s\S]*', '') AS nofrag FROM src
     ),
     p2 AS (
       SELECT doc_id,

@@ -7,6 +7,7 @@ by cluster)."""
 
 from __future__ import annotations
 
+import os
 import re
 
 import pytest
@@ -1235,6 +1236,28 @@ def test_lsh_index_compact_invariant(spark, tmp_path):
     )
 
 
+def test_lsh_index_missing_subtable_dir_is_torn_not_empty(spark, tmp_path):
+    """A bands/ or exact/ directory deleted out from under a surviving
+    meta is a TORN index: probing it as an empty corpus would mark
+    every doc novel (silent recall loss). It must raise (ADVICE r8)."""
+    import shutil
+
+    from mfdb_hafro_etl_spark.operators import dedup as dd
+
+    path = str(tmp_path / "idx")
+    corpus = spark.createDataFrame(
+        [(1, "shared shingle text one"), (2, "shared shingle text two")],
+        "doc_id long, text string",
+    )
+    dd.lsh_index_write(corpus, path, "doc_id", "text")
+    shutil.rmtree(os.path.join(path, "bands"))
+    probe = spark.createDataFrame(
+        [(9, "shared shingle text one")], "doc_id long, text string"
+    )
+    with pytest.raises(FileNotFoundError, match="torn"):
+        dd.dedup_against_index(spark, path, probe, "doc_id", "text").collect()
+
+
 def test_lsh_index_overwrite_retires_stale_meta(spark, tmp_path, monkeypatch):
     """Rebuilding ONTO an existing index must retire the old
     _index_meta.json FIRST: a crash mid-rebuild must leave the index
@@ -1745,6 +1768,9 @@ def test_canonicalize_url_known_cases(spark):
         ("https://TokenA@API.com/x", "https://TokenA@api.com/x"),
         # all params tracking -> no query at all
         ("https://a.com/x?utm_source=s", "https://a.com/x"),
+        # malformed URL with a control char after '#': the fragment
+        # still never survives (ADVICE r8 — Java '.' stops at '\n')
+        ("https://a.com/x#frag\nmore", "https://a.com/x"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "u STRING")
     got = [r[0] for r in df.select(cl.canonicalize_url("u")).collect()]
@@ -1843,6 +1869,17 @@ def test_global_shuffle_no_global_window(spark):
     # dimension-sized bucket-totals window may have one
     assert "Window" in plan
     assert plan.count("SinglePartition") <= 1
+
+
+def test_global_shuffle_temp_column_collision_refuses(spark):
+    """A caller whose frame already carries one of the temp names
+    would silently lose that column (withColumn overwrites, temps are
+    dropped on return) — refuse loudly instead (ADVICE r8)."""
+    df = spark.range(0, 10).select(
+        F.col("id").alias("doc_id"), F.lit(1.0).alias("__u__")
+    )
+    with pytest.raises(ValueError, match="temp column names"):
+        sp.global_shuffle(df, "doc_id")
 
 
 # -------------------------------------------- intra-doc repetition trim

@@ -4,6 +4,8 @@ landings rows or inflate the window denominator."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 
 def _rows(df):
     return sorted(
@@ -49,3 +51,24 @@ def test_rescale_conflicting_published_values_refuse(spark):
     )
     with pytest.raises(ValueError, match="CONFLICTING"):
         rescale_by_published(landings, pub)
+
+
+def test_rescale_oversized_published_refuses_before_collect(spark, monkeypatch):
+    """The policy-size contract is ENFORCED: a fact-sized frame passed
+    as `published` must hit a loud ValueError via the limit(N+1) cap,
+    not a driver OOM (VERDICT r8 #1)."""
+    import pytest
+
+    from mfdb_hafro_etl_spark.plans import landings as L
+
+    monkeypatch.setattr(L, "MAX_PUBLISHED_ROWS", 5)
+    landings = spark.createDataFrame(
+        [(1, 1999, 500.0)], "species int, year int, weight_total double"
+    )
+    big = spark.range(20).select(
+        (F.col("id") % 3 + 1).cast("int").alias("species"),
+        (F.lit(1993) + F.col("id") % 10).cast("int").alias("year"),
+        (F.col("id") + 1.0).alias("iceland"),
+    )
+    with pytest.raises(ValueError, match="policy-size"):
+        L.rescale_by_published(landings, big)

@@ -607,3 +607,22 @@ def test_dedup_ingest_duplicate_rows_within_batch_not_self_flagged(
     assert [(r["doc_id"], r["dup_kind"], r["match_id"]) for r in got] == [
         (99, "exact", 11)
     ]
+
+
+def test_stream_dedup_ingest_rejects_string_ids_up_front(spark, tmp_path):
+    """The intra-batch running-min uses RANGE frames (tie-safe) which
+    need a NUMERIC ordering key; a string id must be refused loudly at
+    start, not as an AnalysisException mid-stream (ADVICE r8)."""
+    import pytest
+
+    from mfdb_hafro_etl_spark.streaming.jobs import stream_dedup_ingest
+
+    index = _build_index(spark, tmp_path)
+    src = str(tmp_path / "src_str")
+    os.makedirs(src)
+    _write_jsonl(src, "b0.jsonl", [{"doc_id": "a1", "text": "x"}], mtime=1_000)
+    stream = spark.readStream.schema("doc_id STRING, text STRING").json(src)
+    with pytest.raises(TypeError, match="numeric id"):
+        stream_dedup_ingest(
+            stream, index, str(tmp_path / "v_str"), "doc_id", "text"
+        )
