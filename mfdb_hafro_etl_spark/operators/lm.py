@@ -1,0 +1,386 @@
+"""CCNet-style n-gram language-model quality filter.
+
+The one standard stage of a public LLM-data pipeline the rule-based
+cleaning family (cleaning.py: PII, Gopher rules, HTML extraction, URL
+dedup, decontamination) does not cover: train a statistical LM on a
+CLEAN reference corpus, score every candidate document's perplexity
+under it, and bucket the corpus head/middle/tail — documents that the
+clean-corpus LM finds surprising are boilerplate, spam, or noise
+(Wenzek et al., "CCNet: Extracting High Quality Monolingual Datasets
+from Web Crawl Data", LREC 2020, which uses a 5-gram KenLM; the public
+method, not any implementation, is what this module reproduces).
+
+Model: an interpolated **bigram Kneser-Ney** LM (Kneser & Ney 1995;
+Chen & Goodman 1999 eq. 4.15-4.26, the public formulation):
+
+    p(w | c) = max(cnt(c,w) - D, 0) / cnt(c)
+             + (D * n_succ(c) / cnt(c)) * p_cont(w)
+    p_cont(w) = n_prec(w) / n_types
+
+with ``n_succ(c)`` = distinct successors of context c, ``n_prec(w)`` =
+distinct contexts preceding w, ``n_types`` = distinct bigram types,
+and discount ``D`` estimated as n1/(n1 + 2*n2) over bigram type counts
+(Ney et al. 1994) unless given. Out-of-vocabulary tokens map to
+``<unk>`` (tokens below ``min_count`` at train time supply its mass);
+each document is scored as ``<s> w1 w2 ...`` — every real token gets a
+conditional probability, ``<s>`` is context only. Unseen CONTEXT backs
+off to p_cont entirely; the truly-unseen corner (``<unk>`` absent from
+training because no token was rare) floors at 1/(vocab_size+1) so the
+score is total and deterministic.
+
+Why bigram, not KenLM's 5-gram: the model must be a closed algebra of
+Spark aggregations whose DuckDB oracle replays the identical IEEE
+expression tree (suite arm x_lm_perplexity). Interpolated KN recursion
+depth 2 keeps the scoring expression one CASE; the statistical
+machinery (discounting, continuation counts, backoff) is the same
+family CCNet uses, and the module API leaves order as a parameter
+surface for a later 3-gram extension.
+
+Scale shape (the 100 TB judgment):
+- **Training** is two corpus scans (one for the vocabulary, one for
+  pair counts — the vocabulary must exist before unk-mapping) and
+  three hash aggregations; every intermediate is type-sized, never
+  corpus-sized. No windows: bigram pairs are built INSIDE the scan as
+  array algebra (transform + explode), so no per-document shuffle.
+- **Scoring** joins the exploded corpus pairs against the model
+  tables. The model is vocabulary-sized (bounded by ``min_count`` and
+  the Heaps-law type/token gap, not by corpus size); with
+  ``broadcast_model=True`` (default) every model join is a broadcast
+  hash join and the only shuffle in the whole score is the final
+  per-document sum. For a vocabulary too large to broadcast, pass
+  False and the joins become ordinary token-keyed equi-joins that AQE
+  plans — still linear, never corpus x corpus.
+- **Bucketing** is a codegen'd CASE against scalar thresholds;
+  thresholds come from percentile_approx (mergeable sketch, the scale
+  path) or exact percentile (single-group sort aggregate — corpus
+  stats, use only where exactness is the contract).
+
+Reference scope note: the reference ETL (R/initdb.R) has no LM stage;
+this module is driver-extension scope (training-data pipeline
+operators), same as dedup.py / cleaning.py.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BOS = "<s>"
+UNK = "<unk>"
+
+#: Perplexity of an empty document is undefined; scoring returns NULL.
+
+
+def lm_tokens(col: Column | str) -> Column:
+    """Whitespace tokenization, lowercased, empties dropped — the
+    corpus-wide convention (text.py token_count, bpe_word_freq) so LM
+    scores compose with the other text operators' token counts."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
+
+
+def _pairs(toks: Column) -> Column:
+    """(context, word) bigram pairs as array algebra inside the scan:
+    element i pairs with element i-1 (1-based element_at), the first
+    token with BOS. No window, no per-document shuffle."""
+    return F.transform(
+        toks,
+        lambda w, i: F.struct(
+            F.when(i == F.lit(0), F.lit(BOS))
+            .otherwise(F.element_at(toks, i))
+            .alias("c"),
+            w.alias("w"),
+        ),
+    )
+
+
+@dataclass
+class BigramKN:
+    """A trained bigram Kneser-Ney model: three type-sized count
+    tables plus the scalar statistics the closed-form score needs.
+    The DataFrames are persisted by train_bigram_kn (they are read
+    once per scoring join but cost a corpus scan to rebuild);
+    call unpersist() when done."""
+
+    vocab: DataFrame  # (w)                     tokens with cnt >= min_count
+    bigrams: DataFrame  # (c, w, cnt)           unk-mapped bigram counts
+    contexts: DataFrame  # (c, cnt_c, n_succ)   per-context total + distinct successors
+    continuation: DataFrame  # (w, n_prec)      distinct contexts preceding w
+    n_types: int  # distinct bigram types
+    vocab_size: int  # |vocab| (excluding BOS/UNK)
+    discount: float  # D in [0, 1)
+    min_count: int
+
+    def unpersist(self) -> None:
+        for df in (self.vocab, self.bigrams):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+
+
+def _maybe_broadcast(df: DataFrame, flag: bool) -> DataFrame:
+    return F.broadcast(df) if flag else df
+
+
+def train_bigram_kn(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 2,
+    discount: float | None = None,
+    persist: bool = True,
+) -> BigramKN:
+    """Fit the model from a clean reference corpus. Two corpus scans
+    (vocabulary, then unk-mapped pair counts), three hash aggregates;
+    the four scalar statistics (n_types, vocab_size, n1, n2) are
+    actions over the PERSISTED type-sized aggregates, so the corpus
+    is never rescanned for them. ``persist=False`` skips the caching
+    (the scalar actions then re-derive from the raw scans — correct,
+    slower; use for one-shot harness runs where leaving cached
+    fragments on the executors would pollute later timings)."""
+    toks = lm_tokens(text_col)
+    base = df.select(toks.alias("__toks__")).filter(F.size("__toks__") > 0)
+
+    def _keep(d: DataFrame) -> DataFrame:
+        return d.persist() if persist else d
+
+    uni = (
+        base.select(F.explode("__toks__").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    vocab = _keep(uni.filter(F.col("cnt") >= min_count).select("w"))
+
+    raw = base.select(F.explode(_pairs(F.col("__toks__"))).alias("p")).select(
+        F.col("p.c").alias("c_raw"), F.col("p.w").alias("w_raw")
+    )
+    vc = vocab.select(F.col("w").alias("__vc__"))
+    vw = vocab.select(F.col("w").alias("__vw__"))
+    mapped = (
+        raw.join(F.broadcast(vc), F.col("c_raw") == F.col("__vc__"), "left")
+        .join(F.broadcast(vw), F.col("w_raw") == F.col("__vw__"), "left")
+        .select(
+            F.when(F.col("c_raw") == BOS, F.lit(BOS))
+            .otherwise(F.coalesce(F.col("__vc__"), F.lit(UNK)))
+            .alias("c"),
+            F.coalesce(F.col("__vw__"), F.lit(UNK)).alias("w"),
+        )
+    )
+    bigrams = _keep(
+        mapped.groupBy("c", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    contexts = bigrams.groupBy("c").agg(
+        F.sum("cnt").alias("cnt_c"), F.count(F.lit(1)).alias("n_succ")
+    )
+    continuation = bigrams.groupBy("w").agg(F.count(F.lit(1)).alias("n_prec"))
+
+    # one action for all three bigram-table scalars (n_types, n1, n2)
+    # instead of three — with persist=False that is the difference
+    # between one and three corpus re-scans
+    stats = bigrams.agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.count_if(F.col("cnt") == 1).alias("n1"),
+        F.count_if(F.col("cnt") == 2).alias("n2"),
+    ).head()
+    n_types = stats["n_types"]
+    vocab_size = vocab.count()
+    if discount is None:
+        n1, n2 = stats["n1"], stats["n2"]
+        # Ney-Essen-Kneser estimate; degenerate corpora (no singleton
+        # types) get the textbook 0.75 constant
+        discount = n1 / (n1 + 2 * n2) if (n1 + 2 * n2) > 0 else 0.75
+    if not (0.0 <= discount < 1.0):
+        raise ValueError(f"discount must be in [0, 1), got {discount}")
+    return BigramKN(
+        vocab=vocab,
+        bigrams=bigrams,
+        contexts=contexts,
+        continuation=continuation,
+        n_types=n_types,
+        vocab_size=vocab_size,
+        discount=float(discount),
+        min_count=min_count,
+    )
+
+
+def perplexity(
+    df: DataFrame,
+    lm: BigramKN,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_model: bool = True,
+    out_tokens: str = "n_tokens",
+    out_logprob: str = "logprob",
+    out_ppl: str = "ppl",
+) -> DataFrame:
+    """Score each document under the model: per-token natural
+    log-probability summed per document, perplexity
+    exp(-logprob / n_tokens). Documents with no tokens score NULL.
+
+    One shuffle total with broadcast_model=True (the per-document
+    sum); the model joins are broadcast hash joins in the scan stage.
+    The probability expression is written with fixed association so a
+    SQL oracle replays the identical IEEE tree (suite arm
+    x_lm_perplexity)."""
+    D = lm.discount
+    floor = 1.0 / (lm.vocab_size + 1)
+
+    pairs = df.select(
+        F.col(id_col), F.explode(_pairs(lm_tokens(text_col))).alias("p")
+    ).select(id_col, F.col("p.c").alias("c_raw"), F.col("p.w").alias("w_raw"))
+
+    vc = lm.vocab.select(F.col("w").alias("__vc__"))
+    vw = lm.vocab.select(F.col("w").alias("__vw__"))
+    mapped = (
+        pairs.join(_maybe_broadcast(vc, broadcast_model), F.col("c_raw") == F.col("__vc__"), "left")
+        .join(_maybe_broadcast(vw, broadcast_model), F.col("w_raw") == F.col("__vw__"), "left")
+        .select(
+            id_col,
+            F.when(F.col("c_raw") == BOS, F.lit(BOS))
+            .otherwise(F.coalesce(F.col("__vc__"), F.lit(UNK)))
+            .alias("c"),
+            F.coalesce(F.col("__vw__"), F.lit(UNK)).alias("w"),
+        )
+    )
+    joined = (
+        mapped.join(_maybe_broadcast(lm.bigrams, broadcast_model), ["c", "w"], "left")
+        .join(_maybe_broadcast(lm.contexts, broadcast_model), ["c"], "left")
+        .join(_maybe_broadcast(lm.continuation, broadcast_model), ["w"], "left")
+    )
+    p_cont_raw = F.coalesce(F.col("n_prec"), F.lit(0)) / F.lit(lm.n_types)
+    p_cont = F.when(p_cont_raw > 0, p_cont_raw).otherwise(F.lit(floor))
+    p = F.when(F.col("cnt_c").isNull(), p_cont).otherwise(
+        F.greatest(F.coalesce(F.col("cnt"), F.lit(0)) - F.lit(D), F.lit(0.0))
+        / F.col("cnt_c")
+        + (F.lit(D) * F.col("n_succ") / F.col("cnt_c")) * p_cont
+    )
+    per_doc = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias(out_tokens), F.sum(F.log(p)).alias(out_logprob)
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, [id_col], "left")
+        .select(
+            id_col,
+            F.coalesce(F.col(out_tokens), F.lit(0)).alias(out_tokens),
+            F.col(out_logprob),
+            F.when(
+                F.col(out_tokens) > 0,
+                F.exp(-F.col(out_logprob) / F.col(out_tokens)),
+            ).alias(out_ppl),
+        )
+    )
+
+
+def ppl_bucket(
+    col: Column | str, head_max: float, tail_min: float, out_null: str = "tail"
+) -> Column:
+    """CCNet head/middle/tail bucketing against SCALAR thresholds —
+    one codegen'd CASE, no shuffle. Thresholds are constants by
+    design (CCNet computes per-language cutoffs once, then applies
+    them as constants to the whole crawl); compute them with
+    ppl_thresholds. Unscorable documents (NULL perplexity = no
+    tokens) land in ``out_null`` (default tail: an empty document is
+    not head-quality)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.when(c.isNull(), F.lit(out_null))
+        .when(c < F.lit(head_max), F.lit("head"))
+        .when(c < F.lit(tail_min), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+
+
+def ppl_thresholds(
+    scored: DataFrame,
+    ppl_col: str = "ppl",
+    cuts: tuple[float, ...] = (1.0 / 3.0, 2.0 / 3.0),
+    exact: bool = False,
+    relative_error: float = 0.001,
+) -> list[float]:
+    """Corpus percentile cutoffs for ppl_bucket. Default is
+    percentile_approx (mergeable Greenwald-Khanna sketch — the 100 TB
+    path: one pass, fixed-size state, deterministic for a given
+    dataset). ``exact=True`` uses the exact percentile aggregate
+    (single-group sort — corpus stats; only where exactness is the
+    contract)."""
+    c = F.col(ppl_col)
+    if exact:
+        agg = F.percentile(c, F.array(*[F.lit(q) for q in cuts]))
+    else:
+        agg = F.percentile_approx(
+            c, F.array(*[F.lit(q) for q in cuts]), int(1.0 / relative_error)
+        )
+    row = scored.filter(c.isNotNull()).agg(agg.alias("qs")).head()
+    if row is None or row["qs"] is None:
+        raise ValueError("ppl_thresholds: no scorable documents")
+    return [float(v) for v in row["qs"]]
+
+
+# ------------------------------------------------------------- persistence
+_LM_META = "_lm_meta.json"
+_LM_SUBTABLES = ("vocab", "bigrams", "contexts", "continuation")
+
+
+def lm_write(lm: BigramKN, path: str) -> None:
+    """Persist the model as four parquet subtables plus a meta file.
+    Meta is retired FIRST and written LAST (the dedup/IVF index
+    discipline: a crash mid-write leaves a visibly-torn model — no
+    meta — never a silently-stale one)."""
+    meta_path = os.path.join(path, _LM_META)
+    if os.path.exists(meta_path):
+        os.remove(meta_path)
+    for name in _LM_SUBTABLES:
+        getattr(lm, name).write.mode("overwrite").parquet(
+            os.path.join(path, name)
+        )
+    meta = {
+        "n_types": lm.n_types,
+        "vocab_size": lm.vocab_size,
+        "discount": lm.discount,
+        "min_count": lm.min_count,
+        "order": 2,
+    }
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, meta_path)
+
+
+def lm_read(spark: SparkSession, path: str) -> BigramKN:
+    """Load a persisted model; a missing meta file means the model is
+    absent or torn — fail loudly rather than score with a partial
+    model."""
+    meta_path = os.path.join(path, _LM_META)
+    if not os.path.exists(meta_path):
+        raise FileNotFoundError(
+            f"no LM meta at {meta_path} — model absent or torn (a crash "
+            "mid-lm_write leaves no meta by design); retrain."
+        )
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    if meta.get("order") != 2:
+        raise ValueError(f"unsupported LM order {meta.get('order')}")
+    dfs = {
+        name: spark.read.parquet(os.path.join(path, name))
+        for name in _LM_SUBTABLES
+    }
+    if not (0.0 <= float(meta["discount"]) < 1.0) or not math.isfinite(
+        float(meta["discount"])
+    ):
+        raise ValueError(f"corrupt LM meta: discount={meta['discount']}")
+    return BigramKN(
+        vocab=dfs["vocab"],
+        bigrams=dfs["bigrams"],
+        contexts=dfs["contexts"],
+        continuation=dfs["continuation"],
+        n_types=int(meta["n_types"]),
+        vocab_size=int(meta["vocab_size"]),
+        discount=float(meta["discount"]),
+        min_count=int(meta["min_count"]),
+    )

@@ -310,7 +310,7 @@ def _clean_urldedup_oracle() -> str:
       FROM documents
     ),
     p1 AS (
-      SELECT doc_id, regexp_replace(trim(url), '#[\s\S]*', '') AS nofrag FROM src
+      SELECT doc_id, regexp_replace(trim(url), '#[\\s\\S]*', '') AS nofrag FROM src
     ),
     p2 AS (
       SELECT doc_id,
@@ -900,3 +900,128 @@ def x_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("tokens").cast("long").alias("n_tokens"),
         F.array_join("tokens", " ").alias("encoded"),
     )
+
+
+# ------------------------------------------- LM perplexity quality filter
+# CCNet-style (Wenzek et al. 2020): train a bigram Kneser-Ney LM on the
+# "clean" slice of the corpus (doc_id % 5 > 0 — in production the
+# reference corpus is a separate curated table), score EVERY document's
+# perplexity under it, bucket head/middle/tail by fixed cutoffs (CCNet
+# applies per-language constants computed once). The oracle re-derives
+# the entire model — vocabulary, unk-mapped bigram counts, continuation
+# counts, the Ney-Essen-Kneser discount — and replays the identical
+# IEEE probability expression (same literals, same association), so the
+# hash verifies training AND scoring end-to-end. Thresholds 29.2/30.1
+# sit between fixture percentiles at every sf (p33≈29.15, p67≈30.10),
+# far from any document's rounded value.
+_LM_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+flat AS (
+  SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS pos
+  FROM tok WHERE len(toks) > 0
+),
+tflat AS (SELECT * FROM flat WHERE doc_id % 5 > 0),
+uni AS (SELECT w, count(*) AS cnt FROM tflat GROUP BY w),
+vocab AS (SELECT w FROM uni WHERE cnt >= 2),
+tpairs AS (
+  SELECT CASE WHEN p.c = '<s>' THEN '<s>' ELSE coalesce(vc.w, '<unk>') END AS c,
+         coalesce(vw.w, '<unk>') AS w
+  FROM (
+    SELECT doc_id, w,
+           coalesce(lag(w) OVER (PARTITION BY doc_id ORDER BY pos), '<s>') AS c
+    FROM tflat
+  ) p
+  LEFT JOIN vocab vc ON p.c = vc.w
+  LEFT JOIN vocab vw ON p.w = vw.w
+),
+bigrams AS (SELECT c, w, count(*) AS cnt FROM tpairs GROUP BY c, w),
+contexts AS (
+  SELECT c, CAST(sum(cnt) AS BIGINT) AS cnt_c, count(*) AS n_succ
+  FROM bigrams GROUP BY c
+),
+cont AS (SELECT w, count(*) AS n_prec FROM bigrams GROUP BY w),
+st AS (
+  SELECT (SELECT count(*) FROM bigrams) AS n_types,
+         (SELECT count(*) FROM vocab) AS vsize,
+         (SELECT count(*) FROM bigrams WHERE cnt = 1) AS n1,
+         (SELECT count(*) FROM bigrams WHERE cnt = 2) AS n2
+),
+std AS (
+  SELECT n_types,
+         CASE WHEN n1 + 2 * n2 > 0 THEN n1 / (n1 + 2 * n2) ELSE 0.75 END AS d,
+         1.0 / (vsize + 1) AS floor_p
+  FROM st
+),
+spairs AS (
+  SELECT p.doc_id,
+         CASE WHEN p.c = '<s>' THEN '<s>' ELSE coalesce(vc.w, '<unk>') END AS c,
+         coalesce(vw.w, '<unk>') AS w
+  FROM (
+    SELECT doc_id, w,
+           coalesce(lag(w) OVER (PARTITION BY doc_id ORDER BY pos), '<s>') AS c
+    FROM flat
+  ) p
+  LEFT JOIN vocab vc ON p.c = vc.w
+  LEFT JOIN vocab vw ON p.w = vw.w
+),
+probs AS (
+  SELECT s.doc_id,
+         CASE WHEN cx.cnt_c IS NULL THEN
+                CASE WHEN coalesce(ct.n_prec, 0) / std.n_types > 0
+                     THEN coalesce(ct.n_prec, 0) / std.n_types
+                     ELSE std.floor_p END
+              ELSE greatest(coalesce(bg.cnt, 0) - std.d, 0.0) / cx.cnt_c
+                   + (std.d * cx.n_succ / cx.cnt_c) *
+                     CASE WHEN coalesce(ct.n_prec, 0) / std.n_types > 0
+                          THEN coalesce(ct.n_prec, 0) / std.n_types
+                          ELSE std.floor_p END
+         END AS p
+  FROM spairs s
+  CROSS JOIN std
+  LEFT JOIN bigrams bg ON s.c = bg.c AND s.w = bg.w
+  LEFT JOIN contexts cx ON s.c = cx.c
+  LEFT JOIN cont ct ON s.w = ct.w
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_tokens, sum(ln(p)) AS logprob
+  FROM probs GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n_tokens, 0) AS n_tokens,
+       round(exp(-a.logprob / a.n_tokens), 6) AS ppl,
+       CASE WHEN round(exp(-a.logprob / a.n_tokens), 6) IS NULL THEN 'tail'
+            WHEN round(exp(-a.logprob / a.n_tokens), 6) < 29.2 THEN 'head'
+            WHEN round(exp(-a.logprob / a.n_tokens), 6) < 30.1 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM documents d
+LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+
+@register("x_lm_perplexity", _LM_SQL)
+def x_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-perplexity quality filter end-to-end
+    (operators/lm.py:train_bigram_kn + perplexity + ppl_bucket):
+    train on the clean slice, score the whole corpus, bucket by fixed
+    cutoffs. The model's type-sized aggregates are cached for the
+    scoring plan's three model joins, with the pin scoped to the
+    RETURNED DataFrame's lifetime (session.pin_to_result, the r7
+    eager-cache contract) so bench loops don't accumulate cache."""
+    from mfdb_hafro_etl_spark.operators import lm as lmod
+    from mfdb_hafro_etl_spark.session import pin_to_result
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = lmod.train_bigram_kn(docs.filter(F.col("doc_id") % 5 > 0))
+    scored = lmod.perplexity(docs, m)
+    ppl_r = F.round("ppl", 6)
+    out = scored.select(
+        "doc_id",
+        "n_tokens",
+        ppl_r.alias("ppl"),
+        lmod.ppl_bucket(ppl_r, 29.2, 30.1).alias("bucket"),
+    )
+    return pin_to_result(out, [m.vocab, m.bigrams])

@@ -1881,6 +1881,8 @@ def corpus_build(
     sf_dir: str,
     tokenizer: str = "whitespace",
     n_merges: int = 16,
+    lm_tail_min: float | None = None,
+    lm_train: DataFrame | None = None,
 ) -> DataFrame:
     """The p12 pipeline body, parameterized by the token accounting
     that drives packing:
@@ -1895,7 +1897,20 @@ def corpus_build(
       extra corpus pass + a doc-keyed join; not SQL-oracle
       expressible at reasonable cost (the rank-deep merge fold is
       iterative), so it's pinned by tests/test_corpus_ops.py
-      instead of a driver slot."""
+      instead of a driver slot.
+
+    ``lm_tail_min``: optional CCNet-style LM-perplexity gate
+    (operators/lm.py) applied BETWEEN the rule-based quality filter
+    and dedup — the stage order a public pipeline uses (rules are
+    cheap, run first; the LM score prunes the boilerplate the rules
+    miss; dedup then runs on less data). A bigram Kneser-Ney model is
+    trained on ``lm_train`` (a clean reference corpus) or, absent
+    one, on the rule-surviving docs themselves, and docs whose
+    perplexity is >= the cutoff (the 'tail') are dropped. Default
+    None = stage off; the oracle-verified p12 arm runs with it off,
+    and tests pin that None is byte-identical to the historical
+    pipeline while the scored path is verified by the
+    x_lm_perplexity arm."""
     from mfdb_hafro_etl_spark.operators import cleaning as cl
     from mfdb_hafro_etl_spark.operators import sampling as sp
 
@@ -1909,6 +1924,18 @@ def corpus_build(
         & (F.col("sym_ratio") <= 0.5)
     )
     kept = docs.join(m.filter(keep).select("doc_id"), "doc_id")
+    if lm_tail_min is not None:
+        from mfdb_hafro_etl_spark.operators import lm as lmod
+
+        model = lmod.train_bigram_kn(
+            lm_train if lm_train is not None else kept, persist=False
+        )
+        good = (
+            lmod.perplexity(kept, model)
+            .filter(F.col("ppl").isNotNull() & (F.col("ppl") < F.lit(lm_tail_min)))
+            .select("doc_id")
+        )
+        kept = kept.join(good, "doc_id")
     ex = kept.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("doc_id"))
     s1 = kept.join(ex.select("doc_id"), "doc_id").cache()
     pairs = dd.minhash_lsh_pairs(

@@ -1,0 +1,226 @@
+"""Bigram Kneser-Ney LM quality filter (operators/lm.py): the
+statistical invariants (normalization, discount estimate, unseen-word
+penalty), determinism under repartition, the persistence round-trip
+and its fail-loud torn states, and the bucketing contract."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from mfdb_hafro_etl_spark.operators import lm
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog sat on the log"),
+            (3, "the cat ate the fish"),
+            (4, "a cat and a dog"),
+            (5, "the dog and the cat sat"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+@pytest.fixture(scope="module")
+def model(corpus):
+    m = lm.train_bigram_kn(corpus, min_count=2)
+    yield m
+    m.unpersist()
+
+
+def _ppl_map(df):
+    return {r["doc_id"]: r["ppl"] for r in df.collect()}
+
+
+def test_kn_probabilities_normalize(spark, corpus, model):
+    """sum_w p(w | c) == 1 over vocab + <unk> for every trained
+    context — the defining property of a proper smoothed LM (the
+    discount mass moved to the continuation term exactly balances)."""
+    support = [r["w"] for r in model.vocab.collect()] + [lm.UNK]
+    # p(w | <s>): single-token docs
+    singles = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(support)], "doc_id long, text string"
+    )
+    tot = (
+        lm.perplexity(singles, model)
+        .select(F.sum(F.exp("logprob")))
+        .head()[0]
+    )
+    assert abs(tot - 1.0) < 1e-9
+    # p(w | 'the'): two-token docs minus the shared p('the' | <s>)
+    base = (
+        lm.perplexity(
+            spark.createDataFrame([(0, "the")], "doc_id long, text string"),
+            model,
+        ).head()["logprob"]
+    )
+    pairs = spark.createDataFrame(
+        [(i, f"the {w}") for i, w in enumerate(support)],
+        "doc_id long, text string",
+    )
+    tot2 = (
+        lm.perplexity(pairs, model)
+        .select(F.sum(F.exp(F.col("logprob") - F.lit(base))))
+        .head()[0]
+    )
+    assert abs(tot2 - 1.0) < 1e-9
+
+
+def test_unseen_word_raises_perplexity(spark, model):
+    """Swapping one in-vocabulary token for a never-seen one must
+    strictly raise the document's perplexity (the VERDICT-prescribed
+    property: the filter actually penalizes novelty)."""
+    seen = spark.createDataFrame(
+        [(1, "the cat sat on the mat")], "doc_id long, text string"
+    )
+    unseen = spark.createDataFrame(
+        [(1, "the zyxwvut sat on the mat")], "doc_id long, text string"
+    )
+    p_seen = lm.perplexity(seen, model).head()["ppl"]
+    p_unseen = lm.perplexity(unseen, model).head()["ppl"]
+    assert p_unseen > p_seen
+
+
+def test_scoring_deterministic_under_repartition(spark, corpus, model):
+    a = _ppl_map(
+        lm.perplexity(corpus, model).select("doc_id", F.round("ppl", 6).alias("ppl"))
+    )
+    b = _ppl_map(
+        lm.perplexity(corpus.repartition(7), model).select(
+            "doc_id", F.round("ppl", 6).alias("ppl")
+        )
+    )
+    assert a == b
+
+
+def test_persist_flag_is_semantically_inert(corpus):
+    m2 = lm.train_bigram_kn(corpus, min_count=2, persist=False)
+    a = _ppl_map(
+        lm.perplexity(corpus, m2).select("doc_id", F.round("ppl", 6).alias("ppl"))
+    )
+    m1 = lm.train_bigram_kn(corpus, min_count=2)
+    b = _ppl_map(
+        lm.perplexity(corpus, m1).select("doc_id", F.round("ppl", 6).alias("ppl"))
+    )
+    m1.unpersist()
+    assert a == b
+    assert m2.discount == m1.discount and m2.n_types == m1.n_types
+
+
+def test_discount_estimate_and_override(corpus):
+    m = lm.train_bigram_kn(corpus, min_count=2, persist=False)
+    assert 0.0 <= m.discount < 1.0
+    m_fixed = lm.train_bigram_kn(corpus, min_count=2, discount=0.9, persist=False)
+    assert m_fixed.discount == 0.9
+    with pytest.raises(ValueError, match="discount"):
+        lm.train_bigram_kn(corpus, min_count=2, discount=1.5, persist=False)
+
+
+def test_empty_and_whitespace_docs_score_null(spark, model):
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "the cat")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in lm.perplexity(docs, model).collect()}
+    assert rows[1]["n_tokens"] == 0 and rows[1]["ppl"] is None
+    assert rows[2]["n_tokens"] == 0 and rows[2]["ppl"] is None
+    assert rows[3]["n_tokens"] == 2 and rows[3]["ppl"] is not None
+
+
+def test_lm_write_read_round_trip(spark, corpus, model, tmp_path):
+    path = str(tmp_path / "lm")
+    lm.lm_write(model, path)
+    loaded = lm.lm_read(spark, path)
+    assert loaded.discount == model.discount
+    assert loaded.n_types == model.n_types
+    assert loaded.vocab_size == model.vocab_size
+    a = _ppl_map(
+        lm.perplexity(corpus, model).select("doc_id", F.round("ppl", 6).alias("ppl"))
+    )
+    b = _ppl_map(
+        lm.perplexity(corpus, loaded).select(
+            "doc_id", F.round("ppl", 6).alias("ppl")
+        )
+    )
+    assert a == b
+
+
+def test_lm_read_missing_meta_fails_loudly(spark, model, tmp_path):
+    import os
+
+    path = str(tmp_path / "lm2")
+    lm.lm_write(model, path)
+    os.remove(os.path.join(path, "_lm_meta.json"))
+    with pytest.raises(FileNotFoundError, match="torn"):
+        lm.lm_read(spark, path)
+
+
+def test_ppl_bucket_and_thresholds(spark, corpus, model):
+    scored = lm.perplexity(corpus, model)
+    lo, hi = lm.ppl_thresholds(scored, cuts=(1 / 3, 2 / 3), exact=True)
+    assert lo <= hi
+    bucketed = scored.withColumn("bucket", lm.ppl_bucket("ppl", lo, hi))
+    counts = {
+        r["bucket"]: r["n"]
+        for r in bucketed.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+    }
+    assert sum(counts.values()) == corpus.count()
+    # NULL perplexity lands in the configured null bucket
+    empty = spark.createDataFrame([(9, "")], "doc_id long, text string")
+    row = (
+        lm.perplexity(empty, model)
+        .withColumn("bucket", lm.ppl_bucket("ppl", lo, hi))
+        .head()
+    )
+    assert row["bucket"] == "tail"
+
+
+def test_ppl_thresholds_refuses_unscorable_corpus(spark, model):
+    empty = spark.createDataFrame([(9, "")], "doc_id long, text string")
+    scored = lm.perplexity(empty, model)
+    with pytest.raises(ValueError, match="no scorable"):
+        lm.ppl_thresholds(scored)
+
+
+def test_perplexity_matches_hand_computation(spark):
+    """Pin the exact KN algebra on a corpus small enough to verify by
+    hand. Corpus: 'a b' and 'a b' (two identical docs), min_count=1.
+    vocab={a,b}; bigrams: (<s>,a):2, (a,b):2; n1=0,n2=2 -> D=0;
+    with D=0 KN degenerates to MLE: p(a|<s>)=1, p(b|a)=1 ->
+    logprob=0, ppl=1."""
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b")], "doc_id long, text string"
+    )
+    m = lm.train_bigram_kn(docs, min_count=1, persist=False)
+    assert m.discount == 0.0
+    row = lm.perplexity(docs, m).head()
+    assert row["n_tokens"] == 2
+    assert math.isclose(row["ppl"], 1.0, abs_tol=1e-12)
+
+
+def test_corpus_build_lm_gate_default_off_and_filters_when_on(spark, sf_dir):
+    """corpus_build's lm_tail_min stage: None must reproduce the
+    oracle-verified p12 output exactly; an aggressive cutoff must
+    strictly shrink the train split (the gate actually gates)."""
+    from mfdb_hafro_etl_spark.suite.extensions import corpus_build
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    base = rows(corpus_build(spark, sf_dir))
+    off = rows(corpus_build(spark, sf_dir, lm_tail_min=None))
+    assert off == base
+    # cutoff below the corpus minimum perplexity -> everything is
+    # 'tail' -> empty corpus downstream
+    none_kept = corpus_build(spark, sf_dir, lm_tail_min=1.0)
+    assert none_kept.agg(F.sum("n_docs")).head()[0] in (None, 0)
+    # a permissive cutoff keeps a nonempty, <=base corpus
+    mid = corpus_build(spark, sf_dir, lm_tail_min=30.0)
+    n_mid = mid.agg(F.sum("n_docs")).head()[0] or 0
+    n_base = sum(r[1] for r in base)
+    assert 0 < n_mid <= n_base

@@ -781,3 +781,29 @@ def test_cheap_to_recompute_catches_scalar_pandas_udf(spark, tmp_path):
     slow_hash = pandas_udf(lambda s: s * 2, "long")
 
     assert not cheap_to_recompute(scan.select("id", slow_hash("x").alias("h")))
+
+
+def test_lm_scoring_is_broadcast_joins_single_doc_shuffle(spark, sf_dir):
+    """LM perplexity scoring (operators/lm.py): with
+    broadcast_model=True every model join must be a broadcast hash
+    join in the scan stage — no sort-merge join, and the only
+    hash-partitioning exchanges on the scoring side are the final
+    per-document aggregate (plus its left-join back to the id spine).
+    A corpus-side shuffle per model table would make a 100 TB score
+    pay five corpus shuffles instead of one."""
+    from mfdb_hafro_etl_spark.catalog import load_table
+    from mfdb_hafro_etl_spark.operators import lm as lmod
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = lmod.train_bigram_kn(
+        docs.filter(F.col("doc_id") % 5 > 0), persist=False
+    )
+    plan = _plan(lmod.perplexity(docs, model))
+    assert _count(r"SortMergeJoin", plan) == 0, plan[:3000]
+    assert _count(r"BroadcastHashJoin", plan) >= 6
+    # the only DOCUMENT-keyed exchange is the per-doc sum (the
+    # remaining hash exchanges in the plan are the inlined
+    # persist=False training lineage, keyed on token types, which a
+    # served model reads from parquet instead); a corpus shuffle per
+    # model join would show up as more doc_id partitionings
+    assert _count(r"hashpartitioning\(doc_id", plan) <= 1
