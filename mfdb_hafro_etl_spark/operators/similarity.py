@@ -768,6 +768,123 @@ def ivf_index_compact(spark, path: str) -> dict:
     return compact_partitions(spark, os.path.join(path, "vectors"), ["__cid__"])
 
 
+def ivf_index_publish(
+    spark,
+    path: str,
+    table_prefix: str,
+) -> None:
+    """Publish a path-backed IVF index (build_ivf_index) into catalog
+    tables — the ANN mirror of dedup.lsh_index_publish_bucketed, so a
+    standing similarity service probes by TABLE NAME instead of a
+    filesystem path: ``<prefix>_vectors`` saved PARTITIONED on
+    ``__cid__`` (the probe's pruning key — a catalog probe reads
+    n_probe of n_centroids partitions physically, pinned by
+    tests/test_plan_quality.py), ``<prefix>_centroids``
+    (dimension-sized), and a one-row ``<prefix>_meta`` carrying the
+    build parameters + append anchors. Meta is retired FIRST and
+    written LAST (the index-write discipline): a crash mid-publish
+    leaves a publication that fails loudly on the missing meta table,
+    never a stale meta validating mismatched vectors."""
+    import os
+
+    from mfdb_hafro_etl_spark.localrel import local_df
+
+    def _retire(table: str) -> None:
+        # DROP covers a catalog-known table; the rmtree covers the
+        # ORPHAN case — a managed-table location left by an earlier
+        # session whose (in-memory/derby) catalog is gone, which makes
+        # saveAsTable fail with LOCATION_ALREADY_EXISTS even though
+        # the current catalog has never heard of the name
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        if wh:
+            shutil.rmtree(os.path.join(wh, table.lower()), ignore_errors=True)
+
+    meta = _ivf_read_marker(path)  # loud on a half-built source index
+    _retire(f"{table_prefix}_meta")
+    _retire(f"{table_prefix}_vectors")
+    _retire(f"{table_prefix}_centroids")
+    vectors = spark.read.parquet(os.path.join(path, "vectors"))
+    n_cents = int(meta.get("n_centroids", 16))
+    (
+        vectors.repartition(n_cents, F.col("__cid__"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("__cid__")
+        .format("parquet")
+        .saveAsTable(f"{table_prefix}_vectors")
+    )
+    (
+        spark.read.parquet(os.path.join(path, "centroids"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .format("parquet")
+        .saveAsTable(f"{table_prefix}_centroids")
+    )
+    local_df(
+        spark,
+        [
+            (
+                int(meta.get("n_centroids", 0)),
+                int(meta.get("kmeans_iters", 0)),
+                int(meta.get("rows_at_build", 0)),
+                int(meta.get("dims", 0)),
+            )
+        ],
+        "n_centroids INT, kmeans_iters INT, rows_at_build INT, dims INT",
+    ).write.mode("overwrite").format("parquet").saveAsTable(f"{table_prefix}_meta")
+
+
+def _ivf_catalog_meta(spark, table_prefix: str) -> dict:
+    rows = spark.table(f"{table_prefix}_meta").collect()
+    if len(rows) != 1:
+        raise ValueError(
+            f"IVF catalog index {table_prefix}_meta must hold exactly one "
+            f"row, found {len(rows)} — the published index is torn"
+        )
+    return rows[0].asDict()
+
+
+def ann_ivf_topk_catalog(
+    spark,
+    table_prefix: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Probe a PUBLISHED IVF index (ivf_index_publish) by catalog
+    name: centroids come from the dimension-sized catalog table, the
+    scan touches only the n_probe matching ``__cid__`` partitions of
+    the vectors table (physical partition pruning — the catalog twin
+    of ann_ivf_topk_indexed), and the meta row guards dims so a
+    query vector of the wrong dimensionality refuses instead of
+    scoring garbage."""
+    meta = _ivf_catalog_meta(spark, table_prefix)
+    if meta.get("dims") and len(query_vec) != int(meta["dims"]):
+        raise ValueError(
+            f"IVF catalog index {table_prefix} holds {meta['dims']}-dim "
+            f"vectors; the query vector has {len(query_vec)} dims."
+        )
+    cents = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in spark.table(f"{table_prefix}_centroids").collect()
+    ]
+    probes = _ivf_probes(cents, query_vec, n_probe)
+    idx = spark.table(f"{table_prefix}_vectors")
+    scored = _cosine_score_table(
+        idx.filter(F.col("__cid__").isin(probes)), query_vec, id_col, vec_col
+    )
+    if exclude_id is not None:
+        scored = scored.filter(F.col(id_col) != exclude_id)
+    return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
+
+
 def ann_ivf_topk_indexed(
     spark,
     path: str,

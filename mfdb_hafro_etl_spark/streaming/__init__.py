@@ -12,6 +12,7 @@ from mfdb_hafro_etl_spark.streaming.jobs import (
     dedup_ingest_handler,
     events_source_bytes,
     finalize_session_updates,
+    ivf_ingest_handler,
     read_events_stream,
     run_available_now,
     staging_dir,
@@ -19,6 +20,7 @@ from mfdb_hafro_etl_spark.streaming.jobs import (
     stream_dedup_ingest,
     stream_enriched_window_agg,
     stream_interval_join,
+    stream_ivf_ingest,
     stream_sessionize,
     stream_tumbling_agg,
 )
@@ -29,6 +31,7 @@ __all__ = [
     "dedup_ingest_handler",
     "events_source_bytes",
     "finalize_session_updates",
+    "ivf_ingest_handler",
     "read_events_stream",
     "run_available_now",
     "staging_dir",
@@ -36,6 +39,7 @@ __all__ = [
     "stream_dedup_ingest",
     "stream_enriched_window_agg",
     "stream_interval_join",
+    "stream_ivf_ingest",
     "stream_sessionize",
     "stream_tumbling_agg",
 ]

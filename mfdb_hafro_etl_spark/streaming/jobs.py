@@ -994,3 +994,217 @@ def stream_dedup_ingest(
         f"match_id {id_type}, origin STRING"
     )
     return _read_batched_sink(spark, verdict_dir, schema)
+
+
+def ivf_ingest_handler(
+    index_path: str,
+    log_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_appended_frac: float = 0.25,
+):
+    """The foreachBatch handler behind stream_ivf_ingest, exposed so
+    its retry behavior is directly testable.
+
+    EXACTLY-ONCE appends, strictly stronger than the LSH ingest
+    handler's at-least-once-absorbed-by-min-id: duplicate vector rows
+    have no absorbing resolution (a top-k probe would return the same
+    id twice), so the append is made convergent instead of absorbable
+    — the batch's assignment is staged to a scratch directory, then
+    each cell's single data file is os.replace'd into the vectors
+    table under a DETERMINISTIC per-(batch, cell) name
+    (``ivfb_b<batch_id>.parquet``). A crash-window redelivery
+    re-stages the identical row set (assignment is a pure function of
+    batch content and the index's frozen centroids) and re-replaces
+    the same file names: the vectors table converges to exactly one
+    copy of the batch no matter how many times the batch is
+    delivered. The marker under ``<log_dir>/_commits`` short-circuits
+    the normal redelivery; the rename discipline covers the window
+    the marker can't.
+
+    The volumetric recluster budget is enforced PER BATCH: when total
+    appended rows (net of this batch's own prior crash-window files)
+    would exceed ``max_appended_frac`` of the marker's rows_at_build,
+    the handler RAISES — failing the stream loudly mid-run — because
+    appended vectors are quantized by stale centroids and recall
+    degrades silently past the budget (the r8 no-warn-and-proceed
+    discipline). Rebuild with build_ivf_index(..., rebuild=True),
+    which resets the budget, then restart the stream."""
+    import glob
+    import shutil
+
+    from mfdb_hafro_etl_spark.operators.similarity import (
+        _ivf_assign_table,
+        _ivf_read_marker,
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        marker = os.path.join(log_dir, "_commits", str(batch_id))
+        if os.path.exists(marker):
+            return
+        meta = _ivf_read_marker(index_path)  # loud on a torn index
+        if "rows_at_build" not in meta or "dims" not in meta:
+            raise ValueError(
+                f"IVF index at {index_path} lacks append anchors "
+                "(rows_at_build/dims) — rebuild with "
+                "build_ivf_index(..., rebuild=True) before streaming into it."
+            )
+        batch = batch_df.persist()
+        try:
+            n_rows = batch.count()
+            n_cells = 0
+            if n_rows:
+                first = (
+                    batch.select(F.size(F.col(vec_col)).alias("d"))
+                    .limit(1)
+                    .collect()
+                )
+                if first[0]["d"] is None:
+                    raise ValueError(
+                        f"stream batch {batch_id}: first {vec_col} is NULL — "
+                        "IVF assignment is undefined; filter upstream"
+                    )
+                if meta.get("dims") and int(first[0]["d"]) != int(meta["dims"]):
+                    raise ValueError(
+                        f"IVF index at {index_path} holds {meta['dims']}-dim "
+                        f"vectors; stream batch {batch_id} has "
+                        f"{first[0]['d']}-dim vectors."
+                    )
+                token = f"b{batch_id}"
+                vectors = os.path.join(index_path, "vectors")
+                prior = glob.glob(
+                    os.path.join(vectors, "__cid__=*", f"ivfb_{token}.parquet")
+                )
+                n_prior = (
+                    spark.read.parquet(*prior).count() if prior else 0
+                )
+                current = spark.read.parquet(vectors).count()
+                rows_at_build = int(meta["rows_at_build"])
+                appended_after = current - n_prior + n_rows - rows_at_build
+                if rows_at_build and appended_after > max_appended_frac * rows_at_build:
+                    raise ValueError(
+                        f"IVF streaming ingest at batch {batch_id}: appending "
+                        f"{n_rows} rows would put {appended_after} appended "
+                        f"rows over the recluster budget "
+                        f"({max_appended_frac:.0%} of {rows_at_build} built "
+                        "rows); appended vectors are quantized by STALE "
+                        "centroids. Rebuild with build_ivf_index(..., "
+                        "rebuild=True) and restart the stream, or raise "
+                        "max_appended_frac deliberately."
+                    )
+                cents = [
+                    (int(r[0]), [float(x) for x in r[1]])
+                    for r in spark.read.parquet(
+                        os.path.join(index_path, "centroids")
+                    ).collect()
+                ]
+                fanned = batch.repartition(
+                    spark.sparkContext.defaultParallelism
+                )
+                assigned = _ivf_assign_table(fanned, cents, id_col, vec_col)
+                staging = os.path.join(index_path, "_staging", token)
+                (
+                    assigned.repartition(len(cents), F.col("__cid__"))
+                    .write.mode("overwrite")
+                    .partitionBy("__cid__")
+                    .parquet(staging)
+                )
+                for cdir in sorted(os.listdir(staging)):
+                    if not cdir.startswith("__cid__="):
+                        continue
+                    parts = [
+                        f
+                        for f in os.listdir(os.path.join(staging, cdir))
+                        if f.endswith(".parquet")
+                    ]
+                    if len(parts) != 1:
+                        # repartition-by-key writes exactly one file per
+                        # cell; >1 would break name determinism (and so
+                        # convergence) — refuse rather than duplicate
+                        raise RuntimeError(
+                            f"staged cell {cdir} holds {len(parts)} data "
+                            "files (expected 1) — maxRecordsPerFile or a "
+                            "changed write path broke the exactly-once "
+                            "rename discipline"
+                        )
+                    dest_dir = os.path.join(vectors, cdir)
+                    os.makedirs(dest_dir, exist_ok=True)
+                    os.replace(
+                        os.path.join(staging, cdir, parts[0]),
+                        os.path.join(dest_dir, f"ivfb_{token}.parquet"),
+                    )
+                    n_cells += 1
+                shutil.rmtree(staging, ignore_errors=True)
+            from mfdb_hafro_etl_spark.localrel import local_df
+
+            local_df(
+                spark,
+                [(n_rows, n_cells)],
+                "n_appended BIGINT, n_cells INT",
+            ).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(log_dir, f"batch_id={batch_id}")
+            )
+        finally:
+            batch.unpersist()
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write("ok")
+        os.replace(tmp, marker)
+
+    return handle
+
+
+def stream_ivf_ingest(
+    stream_df: DataFrame,
+    index_path: str,
+    log_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_appended_frac: float = 0.25,
+    state_partitions: int | None = None,
+) -> DataFrame:
+    """Streaming embedding ingestion into a STANDING materialized IVF
+    index (similarity.build_ivf_index) — the ANN mirror of
+    stream_dedup_ingest, closing the standing-service symmetry: every
+    micro-batch is assigned to the index's frozen centroids and
+    appended exactly-once (staged write + deterministic per-cell
+    rename; see ivf_ingest_handler), under the volumetric recluster
+    budget, which REFUSES loudly mid-stream when exceeded rather than
+    silently degrading recall. The index must exist (bootstrap =
+    build_ivf_index on the initial corpus).
+
+    Returns the per-batch ingest log read back after the availableNow
+    run: (n_appended, n_cells) per micro-batch. Probes against the
+    index (ann_ivf_topk_indexed, or ann_ivf_topk_catalog after
+    ivf_index_publish) see batch N's vectors before batch N+1 lands —
+    probe-vs-appended equals probe-vs-rebuilt-with-the-same-centroids
+    (the batch append invariant, pinned for the one-shot path by
+    tests/test_corpus_ops.py and for this streaming path by
+    tests/test_streaming_ingest.py).
+
+    Scale shape: each micro-batch costs one assignment map over its
+    own rows (Arrow matmul vs dimension-sized broadcast centroids),
+    one increment-sized shuffle into cells, and two footer-count
+    metadata jobs for the budget — nothing rescans the standing
+    vectors. One in-flight ingest per index (the rename discipline is
+    per-batch-serial by the stream's own semantics)."""
+    spark = stream_df.sparkSession
+    with _scoped_state_partitions(spark, state_partitions):
+        q = (
+            stream_df.writeStream.foreachBatch(
+                ivf_ingest_handler(
+                    index_path, log_dir, id_col, vec_col, max_appended_frac
+                )
+            )
+            .option(
+                "checkpointLocation", os.path.join(log_dir, "_checkpoint")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return _read_batched_sink(
+        spark, log_dir, "n_appended BIGINT, n_cells INT"
+    )

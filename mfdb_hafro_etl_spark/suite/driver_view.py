@@ -111,6 +111,7 @@ COMBOS: dict[str, list[str]] = {
         "x_search_tfidf",
         "x_search_hybrid_rrf",
         "x_search_phrase",
+        "x_stream_ivf_ingest",
     ],
     "x_embed_neardup_sem": [
         "x_embed_neardup",
@@ -335,6 +336,7 @@ _ARM_COLS: dict[str, list[tuple[str, str]]] = {
     "x_embed_quantize": [("vec_id", "i"), ("code_l1", "i"), ("max_err", "d")],
     "x_embed_cosine_topk": [("vec_id", "i"), ("cos_sim", "d")],
     "x_ann_lsh_topk": [("vec_id", "i"), ("cos_sim", "d")],
+    "x_stream_ivf_ingest": [("vec_id", "i"), ("cos_sim", "d")],
     "x_ann_knn_join": [("query_id", "i"), ("vec_id", "i"), ("cos_sim", "d")],
     "x_text_stats": [("doc_id", "i"), ("n_tokens", "i"), ("mean_token_len", "d"), ("stop_ratio", "d")],
     "x_text_quality": [("doc_id", "i"), ("n_tokens", "i"), ("n_bpe", "i"), ("quality", "d")],

@@ -437,3 +437,83 @@ def x_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         # where documents dominates
         state_partitions=st.auto_state_partitions(spark, sf_dir, table="documents"),
     )
+
+
+# --------------------------------------- streaming IVF index ingest
+_STREAM_IVF_SQL = """
+    WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM emb WHERE vec_id = 0),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM emb
+             WHERE vec_id >= 200 ORDER BY vec_id LIMIT 16),
+    assign AS (
+      SELECT e.vec_id, e.v,
+        (SELECT c.cid FROM cent c
+         ORDER BY ROUND(list_dot_product(e.v, c.cv) /
+                        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+                  c.cid
+         LIMIT 1) AS cid
+      FROM emb e
+    ),
+    probes AS (
+      SELECT c.cid FROM cent c, q
+      ORDER BY ROUND(list_dot_product(q.qv, c.cv) /
+                     (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+               c.cid
+      LIMIT 4
+    )
+    SELECT a.vec_id,
+           ROUND(list_dot_product(a.v, q.qv) /
+                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+    FROM assign a, q
+    WHERE a.cid IN (SELECT cid FROM probes) AND a.vec_id <> 0
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+
+@register("x_stream_ivf_ingest", _STREAM_IVF_SQL)
+def x_stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full standing-ANN-service topology in one arm
+    (streaming.jobs.stream_ivf_ingest + similarity.ivf_index_publish
+    + ann_ivf_topk_catalog): the corpus slice (vec_id >= 200) is
+    indexed once (build_ivf_index, seed centroids so the oracle can
+    mirror them), the rest streams in as two availableNow
+    micro-batches appended exactly-once under the recluster budget,
+    the grown index is published to catalog tables partitioned on
+    the cluster id, and the probe runs against the CATALOG — a
+    partition-pruned scan by table name. Because appends assign
+    against the index's frozen centroids, probe-vs-streamed-in
+    equals probe-vs-rebuilt-with-the-same-centroids, so the oracle
+    is the one-shot assignment over the whole corpus with the build
+    slice's seed centroids. max_appended_frac=1.0 is the fixture's
+    deliberate loosening (the streamed slice is 2/3 of the built
+    rows at sf0.01); production keeps the default 25% budget."""
+    from mfdb_hafro_etl_spark.operators import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = st.staging_dir("stream_ivf_ingest", sf_dir)
+    idx = os.path.join(base, "idx")
+    logd = os.path.join(base, "log")
+    src = os.path.join(base, "src")
+    os.makedirs(src, exist_ok=True)
+    vid = F.col("vec_id")
+    sim.build_ivf_index(
+        emb.filter(vid >= 200), idx, n_centroids=16, kmeans_iters=0
+    )
+    _stage_single_file(emb.filter((vid < 200) & (vid % 2 == 1)), src, "b1.parquet", 1_000)
+    _stage_single_file(emb.filter((vid < 200) & (vid % 2 == 0)), src, "b2.parquet", 1_001)
+    stream = (
+        spark.readStream.schema("vec_id BIGINT, embedding ARRAY<DOUBLE>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    st.stream_ivf_ingest(
+        stream, idx, logd, "vec_id", "embedding", max_appended_frac=1.0,
+        state_partitions=st.auto_state_partitions(spark, sf_dir, table="embeddings"),
+    )
+    tok = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    prefix = f"ivf_pub_{tok}"
+    sim.ivf_index_publish(spark, idx, prefix)
+    qvec = [float(x) for x in emb.filter(vid == 0).select("embedding").first()[0]]
+    return sim.ann_ivf_topk_catalog(
+        spark, prefix, qvec, k=10, n_probe=4, exclude_id=0
+    )

@@ -626,3 +626,161 @@ def test_stream_dedup_ingest_rejects_string_ids_up_front(spark, tmp_path):
         stream_dedup_ingest(
             stream, index, str(tmp_path / "v_str"), "doc_id", "text"
         )
+
+
+# ------------------------------------------- streaming IVF ingest
+def _emb_df(spark, ids, dim=8, shift=0.0):
+    import math as _m
+
+    rows = [
+        (i, [_m.sin(0.7 * i + 0.3 * d) + shift for d in range(dim)]) for i in ids
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _build_ivf(spark, tmp_path, n_centroids=4):
+    from mfdb_hafro_etl_spark.operators.similarity import build_ivf_index
+
+    path = str(tmp_path / "ivf_idx")
+    _ = build_ivf_index(
+        _emb_df(spark, range(100, 140)), path, n_centroids=n_centroids,
+        kmeans_iters=0,
+    )
+    return path
+
+
+def _vec_rows(spark, path):
+    return sorted(
+        (r["vec_id"], tuple(round(x, 9) for x in r["embedding"]))
+        for r in spark.read.parquet(os.path.join(path, "vectors")).collect()
+    )
+
+
+def test_ivf_ingest_handler_exactly_once_all_windows(spark, tmp_path):
+    """The rename discipline makes appends EXACTLY-once under every
+    delivery pattern: normal (marker short-circuit), and crash-window
+    (marker removed after a completed append) — re-running the handler
+    must leave the vectors table with exactly one copy of the batch."""
+    from mfdb_hafro_etl_spark.streaming.jobs import ivf_ingest_handler
+
+    path = _build_ivf(spark, tmp_path)
+    logd = str(tmp_path / "log")
+    handle = ivf_ingest_handler(path, logd, max_appended_frac=1.0)
+    batch = _emb_df(spark, range(0, 8))
+    handle(batch, 0)
+    after_first = _vec_rows(spark, path)
+    assert len(after_first) == 48  # 40 built + 8 appended
+    # normal redelivery: marker short-circuits
+    handle(batch, 0)
+    assert _vec_rows(spark, path) == after_first
+    # crash-window redelivery: append completed, marker lost
+    os.remove(os.path.join(logd, "_commits", "0"))
+    handle(batch, 0)
+    assert _vec_rows(spark, path) == after_first
+
+
+def test_stream_ivf_ingest_probe_equals_rebuilt(spark, tmp_path):
+    """After streaming two batches into the standing index, a probe
+    must answer row-identically to an index REBUILT from the full
+    corpus with the same centroids (the append invariant, streaming
+    edition)."""
+    from mfdb_hafro_etl_spark.operators.similarity import (
+        ann_ivf_topk_indexed,
+        build_ivf_index,
+    )
+    from mfdb_hafro_etl_spark.streaming.jobs import stream_ivf_ingest
+
+    path = _build_ivf(spark, tmp_path)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    b1, b2 = _emb_df(spark, range(0, 8)), _emb_df(spark, range(8, 16))
+    for i, b in enumerate([b1, b2]):
+        stage = str(tmp_path / f"stage{i}")
+        b.repartition(1).write.mode("overwrite").parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        os.replace(os.path.join(stage, part), os.path.join(src, f"b{i}.parquet"))
+        os.utime(os.path.join(src, f"b{i}.parquet"), (1000 + i, 1000 + i))
+    stream = (
+        spark.readStream.schema("vec_id LONG, embedding ARRAY<DOUBLE>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    log = stream_ivf_ingest(
+        stream, path, str(tmp_path / "log2"), max_appended_frac=1.0,
+        state_partitions=4,
+    )
+    assert sorted(r["n_appended"] for r in log.collect()) == [8, 8]
+    # rebuild from scratch over the identical corpus, same seed centroids
+    full = _emb_df(spark, range(100, 140)).unionByName(_emb_df(spark, range(0, 16)))
+    rebuilt = str(tmp_path / "ivf_rebuilt")
+    build_ivf_index(
+        _emb_df(spark, range(100, 140)), rebuilt, n_centroids=4, kmeans_iters=0
+    )
+    from mfdb_hafro_etl_spark.operators.similarity import ivf_index_append
+
+    ivf_index_append(_emb_df(spark, range(0, 16)), rebuilt, max_appended_frac=1.0)
+    q = [0.1] * 8
+    got = sorted(map(tuple, ann_ivf_topk_indexed(spark, path, q, k=5).collect()))
+    want = sorted(map(tuple, ann_ivf_topk_indexed(spark, rebuilt, q, k=5).collect()))
+    assert got == want
+    assert full.count() == 56  # fixture sanity
+
+
+def test_stream_ivf_ingest_budget_refuses_mid_stream(spark, tmp_path):
+    """The volumetric recluster budget applies per micro-batch: a
+    stream whose appends would exceed max_appended_frac must FAIL
+    loudly (no warn-and-proceed), leaving the marker absent so the
+    batch is not falsely committed."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from mfdb_hafro_etl_spark.streaming.jobs import stream_ivf_ingest
+
+    path = _build_ivf(spark, tmp_path)  # 40 built rows
+    src = str(tmp_path / "src_budget")
+    os.makedirs(src)
+    big = _emb_df(spark, range(0, 30))  # 30 > 25% of 40
+    stage = str(tmp_path / "stage_budget")
+    big.repartition(1).write.mode("overwrite").parquet(stage)
+    part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+    os.replace(os.path.join(stage, part), os.path.join(src, "b0.parquet"))
+    stream = spark.readStream.schema("vec_id LONG, embedding ARRAY<DOUBLE>").parquet(src)
+    with pytest.raises(StreamingQueryException, match="recluster budget"):
+        stream_ivf_ingest(
+            stream, path, str(tmp_path / "log3"), max_appended_frac=0.25,
+            state_partitions=4,
+        )
+    assert not os.path.exists(os.path.join(str(tmp_path / "log3"), "_commits", "0"))
+
+
+def test_ivf_ingest_handler_rejects_dim_mismatch(spark, tmp_path):
+    from mfdb_hafro_etl_spark.streaming.jobs import ivf_ingest_handler
+
+    path = _build_ivf(spark, tmp_path)
+    handle = ivf_ingest_handler(path, str(tmp_path / "log4"), max_appended_frac=1.0)
+    import pytest
+
+    with pytest.raises(ValueError, match="dim"):
+        handle(_emb_df(spark, range(0, 4), dim=5), 0)
+
+
+def test_ivf_publish_retires_meta_first_and_guards_torn(spark, tmp_path):
+    """ivf_index_publish writes the meta table LAST; a probe against a
+    publication whose meta table is missing must fail loudly, and a
+    republish restores it."""
+    import pytest
+
+    from mfdb_hafro_etl_spark.operators.similarity import (
+        ann_ivf_topk_catalog,
+        ivf_index_publish,
+    )
+
+    path = _build_ivf(spark, tmp_path)
+    ivf_index_publish(spark, path, "t_ivf_torn")
+    q = [0.1] * 8
+    assert ann_ivf_topk_catalog(spark, "t_ivf_torn", q, k=3).count() == 3
+    spark.sql("DROP TABLE t_ivf_torn_meta")
+    with pytest.raises(Exception):
+        ann_ivf_topk_catalog(spark, "t_ivf_torn", q, k=3)
+    ivf_index_publish(spark, path, "t_ivf_torn")
+    assert ann_ivf_topk_catalog(spark, "t_ivf_torn", q, k=3).count() == 3
