@@ -232,14 +232,76 @@ def main() -> None:
                     json.dump(detail, fh, indent=1, sort_keys=True)
             except OSError:
                 pass
+    # BENCH_ISOLATE: mechanized fresh-JVM probes for the heaviest
+    # arms (round-8 lesson: in-suite multi-second readings at x100
+    # swing ±40-90% between runs on identical code — long-lived-heap
+    # GC context from Arrow-heavy neighbours — so every cross-round
+    # adjudication needed hand-run isolated probes). "auto" re-runs
+    # the BENCH_ISOLATE_TOP (default 8) slowest arms each in its own
+    # subprocess JVM (same protocol as the hand probes: fresh heap,
+    # warm-up run, retime-to-agreement) and records the results
+    # ALONGSIDE the in-suite numbers — the in-suite value remains the
+    # suite-wall truth, the isolated value is the adjudicable per-arm
+    # cost. A comma-list isolates exactly those arms. The committed
+    # artifact then carries its own A/B (in-suite vs isolated) and
+    # cross-round comparisons use the isolated column.
+    isolate = os.environ.get("BENCH_ISOLATE", "")
+    isolated: dict[str, float] = {}
+    if isolate and is_full:
+        if isolate == "auto":
+            top_n = max(int(os.environ.get("BENCH_ISOLATE_TOP", "8")), 1)
+            chosen = [
+                n for n, _ in sorted(timings.items(), key=lambda kv: -kv[1])[:top_n]
+            ]
+        else:
+            chosen = [n for n in isolate.split(",") if n in timings]
+        # free the suite JVM before forking probes: two 24g heaps on
+        # one host would make the probe measure memory pressure
+        spark.stop()
+        import subprocess
+
+        for name in chosen:
+            env = dict(os.environ, BENCH_ONLY=name)
+            env.pop("BENCH_ISOLATE", None)
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                capture_output=True,
+                text=True,
+                cwd=repo,
+            )
+            sec = None
+            for line in p.stdout.splitlines():
+                if line.startswith('{"metric"'):
+                    try:
+                        sec = json.loads(line)["queries"].get(name)
+                    except (ValueError, KeyError):
+                        sec = None
+            if sec is not None:
+                isolated[name] = sec
+            print(
+                json.dumps({"query": name, "isolated_sec": sec}), flush=True
+            )
+        if isolated:
+            detail["isolated"] = isolated
+            try:
+                with open(detail_path, "w") as fh:
+                    json.dump(detail, fh, indent=1, sort_keys=True)
+            except OSError:
+                pass
+
+    if is_full:
         try:
             with open(hist_path, "a") as fh:
-                fh.write(json.dumps({
+                row = {
                     "ts": time.time(),
                     "sf": sf_val,
                     "total": total,
                     "queries": timings,
-                }, sort_keys=True) + "\n")
+                }
+                if isolated:
+                    row["isolated"] = isolated
+                fh.write(json.dumps(row, sort_keys=True) + "\n")
         except OSError:
             pass
     for name in names:
@@ -255,6 +317,8 @@ def main() -> None:
     }
     if vs_prev is not None:
         summary["vs_prev"] = vs_prev
+    if isolated:
+        summary["isolated"] = isolated
     print(json.dumps(summary))
     spark.stop()
 

@@ -212,8 +212,17 @@ def cmd_gen(factors: list[int]) -> None:
         print(f"  done in {time.time() - t0:.1f}s", flush=True)
 
 
-def _run_bench(sf_dir: str, only: str | None) -> dict:
+def _run_bench(sf_dir: str, only: str | None, isolate_top: int = 0) -> dict:
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    if isolate_top > 0:
+        # mechanized fresh-JVM probes for the heaviest arms (bench.py
+        # BENCH_ISOLATE): the artifact then carries an adjudicable
+        # isolated value next to each in-suite reading, closing the
+        # round-8 suite-context variance loop without hand-run probes
+        env["BENCH_ISOLATE"] = "auto"
+        env["BENCH_ISOLATE_TOP"] = str(isolate_top)
+    else:
+        env.pop("BENCH_ISOLATE", None)
     # x100 materializes some row-level results in the GBs (the bench
     # collects every row by protocol) and runs 32 executor threads in
     # ONE JVM: 8g thrashes at x100 (measured: broadcast build aborts
@@ -279,20 +288,37 @@ def _run_bench(sf_dir: str, only: str | None) -> dict:
             per_query[row["query"]] = row["sec"]
     if per_query:
         summary["queries"] = per_query
+    iso: dict[str, float] = {}
+    for l in p.stdout.splitlines():
+        if l.startswith('{"query"') and "isolated_sec" in l:
+            row = json.loads(l)
+            if row.get("isolated_sec") is not None:
+                iso[row["query"]] = row["isolated_sec"]
+    if iso:
+        summary["isolated"] = iso
     return summary
 
 
-def cmd_run(factors: list[int], only: str | None, out: str) -> None:
+def cmd_run(
+    factors: list[int], only: str | None, out: str, isolate_top: int = 8
+) -> None:
     results: dict[str, dict] = {}
     print(f"baseline x1 = {BASE}", flush=True)
     results["1"] = _run_bench(BASE, only)
     print(f"  x1 total {results['1']['value']}s", flush=True)
+    biggest = max(factors) if factors else None
     for f in factors:
         sf_dir = os.path.join(ROOT, f"x{f}")
         if not os.path.isdir(sf_dir):
             raise SystemExit(f"{sf_dir} missing — run `gen` first")
         print(f"running suite at x{f}", flush=True)
-        results[str(f)] = _run_bench(sf_dir, only)
+        # isolated probes only at the LARGEST factor: that is where
+        # suite-context variance is material (±40-90% at x100, noise
+        # floor at x1/x10), and each probe costs a JVM start + a warm
+        # run of a multi-second arm
+        results[str(f)] = _run_bench(
+            sf_dir, only, isolate_top=isolate_top if f == biggest else 0
+        )
         print(f"  x{f} total {results[str(f)]['value']}s", flush=True)
     report = {
         "base": BASE,
@@ -301,6 +327,9 @@ def cmd_run(factors: list[int], only: str | None, out: str) -> None:
         "totals": {k: v["value"] for k, v in results.items()},
         "n_queries": {k: v.get("n_queries") for k, v in results.items()},
         "queries": {k: v["queries"] for k, v in results.items()},
+        "isolated": {
+            k: v["isolated"] for k, v in results.items() if v.get("isolated")
+        },
     }
     base_q = results["1"]["queries"]
     ratios: dict[str, dict[str, float]] = {}
@@ -380,6 +409,25 @@ def _write_md(report: dict, path: str) -> None:
             f"{f}× means the plan scales sub-linearly on the same cores.",
             "",
         ]
+        iso = report.get("isolated", {}).get(str(f), {})
+        if iso:
+            fq = report["queries"][str(f)]
+            lines += [
+                "### In-suite vs isolated (fresh-JVM probes, mechanized)",
+                "",
+                "Adjudicate cross-round drift against the ISOLATED column —",
+                "the in-suite value carries long-lived-heap context from",
+                "the arms before it (round-8 finding, now measured in the",
+                "same artifact instead of by hand-run probes):",
+                "",
+                "| query | in-suite (s) | isolated (s) | suite/isolated |",
+                "|---|---|---|---|",
+            ] + [
+                f"| {n} | {fq[n]} | {iso[n]} | "
+                f"{round(fq[n] / max(iso[n], 0.05), 2)}× |"
+                for n in sorted(iso, key=lambda n: -fq.get(n, 0))
+                if n in fq
+            ] + [""]
         over = {n: r for n, r in rat.items() if r > f}
         expected = {n: r for n, r in over.items() if n in EXPECTED_SUPERLINEAR}
         unexplained = {n: r for n, r in over.items() if n not in EXPECTED_SUPERLINEAR}
@@ -443,12 +491,19 @@ def main() -> None:
     ap.add_argument("--factors", default="10,100")
     ap.add_argument("--only", default=None)
     ap.add_argument("--out", default=os.path.join(REPO, "SCALE_BENCH_r05.json"))
+    ap.add_argument(
+        "--isolate-top",
+        type=int,
+        default=8,
+        help="fresh-JVM probe count for the heaviest arms at the largest "
+        "factor (0 disables); see bench.py BENCH_ISOLATE",
+    )
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",") if x]
     if args.cmd in ("gen", "all"):
         cmd_gen(factors)
     if args.cmd in ("run", "all"):
-        cmd_run(factors, args.only, args.out)
+        cmd_run(factors, args.only, args.out, isolate_top=args.isolate_top)
 
 
 if __name__ == "__main__":
