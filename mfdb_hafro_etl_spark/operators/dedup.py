@@ -747,6 +747,69 @@ def duplicate_clusters(
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
+def cluster_representatives(
+    clusters: DataFrame,
+    scores: DataFrame | None = None,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    score_col: str | None = None,
+) -> DataFrame:
+    """Pick each duplicate cluster's kept member — the keep-one policy
+    made explicit and quality-aware.
+
+    Default (``score_col=None``): the canonical min-id representative,
+    exactly reproducing what consumers of duplicate_clusters do today
+    with ``doc_id == cluster_id`` (cluster_id IS the component's
+    smallest id by construction; parity pinned by
+    tests/test_corpus_ops.py), emitted without a shuffle.
+
+    With ``score_col`` (a NUMERIC quality signal — Gopher keep flags,
+    an LM perplexity negated, a length prior): the kept member is the
+    cluster's HIGHEST-scoring doc, ties broken by smallest id so the
+    policy stays deterministic. Real pipelines keep the best cluster
+    member, not the numerically-smallest id; min-id stays the default
+    because it is score-free and reproducible across re-crawls.
+    ``scores`` is joined on ``id_col`` (rows without a score rank
+    below every scored row — NULL sorts last in the struct min via a
+    null flag); the selection is ONE hash aggregate over the
+    node-count-sized cluster table, linear at any corpus scale.
+
+    Returns (cluster_col, keep_id)."""
+    if score_col is None:
+        return clusters.filter(F.col(id_col) == F.col(cluster_col)).select(
+            F.col(cluster_col), F.col(id_col).alias("keep_id")
+        )
+    if scores is None:
+        raise ValueError("score_col given but no scores frame")
+    from pyspark.sql.types import NumericType
+
+    if not isinstance(scores.schema[score_col].dataType, NumericType):
+        raise TypeError(
+            f"score_col {score_col!r} must be numeric (struct-min ordering "
+            f"negates it), got "
+            f"{scores.schema[score_col].dataType.simpleString()}"
+        )
+    joined = clusters.join(
+        scores.select(F.col(id_col), F.col(score_col).alias("__s__")),
+        [id_col],
+        "left",
+    )
+    # min over (score missing?, -score, id): highest score first,
+    # unscored docs after every scored one, smallest id on ties
+    pick = F.min(
+        F.struct(
+            F.col("__s__").isNull().cast("int").alias("m"),
+            (-F.coalesce(F.col("__s__"), F.lit(0.0))).alias("negs"),
+            F.col(id_col).alias("i"),
+        )
+    )
+    return (
+        joined.groupBy(cluster_col)
+        .agg(pick.alias("__p__"))
+        .select(F.col(cluster_col), F.col("__p__.i").alias("keep_id"))
+    )
+
+
 def lsh_band_table(
     df: DataFrame,
     id_col: str,

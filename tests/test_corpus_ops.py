@@ -1914,3 +1914,49 @@ def test_remove_repeated_units_semantics(spark):
         ).collect()
     ]
     assert keep_short[2] == "x||y||x"  # 1-char units kept unconditionally
+
+
+def test_cluster_representatives_default_is_min_id_parity(spark):
+    """score_col=None must reproduce today's keep-one policy exactly:
+    keep_id == cluster_id for every cluster (VERDICT r8 #7 parity
+    contract)."""
+    from mfdb_hafro_etl_spark.operators import dedup as dd
+
+    pairs = spark.createDataFrame(
+        [(1, 5), (5, 9), (20, 21), (30, 31), (31, 32)], "id_a long, id_b long"
+    )
+    clus = dd.duplicate_clusters(pairs)
+    reps = dd.cluster_representatives(clus)
+    got = sorted(map(tuple, reps.collect()))
+    assert got == [(1, 1), (20, 20), (30, 30)]
+    # keep_id == cluster_id is the whole contract
+    assert all(c == k for c, k in got)
+
+
+def test_cluster_representatives_scored_keeps_best_member(spark):
+    """With score_col, each cluster keeps its highest-scoring member;
+    ties break to the smallest id; unscored docs rank below scored
+    ones; clusters with no scored member still pick deterministically."""
+    from mfdb_hafro_etl_spark.operators import dedup as dd
+
+    pairs = spark.createDataFrame(
+        [(1, 5), (5, 9), (20, 21), (30, 31)], "id_a long, id_b long"
+    )
+    clus = dd.duplicate_clusters(pairs)
+    scores = spark.createDataFrame(
+        [
+            (1, 0.2), (5, 0.9), (9, 0.9),   # tie at 0.9 -> min id 5
+            (21, 0.7),                       # 20 unscored -> 21 wins
+            # cluster {30, 31}: nobody scored -> min id 30
+        ],
+        "doc_id long, score double",
+    )
+    reps = dd.cluster_representatives(clus, scores, score_col="score")
+    got = dict(map(tuple, reps.collect()))
+    assert got == {1: 5, 20: 21, 30: 30}
+    # non-numeric scores refuse loudly
+    s_str = spark.createDataFrame([(1, "hi")], "doc_id long, score string")
+    with pytest.raises(TypeError, match="numeric"):
+        dd.cluster_representatives(clus, s_str, score_col="score")
+    with pytest.raises(ValueError, match="scores"):
+        dd.cluster_representatives(clus, None, score_col="score")
