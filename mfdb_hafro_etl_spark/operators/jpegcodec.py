@@ -161,6 +161,37 @@ def _build_huffman_encode(bits: list[int], huffval: list[int]) -> dict:
     }
 
 
+#: 16-bit-peek LUT memo, keyed by the table's exact content. Real
+#: corpora reuse a handful of tables (most encoders emit the T.81
+#: Annex K defaults), so each worker builds each LUT once; the cap
+#: bounds a pathological corpus of per-image custom tables.
+_HUFF_LUT_MEMO: dict[tuple, list[int]] = {}
+
+
+def _huff_lut(table: dict) -> list[int]:
+    """Decode LUT in the libjpeg style: entry[peek16] = (symbol << 5)
+    | code_length, 0 = no code of length <= 16 matches (invalid
+    stream). Every canonical code of length L owns the 2^(16-L)
+    consecutive peek values it prefixes, so ONE list index replaces
+    the 1..16 bit-by-bit tree walk — identical symbol, identical bits
+    consumed, which is what keeps the fast reader bit-exact. A plain
+    Python list beats a numpy array here: the decode loop indexes it
+    with a Python int per symbol, and numpy scalar extraction costs
+    more than the lookup itself."""
+    key = tuple(sorted(table.items()))
+    lut = _HUFF_LUT_MEMO.get(key)
+    if lut is None:
+        arr = np.zeros(1 << 16, dtype=np.int64)
+        for (length, code), sym in table.items():
+            lo = code << (16 - length)
+            arr[lo : lo + (1 << (16 - length))] = (sym << 5) | length
+        lut = arr.tolist()
+        if len(_HUFF_LUT_MEMO) >= 64:
+            _HUFF_LUT_MEMO.clear()
+        _HUFF_LUT_MEMO[key] = lut
+    return lut
+
+
 class _BitReader:
     """MSB-first bit reader over unstuffed entropy-coded bytes."""
 
@@ -212,27 +243,45 @@ def _extend(v: int, nbits: int) -> int:
 def _split_entropy(data: bytes, start: int) -> tuple[list[bytes], int]:
     """From ``start``, collect unstuffed entropy-coded segments split
     at restart markers; returns (segments, index of the terminating
-    marker's 0xFF)."""
-    segments: list[bytearray] = [bytearray()]
-    i, n = start, len(data)
-    while i < n:
-        b = data[i]
-        if b != 0xFF:
-            segments[-1].append(b)
-            i += 1
-            continue
-        if i + 1 >= n:
+    marker's 0xFF).
+
+    Walks only the 0xFF positions (numpy flatnonzero) and copies the
+    literal runs between them as whole slices — entropy data is ~99%
+    non-FF bytes, so this replaces the per-byte Python loop that
+    profiled as the #3 decode term. Byte-identical to that loop:
+    stuffed FF00 contributes one 0xFF, RSTn starts a new segment, any
+    other marker (or a trailing lone 0xFF) terminates with ``i`` on
+    the 0xFF."""
+    n = len(data)
+    arr = np.frombuffer(data, dtype=np.uint8)
+    segments: list[bytes] = []
+    chunks: list[bytes] = []
+    pos = start
+    i = n
+    for f in map(int, np.flatnonzero(arr[start:] == 0xFF) + start):
+        if f < pos:
+            continue  # consumed as part of a previous FFxx pair
+        if f + 1 >= n:
+            i = f  # trailing lone 0xFF: terminate here (loop parity)
             break
-        m = data[i + 1]
+        m = data[f + 1]
         if m == 0x00:  # stuffed 0xFF data byte
-            segments[-1].append(0xFF)
-            i += 2
+            chunks.append(data[pos:f])
+            chunks.append(b"\xff")
+            pos = f + 2
         elif 0xD0 <= m <= 0xD7:  # RSTn
-            segments.append(bytearray())
-            i += 2
+            chunks.append(data[pos:f])
+            segments.append(b"".join(chunks))
+            chunks = []
+            pos = f + 2
         else:  # real marker: end of scan
+            i = f
             break
-    return [bytes(s) for s in segments], i
+    # final literal run: up to the terminating 0xFF (exclusive), or to
+    # the end of the payload when no terminator was found
+    chunks.append(data[pos:i])
+    segments.append(b"".join(chunks))
+    return segments, i
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
@@ -395,8 +444,24 @@ def _decode_scan(
     mcus_y = -(-frame["h"] // (8 * max_v))
     n_mcus = mcus_x * mcus_y
     # coefficient stacks + block grid positions per component
-    coefs: list[list[np.ndarray]] = [[] for _ in comps]
-    reader = _BitReader(segments[0])
+    coefs: list[list[list[int]]] = [[] for _ in comps]
+    # Entropy decode with an INLINE bit buffer + 16-bit-peek Huffman
+    # LUTs (_huff_lut): one list index per symbol instead of a
+    # per-bit tree walk through _BitReader method calls — profiled at
+    # 97% of decode wall before this (585k receive() calls per small
+    # image). Bit-exact with the reference reader by construction:
+    # the LUT returns the same symbol and consumes the same bit count
+    # the bit-by-bit walk would, and end-of-stream pads with 1-bits
+    # exactly as _BitReader._fill does. _BitReader itself stays as
+    # the readable reference implementation.
+    luts = [
+        (_huff_lut(huff_dc[scan[c["id"]][0]]), _huff_lut(huff_ac[scan[c["id"]][1]]))
+        for c in comps
+    ]
+    zz = ZIGZAG.tolist() if hasattr(ZIGZAG, "tolist") else list(ZIGZAG)
+    data = segments[0]
+    dlen = len(data)
+    pos = buf = nb = 0
     seg_idx = 0
     dc_pred = [0] * len(comps)
     for mcu in range(n_mcus):
@@ -404,19 +469,44 @@ def _decode_scan(
             seg_idx += 1
             if seg_idx >= len(segments):
                 raise ValueError("JPEG restart marker missing")
-            reader = _BitReader(segments[seg_idx])
+            data = segments[seg_idx]
+            dlen = len(data)
+            pos = buf = nb = 0
             dc_pred = [0] * len(comps)
         for ci, comp in enumerate(comps):
-            td, ta = scan[comp["id"]]
-            dct, act = huff_dc[td], huff_ac[ta]
+            lut_d, lut_a = luts[ci]
             for _ in range(comp["v"] * comp["h"]):
-                block = np.zeros(64, dtype=np.int64)
-                s = reader.decode_huffman(dct)
-                dc_pred[ci] += _extend(reader.receive(s), s)
+                buf &= (1 << nb) - 1  # shed consumed high bits
+                block = [0] * 64
+                while nb < 16:
+                    buf = (buf << 8) | (data[pos] if pos < dlen else 0xFF)
+                    pos += 1
+                    nb += 8
+                e = lut_d[(buf >> (nb - 16)) & 0xFFFF]
+                if e == 0:
+                    raise ValueError("invalid JPEG Huffman code")
+                nb -= e & 31
+                s = e >> 5
+                if s:
+                    while nb < s:
+                        buf = (buf << 8) | (data[pos] if pos < dlen else 0xFF)
+                        pos += 1
+                        nb += 8
+                    nb -= s
+                    v = (buf >> nb) & ((1 << s) - 1)
+                    dc_pred[ci] += v if v >= (1 << (s - 1)) else v - (1 << s) + 1
                 block[0] = dc_pred[ci]
                 k = 1
                 while k < 64:
-                    rs = reader.decode_huffman(act)
+                    while nb < 16:
+                        buf = (buf << 8) | (data[pos] if pos < dlen else 0xFF)
+                        pos += 1
+                        nb += 8
+                    e = lut_a[(buf >> (nb - 16)) & 0xFFFF]
+                    if e == 0:
+                        raise ValueError("invalid JPEG Huffman code")
+                    nb -= e & 31
+                    rs = e >> 5
                     r, s = rs >> 4, rs & 15
                     if s == 0:
                         if r == 15:
@@ -426,29 +516,32 @@ def _decode_scan(
                     k += r
                     if k > 63:
                         raise ValueError("JPEG AC run past end of block")
-                    block[ZIGZAG[k]] = _extend(reader.receive(s), s)
+                    while nb < s:
+                        buf = (buf << 8) | (data[pos] if pos < dlen else 0xFF)
+                        pos += 1
+                        nb += 8
+                    nb -= s
+                    v = (buf >> nb) & ((1 << s) - 1)
+                    block[zz[k]] = v if v >= (1 << (s - 1)) else v - (1 << s) + 1
                     k += 1
                 coefs[ci].append(block)
     planes = []
     for ci, comp in enumerate(comps):
         q = qt[comp["tq"]]
-        stack = np.stack(coefs[ci]).astype(np.float64) * q  # (n_blocks, 64)
+        stack = np.asarray(coefs[ci], dtype=np.float64) * q  # (n_blocks, 64)
         blocks = stack.reshape(-1, 8, 8)
         spatial = np.einsum("ux,nuv,vy->nxy", _DCT_A, blocks, _DCT_A) + 128.0
         pix = np.clip(np.floor(spatial + 0.5), 0, 255).astype(np.uint8)
-        # blocks arrive MCU-major: lay them back on the component grid
+        # blocks arrive MCU-major with (by, bx) row-major inside each
+        # MCU: one reshape+transpose lays them back on the component
+        # grid (the per-block Python placement loop this replaces was
+        # the second-largest decode term after the entropy loop)
         bw, bh = comp["h"], comp["v"]  # blocks per MCU, x / y
-        plane = np.zeros((mcus_y * bh * 8, mcus_x * bw * 8), dtype=np.uint8)
-        bi = 0
-        for my in range(mcus_y):
-            for mx in range(mcus_x):
-                for by in range(bh):
-                    for bx in range(bw):
-                        plane[
-                            (my * bh + by) * 8 : (my * bh + by) * 8 + 8,
-                            (mx * bw + bx) * 8 : (mx * bw + bx) * 8 + 8,
-                        ] = pix[bi]
-                        bi += 1
+        plane = np.ascontiguousarray(
+            pix.reshape(mcus_y, mcus_x, bh, bw, 8, 8)
+            .transpose(0, 2, 4, 1, 3, 5)
+            .reshape(mcus_y * bh * 8, mcus_x * bw * 8)
+        )
         planes.append(plane)
     return planes
 
