@@ -732,16 +732,62 @@ def encode_jpeg(
     sos.extend(b"\x00\x3f\x00")
     seg(0xDA, bytes(sos))
 
-    bw = _BitWriter()
+    # Vectorized DCT + quantization per component: every 8×8 block in
+    # one batched matmul (numpy broadcasts (8,8)@(n,8,8) as the same
+    # dgemm per slice the old per-block `A @ block @ A.T` ran, so the
+    # floats — and hence floor(x+0.5) — are bit-identical; verified
+    # byte-for-byte against the per-block encoder in
+    # tests/test_jpegcodec.py). floor(x+0.5) rounds -0.5
+    # asymmetrically; JPEG permits any rounding, this one is
+    # deterministic across platforms. Clamp to ±1023 (8-bit-baseline
+    # spec max, category 10): quant values clipped to 1 can push a
+    # high-contrast block's AC into category 11, which the Annex K AC
+    # tables don't encode — a raw KeyError without this.
+    for c in comps:
+        plane = c["plane"]
+        ph, pw = plane.shape
+        gy, gx = ph // 8, pw // 8
+        blocks = (
+            plane.reshape(gy, 8, gx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+            - 128.0
+        )
+        coef = _DCT_A @ blocks @ _DCT_A.T
+        qz = np.clip(
+            np.floor(coef / c["q_nat"].reshape(8, 8) + 0.5), -1023, 1023
+        ).astype(np.int64)
+        zz = qz.reshape(-1, 64)[:, ZIGZAG]
+        nz = zz != 0
+        # highest nonzero AC index per block (0 = none): scan reversed
+        last = np.where(
+            nz[:, 1:].any(axis=1), 63 - np.argmax(nz[:, :0:-1], axis=1), 0
+        )
+        c["zz"] = zz.tolist()
+        c["last_nz"] = last.tolist()
+        c["gx"] = gx
+
+    # Inline entropy writer (the per-block _encode_block + _BitWriter
+    # method calls profiled as the encoder's top term): same canonical
+    # codes, same bit order, same FF stuffing — _BitWriter stays as
+    # the readable reference.
+    ebuf = bytearray()
+    buf = 0
+    nb = 0
     dc_pred = [0] * ch
     mcu = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
             if restart_interval and mcu and mcu % restart_interval == 0:
-                # RST markers sit at byte boundaries OUTSIDE the
-                # stuffed entropy stream — raw append, not write()
-                bw.flush()
-                bw.out.extend(
+                if nb:  # pad the final partial byte with 1s (F.1.2.3)
+                    pad = 8 - nb
+                    buf = (buf << pad) | ((1 << pad) - 1)
+                    nb = 8
+                    nb -= 8
+                    b = buf & 0xFF
+                    ebuf.append(b)
+                    if b == 0xFF:
+                        ebuf.append(0x00)
+                    buf = 0
+                ebuf.extend(
                     b"\xff"
                     + bytes([0xD0 + ((mcu // restart_interval - 1) % 8)])
                 )
@@ -749,30 +795,64 @@ def encode_jpeg(
             mcu += 1
             for ci, c in enumerate(comps):
                 t = 0 if ci == 0 else 1
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        block = c["plane"][y0 : y0 + 8, x0 : x0 + 8] - 128.0
-                        coef = _DCT_A @ block @ _DCT_A.T
-                        qz = np.floor(
-                            coef / c["q_nat"].reshape(8, 8) + 0.5
-                        ).astype(np.int64)
-                        # floor(x+0.5) rounds -0.5 to 0-adjacent values
-                        # asymmetrically; JPEG permits any rounding, and
-                        # this one is deterministic across platforms.
-                        # Clamp to ±1023 (the 8-bit-baseline spec max,
-                        # magnitude category 10): quant values clipped
-                        # to 1 (quality>=93 / caller all-ones tables)
-                        # can push a high-contrast block's AC into
-                        # category 11, which the Annex K AC tables
-                        # don't encode — a raw KeyError without this
-                        qz = np.clip(qz, -1023, 1023)
-                        coef_zz = qz.reshape(64)[ZIGZAG]
-                        dc_pred[ci] = _encode_block(
-                            bw, coef_zz, dc_pred[ci], dc_enc[t], ac_enc[t]
-                        )
-    bw.flush()
-    out.extend(bw.out)
+                dct, act = dc_enc[t], ac_enc[t]
+                cv, chh, gx = c["v"], c["h"], c["gx"]
+                for by in range(cv):
+                    row = (my * cv + by) * gx
+                    for bx in range(chh):
+                        bi = row + mx * chh + bx
+                        zz = c["zz"][bi]
+                        diff = zz[0] - dc_pred[ci]
+                        dc_pred[ci] = zz[0]
+                        s = diff.bit_length() if diff >= 0 else (-diff).bit_length()
+                        code, length = dct[s]
+                        buf = (buf << length) | code
+                        nb += length
+                        if s:
+                            buf = (buf << s) | (
+                                (diff if diff >= 0 else diff + (1 << s) - 1)
+                                & ((1 << s) - 1)
+                            )
+                            nb += s
+                        last_nz = c["last_nz"][bi]
+                        run = 0
+                        for k in range(1, last_nz + 1):
+                            v = zz[k]
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                code, length = act[0xF0]  # ZRL
+                                buf = (buf << length) | code
+                                nb += length
+                                run -= 16
+                            s = v.bit_length() if v >= 0 else (-v).bit_length()
+                            code, length = act[(run << 4) | s]
+                            buf = (buf << length) | code
+                            nb += length
+                            buf = (buf << s) | (
+                                (v if v >= 0 else v + (1 << s) - 1)
+                                & ((1 << s) - 1)
+                            )
+                            nb += s
+                            run = 0
+                        if last_nz < 63:
+                            code, length = act[0x00]  # EOB
+                            buf = (buf << length) | code
+                            nb += length
+                        while nb >= 8:
+                            nb -= 8
+                            b = (buf >> nb) & 0xFF
+                            ebuf.append(b)
+                            if b == 0xFF:
+                                ebuf.append(0x00)
+                        buf &= (1 << nb) - 1
+    if nb:  # final flush: pad partial byte with 1s
+        pad = 8 - nb
+        b = ((buf << pad) | ((1 << pad) - 1)) & 0xFF
+        ebuf.append(b)
+        if b == 0xFF:
+            ebuf.append(0x00)
+    out.extend(ebuf)
     out.extend(b"\xff\xd9")
     return bytes(out)

@@ -1883,6 +1883,7 @@ def corpus_build(
     n_merges: int = 16,
     lm_tail_min: float | None = None,
     lm_train: DataFrame | None = None,
+    keep_best_by: str | None = None,
 ) -> DataFrame:
     """The p12 pipeline body, parameterized by the token accounting
     that drives packing:
@@ -1910,7 +1911,14 @@ def corpus_build(
     None = stage off; the oracle-verified p12 arm runs with it off,
     and tests pin that None is byte-identical to the historical
     pipeline while the scored path is verified by the
-    x_lm_perplexity arm."""
+    x_lm_perplexity arm.
+
+    ``keep_best_by``: optional quality-aware near-dup keep-one — name
+    a numeric gopher-metric column (e.g. ``ttr``, ``n_tokens``) and
+    each duplicate cluster keeps its highest-scoring member
+    (dedup.cluster_representatives, min-id tie-break) instead of the
+    smallest id. Default None preserves the historical min-id policy
+    byte-identically (pinned)."""
     from mfdb_hafro_etl_spark.operators import cleaning as cl
     from mfdb_hafro_etl_spark.operators import sampling as sp
 
@@ -1942,7 +1950,18 @@ def corpus_build(
         s1, "doc_id", "text", n=3, k=8, rows_per_band=2, threshold=0.6
     )
     clus = dd.duplicate_clusters(pairs)
-    dupes = clus.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    if keep_best_by is not None:
+        # quality-aware keep-one: each near-dup cluster keeps its
+        # highest-scoring member by the named gopher-metric column
+        # (min-id tie-break) instead of the smallest id
+        reps = dd.cluster_representatives(
+            clus, m.select("doc_id", keep_best_by), score_col=keep_best_by
+        )
+        dupes = clus.join(
+            reps.select(F.col("keep_id").alias("doc_id")), "doc_id", "left_anti"
+        ).select("doc_id")
+    else:
+        dupes = clus.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     s2 = s1.join(dupes, "doc_id", "left_anti")
     split_df = sp.hash_split(
         s2, "doc_id", {"train": 0.9, "valid": 0.05, "test": 0.05}, salt="cb"

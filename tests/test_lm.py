@@ -224,3 +224,21 @@ def test_corpus_build_lm_gate_default_off_and_filters_when_on(spark, sf_dir):
     n_mid = mid.agg(F.sum("n_docs")).head()[0] or 0
     n_base = sum(r[1] for r in base)
     assert 0 < n_mid <= n_base
+
+
+def test_corpus_build_keep_best_by_default_off_and_changes_keeps(spark, sf_dir):
+    """keep_best_by=None must reproduce p12 byte-identically; a scored
+    policy keeps the same per-split doc counts (one survivor per
+    cluster either way) while potentially different members."""
+    from mfdb_hafro_etl_spark.suite.extensions import corpus_build
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    base = rows(corpus_build(spark, sf_dir))
+    off = rows(corpus_build(spark, sf_dir, keep_best_by=None))
+    assert off == base
+    scored = corpus_build(spark, sf_dir, keep_best_by="ttr")
+    n_base = sum(r[1] for r in base)
+    n_scored = scored.agg(F.sum("n_docs")).head()[0] or 0
+    assert n_scored == n_base  # one kept member per cluster either way
