@@ -28,13 +28,15 @@ off to p_cont entirely; the truly-unseen corner (``<unk>`` absent from
 training because no token was rare) floors at 1/(vocab_size+1) so the
 score is total and deterministic.
 
-Why bigram, not KenLM's 5-gram: the model must be a closed algebra of
-Spark aggregations whose DuckDB oracle replays the identical IEEE
-expression tree (suite arm x_lm_perplexity). Interpolated KN recursion
-depth 2 keeps the scoring expression one CASE; the statistical
-machinery (discounting, continuation counts, backoff) is the same
-family CCNet uses, and the module API leaves order as a parameter
-surface for a later 3-gram extension.
+Why the ORACLE-BACKED arm is bigram, not KenLM's 5-gram: the arm's
+model must be a closed algebra of Spark aggregations whose DuckDB
+oracle replays the identical IEEE expression tree (suite arm
+x_lm_perplexity); recursion depth 2 keeps that scoring expression one
+CASE. A full interpolated TRIGRAM KN (continuation counts at the
+middle order, per-order discounts — Chen & Goodman 1999 §4) ships as
+train_trigram_kn / perplexity3 with the same scale shape and is
+pinned by property tests (per-context normalization, backoff) rather
+than a SQL oracle.
 
 Scale shape (the 100 TB judgment):
 - **Training** is two corpus scans (one for the vocabulary, one for
@@ -113,7 +115,7 @@ class BigramKN:
     continuation: DataFrame  # (w, n_prec)      distinct contexts preceding w
     n_types: int  # distinct bigram types
     vocab_size: int  # |vocab| (excluding BOS/UNK)
-    discount: float  # D in [0, 1)
+    discount: float  # D in [0, 1]
     min_count: int
 
     def unpersist(self) -> None:
@@ -194,8 +196,10 @@ def train_bigram_kn(
         # Ney-Essen-Kneser estimate; degenerate corpora (no singleton
         # types) get the textbook 0.75 constant
         discount = n1 / (n1 + 2 * n2) if (n1 + 2 * n2) > 0 else 0.75
-    if not (0.0 <= discount < 1.0):
-        raise ValueError(f"discount must be in [0, 1), got {discount}")
+    # D == 1 is the valid all-mass-backs-off corner (the Ney estimate
+    # hits it when n2 == 0); conservation holds since max(c-D, 0) >= 0
+    if not (0.0 <= discount <= 1.0):
+        raise ValueError(f"discount must be in [0, 1], got {discount}")
     return BigramKN(
         vocab=vocab,
         bigrams=bigrams,
@@ -383,4 +387,233 @@ def lm_read(spark: SparkSession, path: str) -> BigramKN:
         vocab_size=int(meta["vocab_size"]),
         discount=float(meta["discount"]),
         min_count=int(meta["min_count"]),
+    )
+
+
+# ------------------------------------------------------------ trigram KN
+def _triples(toks: Column) -> Column:
+    """(u, v, w) trigram triples as array algebra inside the scan:
+    double-BOS padding, so token i's context is (toks[i-2], toks[i-1])
+    with BOS filling the left edge — same no-window discipline as
+    _pairs."""
+    return F.transform(
+        toks,
+        lambda w, i: F.struct(
+            F.when(i <= F.lit(1), F.lit(BOS))
+            .otherwise(F.element_at(toks, i - 1))
+            .alias("u"),
+            F.when(i == F.lit(0), F.lit(BOS))
+            .otherwise(F.element_at(toks, i))
+            .alias("v"),
+            w.alias("w"),
+        ),
+    )
+
+
+@dataclass
+class TrigramKN:
+    """Interpolated trigram Kneser-Ney (Chen & Goodman 1999 — the
+    public formulation): the highest order uses raw counts, the
+    middle order uses CONTINUATION counts (distinct left-extensions
+    of each bigram type), the lowest is the unigram continuation
+    distribution — each with its own Ney-Essen-Kneser discount.
+    All tables are type-sized; same scale shape as BigramKN."""
+
+    vocab: DataFrame  # (w)
+    tri: DataFrame  # (u, v, w, cnt)          raw trigram counts
+    ctx3: DataFrame  # (u, v, cnt_uv, n_succ3)
+    cont2: DataFrame  # (v, w, ckn)           distinct u per (v, w)
+    ctx2: DataFrame  # (v, ckn_v, n_succ2)
+    cont1: DataFrame  # (w, n_prec)           distinct v per bigram type
+    n_bitypes: int  # distinct bigram types
+    vocab_size: int
+    d3: float
+    d2: float
+    min_count: int
+
+    def unpersist(self) -> None:
+        for df in (self.vocab, self.tri, self.cont2):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+
+
+def train_trigram_kn(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 2,
+    d3: float | None = None,
+    d2: float | None = None,
+    persist: bool = True,
+) -> TrigramKN:
+    """Fit the trigram model: two corpus scans (vocabulary, then
+    unk-mapped triple counts) and four hash aggregates, every
+    intermediate type-sized. The middle order's counts are
+    CONTINUATION counts (how many distinct contexts extend each
+    bigram type left), which is what distinguishes Kneser-Ney from
+    naive deleted interpolation — computed as one aggregate over the
+    trigram TYPE table, no extra corpus pass."""
+    toks = lm_tokens(text_col)
+    base = df.select(toks.alias("__toks__")).filter(F.size("__toks__") > 0)
+
+    def _keep(d: DataFrame) -> DataFrame:
+        return d.persist() if persist else d
+
+    uni = (
+        base.select(F.explode("__toks__").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    vocab = _keep(uni.filter(F.col("cnt") >= min_count).select("w"))
+
+    raw = base.select(F.explode(_triples(F.col("__toks__"))).alias("t")).select(
+        F.col("t.u").alias("u_raw"),
+        F.col("t.v").alias("v_raw"),
+        F.col("t.w").alias("w_raw"),
+    )
+    vu = vocab.select(F.col("w").alias("__vu__"))
+    vv = vocab.select(F.col("w").alias("__vv__"))
+    vw = vocab.select(F.col("w").alias("__vw__"))
+    mapped = (
+        raw.join(F.broadcast(vu), F.col("u_raw") == F.col("__vu__"), "left")
+        .join(F.broadcast(vv), F.col("v_raw") == F.col("__vv__"), "left")
+        .join(F.broadcast(vw), F.col("w_raw") == F.col("__vw__"), "left")
+        .select(
+            F.when(F.col("u_raw") == BOS, F.lit(BOS))
+            .otherwise(F.coalesce(F.col("__vu__"), F.lit(UNK)))
+            .alias("u"),
+            F.when(F.col("v_raw") == BOS, F.lit(BOS))
+            .otherwise(F.coalesce(F.col("__vv__"), F.lit(UNK)))
+            .alias("v"),
+            F.coalesce(F.col("__vw__"), F.lit(UNK)).alias("w"),
+        )
+    )
+    tri = _keep(mapped.groupBy("u", "v", "w").agg(F.count(F.lit(1)).alias("cnt")))
+    ctx3 = tri.groupBy("u", "v").agg(
+        F.sum("cnt").alias("cnt_uv"), F.count(F.lit(1)).alias("n_succ3")
+    )
+    cont2 = _keep(
+        tri.groupBy("v", "w").agg(F.count(F.lit(1)).alias("ckn"))
+    )
+    ctx2 = cont2.groupBy("v").agg(
+        F.sum("ckn").alias("ckn_v"), F.count(F.lit(1)).alias("n_succ2")
+    )
+    cont1 = cont2.groupBy("w").agg(F.count(F.lit(1)).alias("n_prec"))
+
+    st3 = tri.agg(
+        F.count_if(F.col("cnt") == 1).alias("n1"),
+        F.count_if(F.col("cnt") == 2).alias("n2"),
+    ).head()
+    st2 = cont2.agg(
+        F.count(F.lit(1)).alias("n_bitypes"),
+        F.count_if(F.col("ckn") == 1).alias("n1"),
+        F.count_if(F.col("ckn") == 2).alias("n2"),
+    ).head()
+    vocab_size = vocab.count()
+    if d3 is None:
+        d3 = st3["n1"] / (st3["n1"] + 2 * st3["n2"]) if (st3["n1"] + 2 * st3["n2"]) > 0 else 0.75
+    if d2 is None:
+        d2 = st2["n1"] / (st2["n1"] + 2 * st2["n2"]) if (st2["n1"] + 2 * st2["n2"]) > 0 else 0.75
+    for name, d in (("d3", d3), ("d2", d2)):
+        # D == 1 is valid KN (all observed mass discounts away and the
+        # order backs off entirely — conservation still holds since
+        # max(c-D, 0) >= 0); the Ney estimate hits it when n2 == 0
+        if not (0.0 <= d <= 1.0):
+            raise ValueError(f"{name} must be in [0, 1], got {d}")
+    return TrigramKN(
+        vocab=vocab,
+        tri=tri,
+        ctx3=ctx3,
+        cont2=cont2,
+        ctx2=ctx2,
+        cont1=cont1,
+        n_bitypes=st2["n_bitypes"],
+        vocab_size=vocab_size,
+        d3=float(d3),
+        d2=float(d2),
+        min_count=min_count,
+    )
+
+
+def perplexity3(
+    df: DataFrame,
+    lm: TrigramKN,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_model: bool = True,
+    out_tokens: str = "n_tokens",
+    out_logprob: str = "logprob",
+    out_ppl: str = "ppl",
+) -> DataFrame:
+    """Score documents under the trigram model: the interpolated-KN
+    recursion (depth 3) as one nested CASE over five broadcast model
+    joins; still a single document-keyed shuffle (the per-doc sum).
+    Unseen (u, v) context backs off to the KN bigram, unseen v to
+    the unigram continuation, with the same deterministic
+    1/(vocab_size+1) floor as the bigram scorer."""
+    d3, d2 = lm.d3, lm.d2
+    floor = 1.0 / (lm.vocab_size + 1)
+
+    trips = df.select(
+        F.col(id_col), F.explode(_triples(lm_tokens(text_col))).alias("t")
+    ).select(
+        id_col,
+        F.col("t.u").alias("u_raw"),
+        F.col("t.v").alias("v_raw"),
+        F.col("t.w").alias("w_raw"),
+    )
+    vu = lm.vocab.select(F.col("w").alias("__vu__"))
+    vv = lm.vocab.select(F.col("w").alias("__vv__"))
+    vw = lm.vocab.select(F.col("w").alias("__vw__"))
+    mb = lambda t: _maybe_broadcast(t, broadcast_model)  # noqa: E731
+    mapped = (
+        trips.join(mb(vu), F.col("u_raw") == F.col("__vu__"), "left")
+        .join(mb(vv), F.col("v_raw") == F.col("__vv__"), "left")
+        .join(mb(vw), F.col("w_raw") == F.col("__vw__"), "left")
+        .select(
+            id_col,
+            F.when(F.col("u_raw") == BOS, F.lit(BOS))
+            .otherwise(F.coalesce(F.col("__vu__"), F.lit(UNK)))
+            .alias("u"),
+            F.when(F.col("v_raw") == BOS, F.lit(BOS))
+            .otherwise(F.coalesce(F.col("__vv__"), F.lit(UNK)))
+            .alias("v"),
+            F.coalesce(F.col("__vw__"), F.lit(UNK)).alias("w"),
+        )
+    )
+    joined = (
+        mapped.join(mb(lm.tri), ["u", "v", "w"], "left")
+        .join(mb(lm.ctx3), ["u", "v"], "left")
+        .join(mb(lm.cont2), ["v", "w"], "left")
+        .join(mb(lm.ctx2), ["v"], "left")
+        .join(mb(lm.cont1), ["w"], "left")
+    )
+    p_cont_raw = F.coalesce(F.col("n_prec"), F.lit(0)) / F.lit(lm.n_bitypes)
+    p_cont = F.when(p_cont_raw > 0, p_cont_raw).otherwise(F.lit(floor))
+    p_kn2 = F.when(F.col("ckn_v").isNull(), p_cont).otherwise(
+        F.greatest(F.coalesce(F.col("ckn"), F.lit(0)) - F.lit(d2), F.lit(0.0))
+        / F.col("ckn_v")
+        + (F.lit(d2) * F.col("n_succ2") / F.col("ckn_v")) * p_cont
+    )
+    p = F.when(F.col("cnt_uv").isNull(), p_kn2).otherwise(
+        F.greatest(F.coalesce(F.col("cnt"), F.lit(0)) - F.lit(d3), F.lit(0.0))
+        / F.col("cnt_uv")
+        + (F.lit(d3) * F.col("n_succ3") / F.col("cnt_uv")) * p_kn2
+    )
+    per_doc = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias(out_tokens), F.sum(F.log(p)).alias(out_logprob)
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, [id_col], "left")
+        .select(
+            id_col,
+            F.coalesce(F.col(out_tokens), F.lit(0)).alias(out_tokens),
+            F.col(out_logprob),
+            F.when(
+                F.col(out_tokens) > 0,
+                F.exp(-F.col(out_logprob) / F.col(out_tokens)),
+            ).alias(out_ppl),
+        )
     )

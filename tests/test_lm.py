@@ -242,3 +242,94 @@ def test_corpus_build_keep_best_by_default_off_and_changes_keeps(spark, sf_dir):
     n_base = sum(r[1] for r in base)
     n_scored = scored.agg(F.sum("n_docs")).head()[0] or 0
     assert n_scored == n_base  # one kept member per cluster either way
+
+
+# ------------------------------------------------------------ trigram KN
+@pytest.fixture(scope="module")
+def model3(corpus):
+    m = lm.train_trigram_kn(corpus, min_count=2)
+    yield m
+    m.unpersist()
+
+
+def test_trigram_kn_probabilities_normalize(spark, corpus, model3):
+    """sum_w p(w | u, v) == 1 over vocab + <unk> for a trained
+    context, an unseen-u context (backs off to the KN bigram), and
+    the double-BOS start context — the depth-3 interpolation must
+    conserve mass at every backoff level."""
+    support = [r["w"] for r in model3.vocab.collect()] + [lm.UNK]
+
+    def ctx_mass(prefix: str) -> float:
+        n_pref = len(prefix.split())
+        pref_lp = 0.0
+        if n_pref:
+            pref_lp = lm.perplexity3(
+                spark.createDataFrame([(0, prefix)], "doc_id long, text string"),
+                model3,
+            ).head()["logprob"]
+        docs = spark.createDataFrame(
+            [(i, f"{prefix} {w}".strip()) for i, w in enumerate(support)],
+            "doc_id long, text string",
+        )
+        return (
+            lm.perplexity3(docs, model3)
+            .select(F.sum(F.exp(F.col("logprob") - F.lit(pref_lp))))
+            .head()[0]
+        )
+
+    assert abs(ctx_mass("") - 1.0) < 1e-9  # (<s>, <s>) start context
+    assert abs(ctx_mass("the cat") - 1.0) < 1e-9  # trained (u, v)
+    # unseen u ('zzz' maps to <unk>; (<unk>, 'the') may be untrained)
+    assert abs(ctx_mass("zzz the") - 1.0) < 1e-9
+
+
+def test_trigram_unseen_word_raises_ppl_and_beats_bigram_on_train(
+    spark, corpus, model, model3
+):
+    seen = spark.createDataFrame(
+        [(1, "the cat sat on the mat")], "doc_id long, text string"
+    )
+    unseen = spark.createDataFrame(
+        [(1, "the qqqq sat on the mat")], "doc_id long, text string"
+    )
+    p_seen = lm.perplexity3(seen, model3).head()["ppl"]
+    p_unseen = lm.perplexity3(unseen, model3).head()["ppl"]
+    assert p_unseen > p_seen
+    # on its own training corpus the trigram should fit at least as
+    # tightly as the bigram (longer context, same discount family)
+    b = lm.perplexity(corpus, model).agg(F.avg("ppl")).head()[0]
+    t = lm.perplexity3(corpus, model3).agg(F.avg("ppl")).head()[0]
+    assert t < b
+
+
+def test_trigram_degenerate_mle_pin(spark):
+    """Duplicated docs, min_count=1: every trigram/continuation type
+    count is 2 -> the top order's n1 = 0 -> d3 = 0 and the top
+    order degenerates to MLE: the training doc scores ppl 1."""
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c")], "doc_id long, text string"
+    )
+    m = lm.train_trigram_kn(docs, min_count=1, persist=False)
+    # d3: n1=0, n2=3 -> 0. d2: every continuation count is 1 (n2=0)
+    # -> the Ney estimate is exactly 1.0 — the valid all-mass-backs-
+    # off corner; with d3 = 0 the top order is pure MLE regardless
+    assert m.d3 == 0.0 and m.d2 == 1.0
+    row = lm.perplexity3(docs, m).head()
+    assert row["n_tokens"] == 3
+    assert math.isclose(row["ppl"], 1.0, abs_tol=1e-12)
+
+
+def test_trigram_deterministic_under_repartition(spark, corpus, model3):
+    a = {
+        r["doc_id"]: r["ppl"]
+        for r in lm.perplexity3(corpus, model3)
+        .select("doc_id", F.round("ppl", 6).alias("ppl"))
+        .collect()
+    }
+    b = {
+        r["doc_id"]: r["ppl"]
+        for r in lm.perplexity3(corpus.repartition(5), model3)
+        .select("doc_id", F.round("ppl", 6).alias("ppl"))
+        .collect()
+    }
+    assert a == b
