@@ -285,7 +285,8 @@ def _run_bench(sf_dir: str, only: str | None, isolate_top: int = 0) -> dict:
     for l in p.stdout.splitlines():
         if l.startswith('{"query"'):
             row = json.loads(l)
-            per_query[row["query"]] = row["sec"]
+            if "sec" in row:  # isolated_sec lines share the prefix
+                per_query[row["query"]] = row["sec"]
     if per_query:
         summary["queries"] = per_query
     iso: dict[str, float] = {}
