@@ -617,3 +617,70 @@ def perplexity3(
             ).alias(out_ppl),
         )
     )
+
+
+_LM3_SUBTABLES = ("vocab", "tri", "ctx3", "cont2", "ctx2", "cont1")
+
+
+def lm3_write(lm: TrigramKN, path: str) -> None:
+    """Persist the trigram model — six parquet subtables plus a meta
+    file, same retire-first/write-last discipline as lm_write (a
+    crash mid-write leaves a visibly-torn model, never a stale
+    one)."""
+    meta_path = os.path.join(path, _LM_META)
+    if os.path.exists(meta_path):
+        os.remove(meta_path)
+    for name in _LM3_SUBTABLES:
+        getattr(lm, name).write.mode("overwrite").parquet(
+            os.path.join(path, name)
+        )
+    meta = {
+        "n_bitypes": lm.n_bitypes,
+        "vocab_size": lm.vocab_size,
+        "d3": lm.d3,
+        "d2": lm.d2,
+        "min_count": lm.min_count,
+        "order": 3,
+    }
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, meta_path)
+
+
+def lm3_read(spark: SparkSession, path: str) -> TrigramKN:
+    """Load a persisted trigram model; missing meta = absent or torn,
+    fail loudly (mirrors lm_read)."""
+    meta_path = os.path.join(path, _LM_META)
+    if not os.path.exists(meta_path):
+        raise FileNotFoundError(
+            f"no LM meta at {meta_path} — model absent or torn (a crash "
+            "mid-lm3_write leaves no meta by design); retrain."
+        )
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    if meta.get("order") != 3:
+        raise ValueError(
+            f"LM at {path} has order {meta.get('order')}, not 3 — use "
+            "lm_read for bigram models."
+        )
+    for name, d in (("d3", meta["d3"]), ("d2", meta["d2"])):
+        if not (0.0 <= float(d) <= 1.0) or not math.isfinite(float(d)):
+            raise ValueError(f"corrupt LM meta: {name}={d}")
+    dfs = {
+        name: spark.read.parquet(os.path.join(path, name))
+        for name in _LM3_SUBTABLES
+    }
+    return TrigramKN(
+        vocab=dfs["vocab"],
+        tri=dfs["tri"],
+        ctx3=dfs["ctx3"],
+        cont2=dfs["cont2"],
+        ctx2=dfs["ctx2"],
+        cont1=dfs["cont1"],
+        n_bitypes=int(meta["n_bitypes"]),
+        vocab_size=int(meta["vocab_size"]),
+        d3=float(meta["d3"]),
+        d2=float(meta["d2"]),
+        min_count=int(meta["min_count"]),
+    )

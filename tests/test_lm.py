@@ -333,3 +333,31 @@ def test_trigram_deterministic_under_repartition(spark, corpus, model3):
         .collect()
     }
     assert a == b
+
+
+def test_lm3_write_read_round_trip_and_order_guard(spark, corpus, model3, tmp_path):
+    import os
+
+    path = str(tmp_path / "lm3")
+    lm.lm3_write(model3, path)
+    loaded = lm.lm3_read(spark, path)
+    assert (loaded.d3, loaded.d2, loaded.n_bitypes) == (
+        model3.d3, model3.d2, model3.n_bitypes,
+    )
+    a = {
+        r["doc_id"]: r["ppl"]
+        for r in lm.perplexity3(corpus, model3)
+        .select("doc_id", F.round("ppl", 6).alias("ppl")).collect()
+    }
+    b = {
+        r["doc_id"]: r["ppl"]
+        for r in lm.perplexity3(corpus, loaded)
+        .select("doc_id", F.round("ppl", 6).alias("ppl")).collect()
+    }
+    assert a == b
+    # a bigram reader must refuse a trigram model and vice versa
+    with pytest.raises(ValueError, match="order"):
+        lm.lm_read(spark, path)
+    os.remove(os.path.join(path, "_lm_meta.json"))
+    with pytest.raises(FileNotFoundError, match="torn"):
+        lm.lm3_read(spark, path)
