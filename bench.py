@@ -247,12 +247,28 @@ def main() -> None:
     # cross-round comparisons use the isolated column.
     isolate = os.environ.get("BENCH_ISOLATE", "")
     isolated: dict[str, float] = {}
+    isolate_errors: dict[str, str] = {}
     if isolate and is_full:
         if isolate == "auto":
             top_n = max(int(os.environ.get("BENCH_ISOLATE_TOP", "8")), 1)
             chosen = [
                 n for n, _ in sorted(timings.items(), key=lambda kv: -kv[1])[:top_n]
             ]
+            # also isolate any vs_prev-FLAGGED arm (ratio > 1.5x vs the
+            # previous full run) that the top-N wall cut missed: a
+            # genuine regression on a cheap arm then gets a
+            # same-artifact fresh-JVM reading too, instead of waiting
+            # for a hand-run probe next round (r9 verdict, optional #7)
+            if vs_prev is not None:
+                prevq = prev["queries"]
+                flagged = [
+                    n
+                    for n in sorted(set(prevq) & set(timings))
+                    if timings[n] > max(prevq[n], 0.2) * 1.5
+                    and timings[n] - prevq[n] > 0.3
+                    and n not in chosen
+                ]
+                chosen += flagged
         else:
             chosen = [n for n in isolate.split(",") if n in timings]
         # free the suite JVM before forking probes: two 24g heaps on
@@ -279,11 +295,24 @@ def main() -> None:
                         sec = None
             if sec is not None:
                 isolated[name] = sec
-            print(
-                json.dumps({"query": name, "isolated_sec": sec}), flush=True
-            )
+            rec = {"query": name, "isolated_sec": sec}
+            if sec is None:
+                # a CRASHING probe (OOM, fresh-JVM-only regression) must
+                # be distinguishable from a skipped one in the artifact:
+                # record returncode + a stderr tail as an explicit error
+                # marker instead of silently omitting the arm (r9 ADVICE)
+                err = f"returncode={p.returncode}"
+                tail = (p.stderr or "").strip().splitlines()[-3:]
+                if tail:
+                    err += " stderr: " + " | ".join(tail)[-400:]
+                isolate_errors[name] = err
+                rec["error"] = err
+            print(json.dumps(rec), flush=True)
         if isolated:
             detail["isolated"] = isolated
+        if isolate_errors:
+            detail["isolate_errors"] = isolate_errors
+        if isolated or isolate_errors:
             try:
                 with open(detail_path, "w") as fh:
                     json.dump(detail, fh, indent=1, sort_keys=True)
@@ -301,6 +330,8 @@ def main() -> None:
                 }
                 if isolated:
                     row["isolated"] = isolated
+                if isolate_errors:
+                    row["isolate_errors"] = isolate_errors
                 fh.write(json.dumps(row, sort_keys=True) + "\n")
         except OSError:
             pass
@@ -319,6 +350,8 @@ def main() -> None:
         summary["vs_prev"] = vs_prev
     if isolated:
         summary["isolated"] = isolated
+    if isolate_errors:
+        summary["isolate_errors"] = isolate_errors
     print(json.dumps(summary))
     spark.stop()
 

@@ -181,16 +181,22 @@ def train_bigram_kn(
     )
     continuation = bigrams.groupBy("w").agg(F.count(F.lit(1)).alias("n_prec"))
 
-    # one action for all three bigram-table scalars (n_types, n1, n2)
-    # instead of three — with persist=False that is the difference
-    # between one and three corpus re-scans
-    stats = bigrams.agg(
-        F.count(F.lit(1)).alias("n_types"),
-        F.count_if(F.col("cnt") == 1).alias("n1"),
-        F.count_if(F.col("cnt") == 2).alias("n2"),
-    ).head()
+    # ONE action for all four training scalars (n_types, n1, n2,
+    # vocab_size): the two single-row aggregates cross-join into one
+    # row, so the driver pays one job-submission round-trip instead of
+    # two — with persist=False that is also the difference between one
+    # and two corpus re-scans for the vocabulary subtree
+    stats = (
+        bigrams.agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.count_if(F.col("cnt") == 1).alias("n1"),
+            F.count_if(F.col("cnt") == 2).alias("n2"),
+        )
+        .crossJoin(vocab.agg(F.count(F.lit(1)).alias("vsize")))
+        .head()
+    )
     n_types = stats["n_types"]
-    vocab_size = vocab.count()
+    vocab_size = stats["vsize"]
     if discount is None:
         n1, n2 = stats["n1"], stats["n2"]
         # Ney-Essen-Kneser estimate; degenerate corpora (no singleton
@@ -258,11 +264,21 @@ def perplexity(
     )
     p_cont_raw = F.coalesce(F.col("n_prec"), F.lit(0)) / F.lit(lm.n_types)
     p_cont = F.when(p_cont_raw > 0, p_cont_raw).otherwise(F.lit(floor))
-    p = F.when(F.col("cnt_c").isNull(), p_cont).otherwise(
+    p_raw = F.when(F.col("cnt_c").isNull(), p_cont).otherwise(
         F.greatest(F.coalesce(F.col("cnt"), F.lit(0)) - F.lit(D), F.lit(0.0))
         / F.col("cnt_c")
         + (F.lit(D) * F.col("n_succ") / F.col("cnt_c")) * p_cont
     )
+    # keep the score TOTAL at D == 0 (Ney estimate with no singleton
+    # types, or an explicit discount=0.0): an unseen bigram under a
+    # seen context then has p == 0, and F.log(0) is NULL, which sum()
+    # would silently skip while n_tokens still counts the token —
+    # perplexity would be silently UNDERestimated. Floor to the same
+    # deterministic 1/(vocab_size+1) the unseen-vocab corner uses; for
+    # any D > 0 the seen-context branch is strictly positive (n_succ
+    # >= 1 and p_cont > 0), so this branch never fires and the IEEE
+    # tree the oracle replays is value-identical.
+    p = F.when(p_raw > F.lit(0.0), p_raw).otherwise(F.lit(floor))
     per_doc = joined.groupBy(id_col).agg(
         F.count(F.lit(1)).alias(out_tokens), F.sum(F.log(p)).alias(out_logprob)
     )
@@ -374,7 +390,11 @@ def lm_read(spark: SparkSession, path: str) -> BigramKN:
         name: spark.read.parquet(os.path.join(path, name))
         for name in _LM_SUBTABLES
     }
-    if not (0.0 <= float(meta["discount"]) < 1.0) or not math.isfinite(
+    # D == 1.0 is the valid all-mass-backs-off corner (the Ney estimate
+    # hits it when n2 == 0) — train_bigram_kn accepts it and lm_write
+    # persists it, so the read-side guard must too (same bound as
+    # lm3_read); only out-of-range or non-finite values are corrupt
+    if not (0.0 <= float(meta["discount"]) <= 1.0) or not math.isfinite(
         float(meta["discount"])
     ):
         raise ValueError(f"corrupt LM meta: discount={meta['discount']}")
@@ -501,20 +521,29 @@ def train_trigram_kn(
     )
     cont1 = cont2.groupBy("w").agg(F.count(F.lit(1)).alias("n_prec"))
 
-    st3 = tri.agg(
-        F.count_if(F.col("cnt") == 1).alias("n1"),
-        F.count_if(F.col("cnt") == 2).alias("n2"),
-    ).head()
-    st2 = cont2.agg(
-        F.count(F.lit(1)).alias("n_bitypes"),
-        F.count_if(F.col("ckn") == 1).alias("n1"),
-        F.count_if(F.col("ckn") == 2).alias("n2"),
-    ).head()
-    vocab_size = vocab.count()
+    # ONE action for all six training scalars (the bigram-trainer
+    # discipline): three single-row aggregates cross-joined into one
+    # row, one job-submission round-trip
+    st = (
+        tri.agg(
+            F.count_if(F.col("cnt") == 1).alias("n1_3"),
+            F.count_if(F.col("cnt") == 2).alias("n2_3"),
+        )
+        .crossJoin(
+            cont2.agg(
+                F.count(F.lit(1)).alias("n_bitypes"),
+                F.count_if(F.col("ckn") == 1).alias("n1_2"),
+                F.count_if(F.col("ckn") == 2).alias("n2_2"),
+            )
+        )
+        .crossJoin(vocab.agg(F.count(F.lit(1)).alias("vsize")))
+        .head()
+    )
+    vocab_size = st["vsize"]
     if d3 is None:
-        d3 = st3["n1"] / (st3["n1"] + 2 * st3["n2"]) if (st3["n1"] + 2 * st3["n2"]) > 0 else 0.75
+        d3 = st["n1_3"] / (st["n1_3"] + 2 * st["n2_3"]) if (st["n1_3"] + 2 * st["n2_3"]) > 0 else 0.75
     if d2 is None:
-        d2 = st2["n1"] / (st2["n1"] + 2 * st2["n2"]) if (st2["n1"] + 2 * st2["n2"]) > 0 else 0.75
+        d2 = st["n1_2"] / (st["n1_2"] + 2 * st["n2_2"]) if (st["n1_2"] + 2 * st["n2_2"]) > 0 else 0.75
     for name, d in (("d3", d3), ("d2", d2)):
         # D == 1 is valid KN (all observed mass discounts away and the
         # order backs off entirely — conservation still holds since
@@ -528,7 +557,7 @@ def train_trigram_kn(
         cont2=cont2,
         ctx2=ctx2,
         cont1=cont1,
-        n_bitypes=st2["n_bitypes"],
+        n_bitypes=st["n_bitypes"],
         vocab_size=vocab_size,
         d3=float(d3),
         d2=float(d2),
@@ -596,11 +625,19 @@ def perplexity3(
         / F.col("ckn_v")
         + (F.lit(d2) * F.col("n_succ2") / F.col("ckn_v")) * p_cont
     )
-    p = F.when(F.col("cnt_uv").isNull(), p_kn2).otherwise(
+    p_raw = F.when(F.col("cnt_uv").isNull(), p_kn2).otherwise(
         F.greatest(F.coalesce(F.col("cnt"), F.lit(0)) - F.lit(d3), F.lit(0.0))
         / F.col("cnt_uv")
         + (F.lit(d3) * F.col("n_succ3") / F.col("cnt_uv")) * p_kn2
     )
+    # same D == 0 total-score floor as the bigram scorer: with d3 == 0
+    # (or d2 == 0 one level down) an unseen n-gram under a seen context
+    # yields p == 0 and log(0) is NULL, silently skipped by sum() —
+    # floor the FINAL probability once (p_kn2 can only be 0 when its
+    # own seen branch is, so one floor at the top covers both levels;
+    # for d3, d2 > 0 it never fires and the expression is
+    # value-identical)
+    p = F.when(p_raw > F.lit(0.0), p_raw).otherwise(F.lit(floor))
     per_doc = joined.groupBy(id_col).agg(
         F.count(F.lit(1)).alias(out_tokens), F.sum(F.log(p)).alias(out_logprob)
     )

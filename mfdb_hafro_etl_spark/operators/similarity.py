@@ -790,18 +790,44 @@ def ivf_index_publish(
     from mfdb_hafro_etl_spark.localrel import local_df
 
     def _retire(table: str) -> None:
-        # DROP covers a catalog-known table; the rmtree covers the
-        # ORPHAN case — a managed-table location left by an earlier
-        # session whose (in-memory/derby) catalog is gone, which makes
-        # saveAsTable fail with LOCATION_ALREADY_EXISTS even though
-        # the current catalog has never heard of the name
+        # DROP covers a catalog-known table under the current database.
+        # The ORPHAN case — a managed-table location left by an earlier
+        # session whose (in-memory/derby) catalog is gone — is handled
+        # lazily by _save_table below: an unconditional rmtree here
+        # (the r9 shape) would delete an unrelated directory that
+        # merely shares the table's name under the warehouse root
+        # (r9 ADVICE), so nothing is removed unless saveAsTable
+        # actually fails on the stale location.
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+    def _save_table(writer, table: str) -> None:
+        # saveAsTable, reclaiming an ORPHAN location exactly when it
+        # blocks the write: the retry path fires only on the
+        # location-exists failure (a location the current catalog does
+        # not reference — the DROP above already covered referenced
+        # ones), and the path comes from the catalog's DATABASE
+        # location, not warehouse-root + lowercased name, so non-flat
+        # layouts and db-prefixed names resolve correctly
+        try:
+            writer.saveAsTable(table)
+            return
+        except Exception as exc:
+            msg = str(exc)
+            if "LOCATION_ALREADY_EXISTS" not in msg and "already exists" not in msg:
+                raise
         import shutil
         from urllib.parse import urlparse
 
-        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-        if wh:
-            shutil.rmtree(os.path.join(wh, table.lower()), ignore_errors=True)
+        db = table.rsplit(".", 1)[0] if "." in table else spark.catalog.currentDatabase()
+        name = table.rsplit(".", 1)[-1]
+        db_loc = urlparse(spark.catalog.getDatabase(db).locationUri).path
+        if not db_loc:
+            raise RuntimeError(
+                f"cannot reclaim orphan location for {table}: database "
+                f"{db} has a non-filesystem location"
+            )
+        shutil.rmtree(os.path.join(db_loc, name.lower()), ignore_errors=True)
+        writer.saveAsTable(table)
 
     meta = _ivf_read_marker(path)  # loud on a half-built source index
     _retire(f"{table_prefix}_meta")
@@ -809,33 +835,36 @@ def ivf_index_publish(
     _retire(f"{table_prefix}_centroids")
     vectors = spark.read.parquet(os.path.join(path, "vectors"))
     n_cents = int(meta.get("n_centroids", 16))
-    (
+    _save_table(
         vectors.repartition(n_cents, F.col("__cid__"))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "static")
         .partitionBy("__cid__")
-        .format("parquet")
-        .saveAsTable(f"{table_prefix}_vectors")
+        .format("parquet"),
+        f"{table_prefix}_vectors",
     )
-    (
+    _save_table(
         spark.read.parquet(os.path.join(path, "centroids"))
         .coalesce(1)
         .write.mode("overwrite")
-        .format("parquet")
-        .saveAsTable(f"{table_prefix}_centroids")
+        .format("parquet"),
+        f"{table_prefix}_centroids",
     )
-    local_df(
-        spark,
-        [
-            (
-                int(meta.get("n_centroids", 0)),
-                int(meta.get("kmeans_iters", 0)),
-                int(meta.get("rows_at_build", 0)),
-                int(meta.get("dims", 0)),
-            )
-        ],
-        "n_centroids INT, kmeans_iters INT, rows_at_build INT, dims INT",
-    ).write.mode("overwrite").format("parquet").saveAsTable(f"{table_prefix}_meta")
+    _save_table(
+        local_df(
+            spark,
+            [
+                (
+                    int(meta.get("n_centroids", 0)),
+                    int(meta.get("kmeans_iters", 0)),
+                    int(meta.get("rows_at_build", 0)),
+                    int(meta.get("dims", 0)),
+                )
+            ],
+            "n_centroids INT, kmeans_iters INT, rows_at_build INT, dims INT",
+        ).write.mode("overwrite").format("parquet"),
+        f"{table_prefix}_meta",
+    )
 
 
 def _ivf_catalog_meta(spark, table_prefix: str) -> dict:

@@ -968,8 +968,8 @@ spairs AS (
   LEFT JOIN vocab vc ON p.c = vc.w
   LEFT JOIN vocab vw ON p.w = vw.w
 ),
-probs AS (
-  SELECT s.doc_id,
+praw AS (
+  SELECT s.doc_id, std.floor_p,
          CASE WHEN cx.cnt_c IS NULL THEN
                 CASE WHEN coalesce(ct.n_prec, 0) / std.n_types > 0
                      THEN coalesce(ct.n_prec, 0) / std.n_types
@@ -979,12 +979,19 @@ probs AS (
                      CASE WHEN coalesce(ct.n_prec, 0) / std.n_types > 0
                           THEN coalesce(ct.n_prec, 0) / std.n_types
                           ELSE std.floor_p END
-         END AS p
+         END AS p_raw
   FROM spairs s
   CROSS JOIN std
   LEFT JOIN bigrams bg ON s.c = bg.c AND s.w = bg.w
   LEFT JOIN contexts cx ON s.c = cx.c
   LEFT JOIN cont ct ON s.w = ct.w
+),
+-- D == 0 total-score floor (mirrors lm.perplexity): never fires for
+-- D > 0, value-identical IEEE tree on this fixture
+probs AS (
+  SELECT doc_id,
+         CASE WHEN p_raw > 0 THEN p_raw ELSE floor_p END AS p
+  FROM praw
 ),
 agg AS (
   SELECT doc_id, count(*) AS n_tokens, sum(ln(p)) AS logprob

@@ -361,3 +361,58 @@ def test_lm3_write_read_round_trip_and_order_guard(spark, corpus, model3, tmp_pa
     os.remove(os.path.join(path, "_lm_meta.json"))
     with pytest.raises(FileNotFoundError, match="torn"):
         lm.lm3_read(spark, path)
+
+
+def test_d_equals_one_round_trip(spark, tmp_path):
+    """Regression (r9 ADVICE): the Ney estimate hits D == 1.0 when
+    n2 == 0 (every bigram type a singleton); train accepts it and
+    lm_write persists it, so lm_read must too — the old `< 1.0`
+    read-guard failed a legitimately trained model's own round
+    trip."""
+    # every bigram type occurs exactly once -> n1 > 0, n2 == 0 -> D = 1
+    corpus1 = spark.createDataFrame(
+        [(1, "aa bb cc"), (2, "bb aa"), (3, "cc aa")],
+        "doc_id long, text string",
+    )
+    m = lm.train_bigram_kn(corpus1, min_count=1, persist=False)
+    assert m.discount == 1.0
+    path = str(tmp_path / "lm_d1")
+    lm.lm_write(m, path)
+    loaded = lm.lm_read(spark, path)
+    assert loaded.discount == 1.0
+    a = _ppl_map(lm.perplexity(corpus1, m))
+    b = _ppl_map(lm.perplexity(corpus1, loaded))
+    assert a == b
+
+
+def test_d_equals_zero_score_stays_total(spark, corpus):
+    """Regression (r9 ADVICE): with D == 0 an unseen bigram under a
+    SEEN context used to yield p == 0 -> log(0) == NULL, which sum()
+    silently skipped while n_tokens still counted the token —
+    perplexity silently UNDERestimated. The scorer now floors the
+    final probability at 1/(vocab_size+1), keeping the score total
+    (every token contributes a finite log-prob)."""
+    m = lm.train_bigram_kn(corpus, min_count=2, discount=0.0, persist=False)
+    assert m.discount == 0.0
+    # 'the' is a trained context; 'the dog' and 'the fish' are seen
+    # bigrams but 'the log'... pick a pair definitely absent: 'cat'
+    # followed by 'dog' never occurs, both in vocab
+    probe = spark.createDataFrame(
+        [(1, "cat dog"), (2, "the cat")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in lm.perplexity(probe, m).collect()}
+    for r in rows.values():
+        assert r["logprob"] is not None
+        assert math.isfinite(r["logprob"])
+        assert r["ppl"] is not None and math.isfinite(r["ppl"])
+    # the unseen-pair doc must look WORSE (higher ppl), not silently
+    # better via the dropped token
+    assert rows[1]["ppl"] > rows[2]["ppl"]
+    # trigram scorer: same totality contract at d3 == d2 == 0
+    m3 = lm.train_trigram_kn(
+        corpus, min_count=2, d3=0.0, d2=0.0, persist=False
+    )
+    rows3 = {r["doc_id"]: r for r in lm.perplexity3(probe, m3).collect()}
+    for r in rows3.values():
+        assert r["logprob"] is not None and math.isfinite(r["logprob"])
+        assert r["ppl"] is not None and math.isfinite(r["ppl"])

@@ -784,3 +784,44 @@ def test_ivf_publish_retires_meta_first_and_guards_torn(spark, tmp_path):
         ann_ivf_topk_catalog(spark, "t_ivf_torn", q, k=3)
     ivf_index_publish(spark, path, "t_ivf_torn")
     assert ann_ivf_topk_catalog(spark, "t_ivf_torn", q, k=3).count() == 3
+
+
+def test_ivf_publish_reclaims_orphan_only_when_blocking(spark, tmp_path):
+    """Regression (r9 ADVICE): publish used to rmtree
+    <warehouse>/<table_name> unconditionally before every save. Now a
+    stale location is reclaimed ONLY when saveAsTable actually fails
+    on it (the orphan case: a managed-table directory left by an
+    earlier session whose catalog is gone), and the path is derived
+    from the catalog database location. Both halves pinned here: an
+    orphan directory at the managed location is reclaimed and the
+    publish succeeds; an unrelated directory NOT at any published
+    table's location survives the publish byte-for-byte."""
+    import os
+    from urllib.parse import urlparse
+
+    from mfdb_hafro_etl_spark.operators.similarity import (
+        ann_ivf_topk_catalog,
+        ivf_index_publish,
+    )
+
+    path = _build_ivf(spark, tmp_path)
+    db_loc = urlparse(
+        spark.catalog.getDatabase(spark.catalog.currentDatabase()).locationUri
+    ).path
+    # orphan: a directory at the meta table's managed location with no
+    # catalog entry behind it
+    orphan = os.path.join(db_loc, "t_ivf_orphan_meta")
+    os.makedirs(orphan, exist_ok=True)
+    with open(os.path.join(orphan, "stale.txt"), "w") as fh:
+        fh.write("leftover from a lost catalog")
+    # bystander: same warehouse, similar name, NOT a published table
+    bystander = os.path.join(db_loc, "t_ivf_orphan_meta_backup")
+    os.makedirs(bystander, exist_ok=True)
+    with open(os.path.join(bystander, "precious.txt"), "w") as fh:
+        fh.write("must survive")
+    ivf_index_publish(spark, path, "t_ivf_orphan")
+    q = [0.1] * 8
+    assert ann_ivf_topk_catalog(spark, "t_ivf_orphan", q, k=3).count() == 3
+    assert os.path.exists(os.path.join(bystander, "precious.txt"))
+    with open(os.path.join(bystander, "precious.txt")) as fh:
+        assert fh.read() == "must survive"
