@@ -1032,3 +1032,167 @@ def x_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         lmod.ppl_bucket(ppl_r, 29.2, 30.1).alias("bucket"),
     )
     return pin_to_result(out, [m.vocab, m.bigrams])
+
+
+# ------------------------------------------- trigram KN quality filter
+# The INTERPOLATED TRIGRAM Kneser-Ney scorer (operators/lm.py:
+# train_trigram_kn + perplexity3 — Chen & Goodman 1999 §4: raw counts
+# at the highest order, CONTINUATION counts at the middle order, the
+# unigram continuation distribution at the bottom, per-order
+# Ney-Essen-Kneser discounts). The oracle re-derives the ENTIRE model
+# — vocabulary, unk-mapped trigram counts, both continuation tables,
+# both discounts — and replays the identical depth-3 IEEE CASE (same
+# literals, same association: each level's seen branch is
+# greatest(c - D, 0)/total + (D * n_succ / total) * p_lower, with the
+# bigram oracle's D == 0 total-score floor applied once at the top).
+# Thresholds 17.9/19.7 sit at the sf0.01 terciles (p33≈17.87,
+# p67≈19.68), in visible gaps from every document's rounded value;
+# the distribution shifts right with corpus size (sf0.1 min ≈ 18.3),
+# which only moves bucket shares, never parity — the bucket is a pure
+# function of the already-hash-verified 6dp-rounded ppl on both
+# sides.
+_LM3_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+flat AS (
+  SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS pos
+  FROM tok WHERE len(toks) > 0
+),
+tflat AS (SELECT * FROM flat WHERE doc_id % 5 > 0),
+uni AS (SELECT w, count(*) AS cnt FROM tflat GROUP BY w),
+vocab AS (SELECT w FROM uni WHERE cnt >= 2),
+ttrip AS (
+  SELECT CASE WHEN t.u = '<s>' THEN '<s>' ELSE coalesce(vu.w, '<unk>') END AS u,
+         CASE WHEN t.v = '<s>' THEN '<s>' ELSE coalesce(vv.w, '<unk>') END AS v,
+         coalesce(vw.w, '<unk>') AS w
+  FROM (
+    SELECT doc_id, w,
+           coalesce(lag(w, 2) OVER (PARTITION BY doc_id ORDER BY pos), '<s>') AS u,
+           coalesce(lag(w, 1) OVER (PARTITION BY doc_id ORDER BY pos), '<s>') AS v
+    FROM tflat
+  ) t
+  LEFT JOIN vocab vu ON t.u = vu.w
+  LEFT JOIN vocab vv ON t.v = vv.w
+  LEFT JOIN vocab vw ON t.w = vw.w
+),
+tri AS (SELECT u, v, w, count(*) AS cnt FROM ttrip GROUP BY u, v, w),
+ctx3 AS (
+  SELECT u, v, CAST(sum(cnt) AS BIGINT) AS cnt_uv, count(*) AS n_succ3
+  FROM tri GROUP BY u, v
+),
+cont2 AS (SELECT v, w, count(*) AS ckn FROM tri GROUP BY v, w),
+ctx2 AS (
+  SELECT v, CAST(sum(ckn) AS BIGINT) AS ckn_v, count(*) AS n_succ2
+  FROM cont2 GROUP BY v
+),
+cont1 AS (SELECT w, count(*) AS n_prec FROM cont2 GROUP BY w),
+st AS (
+  SELECT (SELECT count(*) FROM cont2) AS n_bitypes,
+         (SELECT count(*) FROM vocab) AS vsize,
+         (SELECT count(*) FROM tri WHERE cnt = 1) AS n1_3,
+         (SELECT count(*) FROM tri WHERE cnt = 2) AS n2_3,
+         (SELECT count(*) FROM cont2 WHERE ckn = 1) AS n1_2,
+         (SELECT count(*) FROM cont2 WHERE ckn = 2) AS n2_2
+),
+std AS (
+  SELECT n_bitypes,
+         CASE WHEN n1_3 + 2 * n2_3 > 0 THEN n1_3 / (n1_3 + 2 * n2_3) ELSE 0.75 END AS d3,
+         CASE WHEN n1_2 + 2 * n2_2 > 0 THEN n1_2 / (n1_2 + 2 * n2_2) ELSE 0.75 END AS d2,
+         1.0 / (vsize + 1) AS floor_p
+  FROM st
+),
+strip AS (
+  SELECT t.doc_id,
+         CASE WHEN t.u = '<s>' THEN '<s>' ELSE coalesce(vu.w, '<unk>') END AS u,
+         CASE WHEN t.v = '<s>' THEN '<s>' ELSE coalesce(vv.w, '<unk>') END AS v,
+         coalesce(vw.w, '<unk>') AS w
+  FROM (
+    SELECT doc_id, w,
+           coalesce(lag(w, 2) OVER (PARTITION BY doc_id ORDER BY pos), '<s>') AS u,
+           coalesce(lag(w, 1) OVER (PARTITION BY doc_id ORDER BY pos), '<s>') AS v
+    FROM flat
+  ) t
+  LEFT JOIN vocab vu ON t.u = vu.w
+  LEFT JOIN vocab vv ON t.v = vv.w
+  LEFT JOIN vocab vw ON t.w = vw.w
+),
+pl1 AS (
+  SELECT s.doc_id, std.floor_p, std.d2, std.d3,
+         tg.cnt, x3.cnt_uv, x3.n_succ3,
+         c2.ckn, x2.ckn_v, x2.n_succ2,
+         CASE WHEN coalesce(c1.n_prec, 0) / std.n_bitypes > 0
+              THEN coalesce(c1.n_prec, 0) / std.n_bitypes
+              ELSE std.floor_p END AS p_cont
+  FROM strip s
+  CROSS JOIN std
+  LEFT JOIN tri tg ON s.u = tg.u AND s.v = tg.v AND s.w = tg.w
+  LEFT JOIN ctx3 x3 ON s.u = x3.u AND s.v = x3.v
+  LEFT JOIN cont2 c2 ON s.v = c2.v AND s.w = c2.w
+  LEFT JOIN ctx2 x2 ON s.v = x2.v
+  LEFT JOIN cont1 c1 ON s.w = c1.w
+),
+pl2 AS (
+  SELECT doc_id, floor_p, d3, cnt, cnt_uv, n_succ3,
+         CASE WHEN ckn_v IS NULL THEN p_cont
+              ELSE greatest(coalesce(ckn, 0) - d2, 0.0) / ckn_v
+                   + (d2 * n_succ2 / ckn_v) * p_cont
+         END AS p_kn2
+  FROM pl1
+),
+pl3 AS (
+  SELECT doc_id, floor_p,
+         CASE WHEN cnt_uv IS NULL THEN p_kn2
+              ELSE greatest(coalesce(cnt, 0) - d3, 0.0) / cnt_uv
+                   + (d3 * n_succ3 / cnt_uv) * p_kn2
+         END AS p_raw
+  FROM pl2
+),
+probs AS (
+  SELECT doc_id,
+         CASE WHEN p_raw > 0 THEN p_raw ELSE floor_p END AS p
+  FROM pl3
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_tokens, sum(ln(p)) AS logprob
+  FROM probs GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n_tokens, 0) AS n_tokens,
+       round(exp(-a.logprob / a.n_tokens), 6) AS ppl,
+       CASE WHEN round(exp(-a.logprob / a.n_tokens), 6) IS NULL THEN 'tail'
+            WHEN round(exp(-a.logprob / a.n_tokens), 6) < 17.9 THEN 'head'
+            WHEN round(exp(-a.logprob / a.n_tokens), 6) < 19.7 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM documents d
+LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+
+@register("x_lm3_perplexity", _LM3_SQL)
+def x_lm3_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram-KN quality filter end-to-end (operators/lm.py:
+    train_trigram_kn + perplexity3 + ppl_bucket): train on the clean
+    slice (doc_id % 5 > 0), score the whole corpus under the depth-3
+    interpolated-KN recursion, bucket by fixed cutoffs — the same
+    CCNet topology as x_lm_perplexity one order deeper, closing the
+    one operator family whose scale story was property-tested but
+    never bench-measured (r9 verdict #1). Scale shape: training is
+    two corpus scans + four hash aggregates (all type-sized), scoring
+    is five broadcast model joins + ONE doc-keyed shuffle."""
+    from mfdb_hafro_etl_spark.operators import lm as lmod
+    from mfdb_hafro_etl_spark.session import pin_to_result
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = lmod.train_trigram_kn(docs.filter(F.col("doc_id") % 5 > 0))
+    scored = lmod.perplexity3(docs, m)
+    ppl_r = F.round("ppl", 6)
+    out = scored.select(
+        "doc_id",
+        "n_tokens",
+        ppl_r.alias("ppl"),
+        lmod.ppl_bucket(ppl_r, 17.9, 19.7).alias("bucket"),
+    )
+    return pin_to_result(out, [m.vocab, m.tri, m.cont2])

@@ -135,6 +135,7 @@ COMBOS: dict[str, list[str]] = {
         "x_clean_repeats",
         "x_clean_decontam",
         "x_lm_perplexity",
+        "x_lm3_perplexity",
     ],
     "x_text_all": [
         "x_text_stats",
@@ -330,6 +331,7 @@ _ARM_COLS: dict[str, list[tuple[str, str]]] = {
     "x_clean_repeats": [("doc_id", "i"), ("cleaned", "s"), ("n_units", "i")],
     "x_clean_decontam": [("doc_id", "i"), ("n_shared_ngrams", "i")],
     "x_lm_perplexity": [("doc_id", "i"), ("n_tokens", "i"), ("ppl", "d"), ("bucket", "s")],
+    "x_lm3_perplexity": [("doc_id", "i"), ("n_tokens", "i"), ("ppl", "d"), ("bucket", "s")],
     "x_text_fingerprint": [("doc_id", "i"), ("fingerprint", "s")],
     "x_text_winnow": [("doc_id", "i"), ("fp", "i")],
     "x_text_chunks": [("doc_id", "i"), ("chunk_id", "i"), ("start", "i"), ("length", "i"), ("chunk_hash", "s")],
