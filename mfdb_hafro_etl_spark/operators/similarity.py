@@ -644,12 +644,21 @@ def build_ivf_index(
     # (ivf_index_append): appended vectors keep STALE centroids, so
     # recall silently degrades as the appended fraction grows
     rows_at_build = spark.read.parquet(os.path.join(path, "vectors")).count()
+    # build_id gives every (re)build a distinct identity: streaming
+    # ingest (ivf_ingest_handler) tags each batch's commit marker with
+    # it and enforces the recluster budget from the marker SUM for the
+    # CURRENT build only — markers from before a rebuild stop counting
+    # automatically, and no per-batch scan of the standing vectors
+    # table is ever needed (index-size-independent admission)
+    import uuid
+
     with open(marker, "w") as fh:
         json.dump(
             {
                 **params,
                 "rows_at_build": rows_at_build,
                 "dims": len(cents[0][1]) if cents else 0,
+                "build_id": uuid.uuid4().hex,
             },
             fh,
         )
@@ -760,11 +769,35 @@ def ivf_index_compact(spark, path: str) -> dict:
     back to scan-efficient sizes. Partition-local rewrites only
     (sinks.tables.compact_partitions, dynamic partition overwrite —
     cells untouched by appends are never rewritten); row set is
-    invariant. Returns the compaction report."""
+    invariant. Returns the compaction report.
+
+    MUTUAL EXCLUSION with streaming ingest (r9 verdict #5): the
+    streaming handler's exactly-once guarantee depends on each
+    uncommitted batch's deterministic ``ivfb_b<id>.parquet`` files
+    surviving until its commit marker exists — compacting them away
+    inside that crash window would make a redelivery re-append rows
+    the compacted files already hold. The handler marks in-flight
+    batches under ``<path>/_ingest_pending``; compaction REFUSES
+    while any sentinel exists (a crashed-and-never-restarted stream
+    leaves its sentinel behind deliberately: restart the stream so
+    the batch commits, or remove the sentinel manually after
+    verifying the batch's marker exists in the ingest log)."""
     import os
 
     from mfdb_hafro_etl_spark.sinks.tables import compact_partitions
 
+    pending_dir = os.path.join(path, "_ingest_pending")
+    if os.path.isdir(pending_dir):
+        pending = sorted(os.listdir(pending_dir))
+        if pending:
+            raise RuntimeError(
+                f"IVF index at {path} has in-flight streaming batches "
+                f"{pending} (sentinels under _ingest_pending): compacting "
+                "now could fold uncommitted batch files into compacted "
+                "files, and a crash-window redelivery would then "
+                "DUPLICATE those rows. Let the stream finish (or restart "
+                "it so the batches commit), then compact."
+            )
     return compact_partitions(spark, os.path.join(path, "vectors"), ["__cid__"])
 
 

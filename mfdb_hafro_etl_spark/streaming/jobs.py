@@ -1022,15 +1022,31 @@ def ivf_ingest_handler(
     the normal redelivery; the rename discipline covers the window
     the marker can't.
 
-    The volumetric recluster budget is enforced PER BATCH: when total
-    appended rows (net of this batch's own prior crash-window files)
-    would exceed ``max_appended_frac`` of the marker's rows_at_build,
-    the handler RAISES — failing the stream loudly mid-run — because
-    appended vectors are quantized by stale centroids and recall
-    degrades silently past the budget (the r8 no-warn-and-proceed
-    discipline). Rebuild with build_ivf_index(..., rebuild=True),
-    which resets the budget, then restart the stream."""
+    The volumetric recluster budget is enforced PER BATCH from the
+    COMMIT LOG, not the standing table (r9 verdict #2): each batch's
+    marker records its appended-row count tagged with the index's
+    build_id, and admission sums the markers for the CURRENT build —
+    O(#batches) driver-side reads, independent of index size. The
+    r9 shape (spark.read.parquet(vectors).count() plus a crash-window
+    glob every micro-batch) listed and footer-read every file of the
+    standing index per batch, which at a 100 TB index with 10⁵-10⁶
+    files becomes the ingest's dominant fixed cost. Semantics are
+    unchanged: a redelivered batch has no marker (its prior
+    crash-window files are overwritten by the deterministic renames,
+    so they must NOT count), markers from before a rebuild carry a
+    stale build_id and stop counting automatically, and availableNow
+    replays batches in order so every batch < N is marker-committed
+    when batch N is admitted. Legacy indexes (no build_id) and legacy
+    markers (pre-r10 "ok" bodies) fall back to the table-count path
+    once, loudly correct rather than silently wrong. When the budget
+    would be exceeded the handler RAISES — failing the stream loudly
+    mid-run — because appended vectors are quantized by stale
+    centroids and recall degrades silently past the budget (the r8
+    no-warn-and-proceed discipline). Rebuild with
+    build_ivf_index(..., rebuild=True), which resets the budget (new
+    build_id), then restart the stream."""
     import glob
+    import json
     import shutil
 
     from mfdb_hafro_etl_spark.operators.similarity import (
@@ -1041,7 +1057,25 @@ def ivf_ingest_handler(
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         marker = os.path.join(log_dir, "_commits", str(batch_id))
+        # compaction mutual exclusion (r9 verdict #5): the exactly-once
+        # proof relies on this batch's deterministic ivfb_b<id>.parquet
+        # names SURVIVING until the commit marker exists — if
+        # ivf_index_compact consumed them inside the crash window, a
+        # redelivery would re-append rows the compacted files already
+        # hold. The sentinel under <index>/_ingest_pending is written
+        # before the first rename and removed only after the marker is
+        # durable; ivf_index_compact refuses while any sentinel exists.
+        pending = os.path.join(
+            index_path, "_ingest_pending", f"b{batch_id}"
+        )
         if os.path.exists(marker):
+            # a crash between the marker write and the sentinel removal
+            # leaves the sentinel behind; the short-circuit clears it so
+            # compaction unblocks without operator intervention
+            try:
+                os.remove(pending)
+            except FileNotFoundError:
+                pass
             return
         meta = _ivf_read_marker(index_path)  # loud on a torn index
         if "rows_at_build" not in meta or "dims" not in meta:
@@ -1073,15 +1107,40 @@ def ivf_ingest_handler(
                     )
                 token = f"b{batch_id}"
                 vectors = os.path.join(index_path, "vectors")
-                prior = glob.glob(
-                    os.path.join(vectors, "__cid__=*", f"ivfb_{token}.parquet")
-                )
-                n_prior = (
-                    spark.read.parquet(*prior).count() if prior else 0
-                )
-                current = spark.read.parquet(vectors).count()
                 rows_at_build = int(meta["rows_at_build"])
-                appended_after = current - n_prior + n_rows - rows_at_build
+                build_id = meta.get("build_id")
+                commits_dir = os.path.join(log_dir, "_commits")
+                committed = 0
+                legacy = build_id is None
+                if not legacy and os.path.isdir(commits_dir):
+                    for mname in os.listdir(commits_dir):
+                        if mname.endswith(".tmp"):
+                            continue
+                        try:
+                            with open(os.path.join(commits_dir, mname)) as fh:
+                                rec = json.loads(fh.read())
+                        except (OSError, ValueError):
+                            # pre-r10 "ok" marker: its appended count is
+                            # unknowable from the log — fall back to the
+                            # table-count path for this admission
+                            legacy = True
+                            break
+                        if rec.get("build_id") == build_id:
+                            committed += int(rec.get("n_appended", 0))
+                if legacy:
+                    # index or markers predate commit-log accounting:
+                    # the r9 table-scan path, correct but O(index files)
+                    prior = glob.glob(
+                        os.path.join(
+                            vectors, "__cid__=*", f"ivfb_{token}.parquet"
+                        )
+                    )
+                    n_prior = (
+                        spark.read.parquet(*prior).count() if prior else 0
+                    )
+                    current = spark.read.parquet(vectors).count()
+                    committed = current - n_prior - rows_at_build
+                appended_after = committed + n_rows
                 if rows_at_build and appended_after > max_appended_frac * rows_at_build:
                     raise ValueError(
                         f"IVF streaming ingest at batch {batch_id}: appending "
@@ -1110,6 +1169,13 @@ def ivf_ingest_handler(
                     .partitionBy("__cid__")
                     .parquet(staging)
                 )
+                # block compaction from here until the marker is
+                # durable: renamed-but-uncommitted batch files must not
+                # be folded into compacted files (see sentinel note at
+                # the top of handle)
+                os.makedirs(os.path.dirname(pending), exist_ok=True)
+                with open(pending, "w") as fh:
+                    fh.write(token)
                 for cdir in sorted(os.listdir(staging)):
                     if not cdir.startswith("__cid__="):
                         continue
@@ -1150,8 +1216,19 @@ def ivf_ingest_handler(
         os.makedirs(os.path.dirname(marker), exist_ok=True)
         tmp = marker + ".tmp"
         with open(tmp, "w") as fh:
-            fh.write("ok")
+            # the marker IS the commit log: n_appended tagged with the
+            # build it was appended under, so later batches enforce the
+            # recluster budget from the marker sum without scanning the
+            # standing vectors table
+            json.dump(
+                {"n_appended": n_rows, "build_id": meta.get("build_id")}, fh
+            )
         os.replace(tmp, marker)
+        # marker durable -> this batch's files may now be compacted
+        try:
+            os.remove(pending)
+        except FileNotFoundError:
+            pass
 
     return handle
 

@@ -825,3 +825,188 @@ def test_ivf_publish_reclaims_orphan_only_when_blocking(spark, tmp_path):
     assert os.path.exists(os.path.join(bystander, "precious.txt"))
     with open(os.path.join(bystander, "precious.txt")) as fh:
         assert fh.read() == "must survive"
+
+
+def test_ivf_ingest_budget_from_commit_log(spark, tmp_path, monkeypatch):
+    """r9 verdict #2: budget admission must be index-size-independent.
+    The handler derives appended-row counts from the commit markers
+    (n_appended tagged with the index's build_id), so admitting a
+    batch never lists or reads the standing vectors table. Pinned by
+    file-access instrumentation: a spy on DataFrameReader.parquet
+    records every read path during handler runs and the vectors root
+    must not appear. Also pins: marker-sum == table-count delta after
+    N batches, no double-count under crash-window redelivery, budget
+    reset across a rebuild (stale build_id markers stop counting),
+    and the legacy-marker fallback."""
+    import json
+
+    import pytest
+    from pyspark.sql.readwriter import DataFrameReader
+
+    from mfdb_hafro_etl_spark.operators.similarity import (
+        _ivf_read_marker,
+        build_ivf_index,
+    )
+    from mfdb_hafro_etl_spark.streaming.jobs import ivf_ingest_handler
+
+    path = _build_ivf(spark, tmp_path)  # 40 built rows
+    logd = str(tmp_path / "log_cl")
+    vectors_root = os.path.join(path, "vectors")
+    handle = ivf_ingest_handler(path, logd, max_appended_frac=0.5)  # 20
+
+    seen: list[str] = []
+    orig = DataFrameReader.parquet
+
+    def spy(self, *paths, **kw):
+        seen.extend(paths)
+        return orig(self, *paths, **kw)
+
+    monkeypatch.setattr(DataFrameReader, "parquet", spy)
+
+    handle(_emb_df(spark, range(0, 8)), 0)
+    handle(_emb_df(spark, range(8, 16)), 1)
+    assert vectors_root not in seen, (
+        "admission read the standing vectors table — budget accounting "
+        "regressed to the O(index files) per-batch scan"
+    )
+    # markers are the commit log: n_appended + the build they belong to
+    build_id = _ivf_read_marker(path)["build_id"]
+    recs = [
+        json.loads(open(os.path.join(logd, "_commits", str(i))).read())
+        for i in (0, 1)
+    ]
+    assert [r["n_appended"] for r in recs] == [8, 8]
+    assert all(r["build_id"] == build_id for r in recs)
+    # marker sum equals the true appended delta
+    monkeypatch.setattr(DataFrameReader, "parquet", orig)
+    assert len(_vec_rows(spark, path)) == 56  # 40 + 8 + 8
+    monkeypatch.setattr(DataFrameReader, "parquet", spy)
+    # third batch would cross the 50% budget (16 + 8 > 20): refuse,
+    # still without touching the vectors table
+    seen.clear()
+    with pytest.raises(ValueError, match="recluster budget"):
+        handle(_emb_df(spark, range(16, 24)), 2)
+    assert vectors_root not in seen
+    assert not os.path.exists(os.path.join(logd, "_commits", "2"))
+    # crash-window redelivery must not double-count: batch 1's marker
+    # lost, redelivered -> marker restored with the same count, table
+    # unchanged, and the budget refusal above still holds
+    os.remove(os.path.join(logd, "_commits", "1"))
+    handle(_emb_df(spark, range(8, 16)), 1)
+    rec1 = json.loads(open(os.path.join(logd, "_commits", "1")).read())
+    assert rec1["n_appended"] == 8
+    monkeypatch.setattr(DataFrameReader, "parquet", orig)
+    assert len(_vec_rows(spark, path)) == 56
+    # rebuild resets the budget: new build_id, old markers stop
+    # counting, so the previously-refused batch admits (8 <= 0.5 * 64)
+    build_ivf_index(
+        spark.read.parquet(vectors_root).select("vec_id", "embedding"),
+        path,
+        n_centroids=4,
+        kmeans_iters=0,
+        rebuild=True,
+    )
+    assert _ivf_read_marker(path)["build_id"] != build_id
+    handle(_emb_df(spark, range(16, 24)), 2)
+    assert len(_vec_rows(spark, path)) == 64  # 56 rebuilt + 8
+    # legacy fallback: a pre-r10 "ok" marker makes the sum unknowable
+    # from the log — the handler must fall back to the table-count
+    # path (reads vectors once) and still enforce correctly
+    with open(os.path.join(logd, "_commits", "2"), "w") as fh:
+        fh.write("ok")
+    monkeypatch.setattr(DataFrameReader, "parquet", spy)
+    seen.clear()
+    handle(_emb_df(spark, range(24, 28)), 3)
+    assert vectors_root in seen  # the documented legacy cost
+    monkeypatch.setattr(DataFrameReader, "parquet", orig)
+    assert len(_vec_rows(spark, path)) == 68
+
+
+def test_ivf_compact_refuses_mid_crash_window(spark, tmp_path):
+    """r9 verdict #5, IVF family: the exactly-once rename discipline
+    requires an uncommitted batch's ivfb_b<id>.parquet files to
+    SURVIVE until its marker exists — compaction inside that crash
+    window would fold them into compacted files, and the redelivery
+    would re-append the rows. The handler marks in-flight batches
+    under <index>/_ingest_pending; ivf_index_compact refuses while
+    any sentinel exists, and the sentinel lifecycle self-heals: the
+    post-marker short-circuit clears a sentinel orphaned by a crash
+    after the marker write."""
+    import pytest
+
+    from mfdb_hafro_etl_spark.operators.similarity import ivf_index_compact
+    from mfdb_hafro_etl_spark.streaming.jobs import ivf_ingest_handler
+
+    path = _build_ivf(spark, tmp_path)
+    logd = str(tmp_path / "log_mx")
+    handle = ivf_ingest_handler(path, logd, max_appended_frac=1.0)
+    handle(_emb_df(spark, range(0, 8)), 0)
+    committed = _vec_rows(spark, path)
+    assert len(committed) == 48
+    # crash window: files renamed, marker lost, sentinel still present
+    os.remove(os.path.join(logd, "_commits", "0"))
+    pend = os.path.join(path, "_ingest_pending", "b0")
+    os.makedirs(os.path.dirname(pend), exist_ok=True)
+    open(pend, "w").write("b0")
+    with pytest.raises(RuntimeError, match="in-flight"):
+        ivf_index_compact(spark, path)
+    # redelivery converges (same rows), commits, and clears the sentinel
+    handle(_emb_df(spark, range(0, 8)), 0)
+    assert _vec_rows(spark, path) == committed
+    assert not os.path.exists(pend)
+    rep = ivf_index_compact(spark, path)  # now permitted
+    assert _vec_rows(spark, path) == committed  # row set invariant
+    assert "files_before" in str(rep) or isinstance(rep, dict)
+    # crash AFTER the marker but before sentinel removal: the marker
+    # short-circuit must clear the orphan so compaction unblocks
+    open(pend, "w").write("b0")
+    handle(_emb_df(spark, range(0, 8)), 0)  # marker present -> no-op
+    assert not os.path.exists(pend)
+    ivf_index_compact(spark, path)
+
+
+def test_lsh_compact_mid_crash_window_converges(spark, tmp_path):
+    """r9 verdict #5, LSH family: unlike IVF, the dedup index ABSORBS
+    duplicate rows (probes resolve min-id over the union, own-batch
+    matches are excluded), so compaction inside the crash window is
+    SAFE by semantics rather than forbidden by a sentinel — pinned
+    here as the property: compact after the append, lose the marker,
+    redeliver, and both the batch verdicts and a later probe are
+    identical to a never-crashed twin index."""
+    from mfdb_hafro_etl_spark.operators.dedup import (
+        dedup_against_index,
+        lsh_index_compact,
+    )
+    from mfdb_hafro_etl_spark.streaming.jobs import dedup_ingest_handler
+
+    index = _build_index(spark, tmp_path, "idx_mx")
+    twin = _build_index(spark, tmp_path, "idx_mx_twin")
+    vdir, vtwin = str(tmp_path / "v_mx"), str(tmp_path / "v_mx_twin")
+    handle = dedup_ingest_handler(index, vdir, "doc_id", "text")
+    handle_twin = dedup_ingest_handler(twin, vtwin, "doc_id", "text")
+    handle(_docs_df(spark, _B1), 0)
+    handle_twin(_docs_df(spark, _B1), 0)
+    # crash window + compaction mid-window, then redelivery
+    os.remove(os.path.join(vdir, "_commits", "0"))
+    lsh_index_compact(spark, index)
+    handle(_docs_df(spark, _B1), 0)
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(os.path.join(vdir, "batch_id=0")).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in spark.read.parquet(os.path.join(vtwin, "batch_id=0")).collect()
+    )
+    assert got == want
+    # later probes see identical verdicts despite the duplicated rows
+    probe = _docs_df(spark, [(99, _B1[1][1])])
+    a = sorted(
+        (r["doc_id"], r["dup_kind"], r["match_id"])
+        for r in dedup_against_index(spark, index, probe, "doc_id", "text").collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["dup_kind"], r["match_id"])
+        for r in dedup_against_index(spark, twin, probe, "doc_id", "text").collect()
+    )
+    assert a == b
