@@ -101,7 +101,19 @@ COMBOS: dict[str, list[str]] = {
         "x_dedup_spans",
         "x_stream_dedup_ingest",
     ],
-    "x_fingerprints": ["x_text_fingerprint", "x_text_winnow", "x_text_chunks"],
+    # x_lm3_perplexity rides the LIGHT fingerprint combo, and the
+    # CCNet corpus build pairs with its p12 baseline, rather than
+    # both folding into x_cleaning: a combo is ONE unioned plan, and
+    # nine arms carrying three LM model builds + a full corpus-build
+    # chain OOM a default-1g driver JVM (measured r10) — slot budget
+    # unchanged, peak memory per slot bounded
+    "p12_corpus_family": ["p12_corpus_build", "x_corpus_build_ccnet"],
+    "x_fingerprints": [
+        "x_text_fingerprint",
+        "x_text_winnow",
+        "x_text_chunks",
+        "x_lm3_perplexity",
+    ],
     "x_search_topk": [
         "x_embed_cosine_topk",
         "x_ann_lsh_topk",
@@ -135,7 +147,6 @@ COMBOS: dict[str, list[str]] = {
         "x_clean_repeats",
         "x_clean_decontam",
         "x_lm_perplexity",
-        "x_lm3_perplexity",
     ],
     "x_text_all": [
         "x_text_stats",
@@ -202,7 +213,7 @@ ORDER: list[str] = [
     "p9_shrimp_ldist",
     "p10_statlant",
     "p11_old_landings",
-    "p12_corpus_build",
+    "p12_corpus_family",
     # query API (mfdb_sample_* shapes)
     "m6_sample_count",
     "m6_totalweight_meanlength",
@@ -332,6 +343,8 @@ _ARM_COLS: dict[str, list[tuple[str, str]]] = {
     "x_clean_decontam": [("doc_id", "i"), ("n_shared_ngrams", "i")],
     "x_lm_perplexity": [("doc_id", "i"), ("n_tokens", "i"), ("ppl", "d"), ("bucket", "s")],
     "x_lm3_perplexity": [("doc_id", "i"), ("n_tokens", "i"), ("ppl", "d"), ("bucket", "s")],
+    "p12_corpus_build": [("split", "s"), ("n_docs", "i"), ("n_tokens", "i"), ("n_seqs", "i")],
+    "x_corpus_build_ccnet": [("split", "s"), ("n_docs", "i"), ("n_tokens", "i"), ("n_seqs", "i")],
     "x_text_fingerprint": [("doc_id", "i"), ("fingerprint", "s")],
     "x_text_winnow": [("doc_id", "i"), ("fp", "i")],
     "x_text_chunks": [("doc_id", "i"), ("chunk_id", "i"), ("start", "i"), ("length", "i"), ("chunk_hash", "s")],

@@ -1917,8 +1917,14 @@ def corpus_build(
     a numeric gopher-metric column (e.g. ``ttr``, ``n_tokens``) and
     each duplicate cluster keeps its highest-scoring member
     (dedup.cluster_representatives, min-id tie-break) instead of the
-    smallest id. Default None preserves the historical min-id policy
-    byte-identically (pinned)."""
+    smallest id. The special value ``"lm_neg_ppl"`` scores clusters
+    by NEGATED LM perplexity (requires ``lm_tail_min``: the gate's
+    scored frame is reused, costing nothing extra) — the full public
+    CCNet → dedup-keep-best composition: each near-dup cluster keeps
+    the member the clean-corpus LM finds LEAST surprising. Default
+    None preserves the historical min-id policy byte-identically
+    (pinned). Oracle-verified end-to-end by the x_corpus_build_ccnet
+    arm (x_cleaning combo)."""
     from mfdb_hafro_etl_spark.operators import cleaning as cl
     from mfdb_hafro_etl_spark.operators import sampling as sp
 
@@ -1931,18 +1937,37 @@ def corpus_build(
         & (F.col("top_bigram") <= 0.25)
         & (F.col("sym_ratio") <= 0.5)
     )
-    kept = docs.join(m.filter(keep).select("doc_id"), "doc_id")
+    # persist the rule filter's ID SET (id-sized, safe at any corpus
+    # scale): every downstream scan of `kept` — the exact-dedup pass,
+    # the s1 build, and (with the LM stage on) both training scans and
+    # the scoring scan — would otherwise re-run the gopher Arrow
+    # kernel over the full corpus; with the ids cached they re-read
+    # parquet + one broadcast semi-join. Pinned to the returned
+    # frame's lifetime (pin_to_result below).
+    rule_ids = m.filter(keep).select("doc_id").persist()
+    kept = docs.join(rule_ids, "doc_id")
+    scored_lm = None
+    lm_pins: list[DataFrame] = [rule_ids]
     if lm_tail_min is not None:
         from mfdb_hafro_etl_spark.operators import lm as lmod
 
+        # persist the type-sized model tables: the gate and the
+        # keep-best scoring both consume scored_lm, and an unpersisted
+        # model re-derives its corpus scans per consumer; the pin is
+        # scoped to the RETURNED frame's lifetime (pin_to_result
+        # below), the r7 eager-cache contract
         model = lmod.train_bigram_kn(
-            lm_train if lm_train is not None else kept, persist=False
+            lm_train if lm_train is not None else kept
         )
-        good = (
-            lmod.perplexity(kept, model)
-            .filter(F.col("ppl").isNotNull() & (F.col("ppl") < F.lit(lm_tail_min)))
-            .select("doc_id")
-        )
+        # score ONCE into a persisted doc-id-sized table: the gate,
+        # the exact-dedup/s1 rebuilds of `kept`, and the keep-best
+        # scoring all read it — without the pin each consumer re-runs
+        # the whole explode-and-join scoring subtree
+        scored_lm = lmod.perplexity(kept, model).select("doc_id", "ppl").persist()
+        lm_pins = [model.vocab, model.bigrams, scored_lm]
+        good = scored_lm.filter(
+            F.col("ppl").isNotNull() & (F.col("ppl") < F.lit(lm_tail_min))
+        ).select("doc_id")
         kept = kept.join(good, "doc_id")
     ex = kept.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("doc_id"))
     s1 = kept.join(ex.select("doc_id"), "doc_id").cache()
@@ -1952,10 +1977,23 @@ def corpus_build(
     clus = dd.duplicate_clusters(pairs)
     if keep_best_by is not None:
         # quality-aware keep-one: each near-dup cluster keeps its
-        # highest-scoring member by the named gopher-metric column
-        # (min-id tie-break) instead of the smallest id
+        # highest-scoring member (min-id tie-break) instead of the
+        # smallest id — scored by a gopher-metric column, or by the
+        # LM gate's negated perplexity (CCNet keep-best)
+        if keep_best_by == "lm_neg_ppl":
+            if scored_lm is None:
+                raise ValueError(
+                    "keep_best_by='lm_neg_ppl' needs the LM stage: pass "
+                    "lm_tail_min (the gate's scored frame supplies the "
+                    "cluster scores)"
+                )
+            score_table = scored_lm.select(
+                "doc_id", (-F.col("ppl")).alias("lm_neg_ppl")
+            )
+        else:
+            score_table = m.select("doc_id", keep_best_by)
         reps = dd.cluster_representatives(
-            clus, m.select("doc_id", keep_best_by), score_col=keep_best_by
+            clus, score_table, score_col=keep_best_by
         )
         dupes = clus.join(
             reps.select(F.col("keep_id").alias("doc_id")), "doc_id", "left_anti"
@@ -1992,7 +2030,223 @@ def corpus_build(
             "split", "n_docs", "n_tokens",
             F.coalesce(F.col("n_seqs"), F.lit(0)).cast("long").alias("n_seqs"),
         ),
-        [s1],
+        [s1] + lm_pins,
+    )
+
+
+# --------------------------- CCNet corpus-build (LM gate + keep-best)
+def _p12_ccnet_sql(tail_min: float = 32.0) -> str:
+    """The p12 oracle with the two CCNet stages switched ON: a bigram
+    Kneser-Ney LM trained on the rule-surviving docs gates the tail
+    (ppl >= tail_min dropped, BETWEEN the Gopher rules and dedup),
+    and each near-dup cluster keeps its LOWEST-perplexity member
+    (argmin ppl, min-id tie-break) instead of the smallest id. The LM
+    CTEs are the proven x_lm_perplexity template (same IEEE tree);
+    the pipeline CTEs are the proven p12 template; only the wiring
+    between them is new — which is exactly what this arm verifies."""
+    k, rpb = 8, 2
+    sig_cols = _minhash_sig_cols(k, indent="             ")
+    band_selects = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {val} AS val FROM sig".format(
+            b=b, val=" || ".join(f"h{b * rpb + r}" for r in range(rpb))
+        )
+        for b in range(k // rpb)
+    )
+    return f"""
+    WITH RECURSIVE
+    arr AS (SELECT doc_id, text, string_split(text, ' ') AS a FROM documents),
+    bi_all AS (
+      SELECT doc_id, concat_ws(' ', a[i], a[i + 1]) AS bg
+      FROM arr, unnest(generate_series(1, len(a) - 1)) t(i) WHERE len(a) >= 2
+    ),
+    bi AS (
+      SELECT doc_id, MAX(cnt) AS top_bi_cnt
+      FROM (SELECT doc_id, bg, COUNT(*) AS cnt FROM bi_all GROUP BY doc_id, bg)
+      GROUP BY doc_id
+    ),
+    m AS (
+      SELECT arr.doc_id, arr.text,
+             len(a) AS n_tokens,
+             CAST(len(list_distinct(a)) AS DOUBLE) / greatest(len(a), 1) AS ttr,
+             CAST(COALESCE(bi.top_bi_cnt, 0) AS DOUBLE) / greatest(len(a) - 1, 1) AS top_bigram,
+             CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+               / greatest(len(a), 1) AS sym_ratio
+      FROM arr LEFT JOIN bi ON arr.doc_id = bi.doc_id
+    ),
+    keepers AS MATERIALIZED (
+      SELECT doc_id, text FROM m
+      WHERE n_tokens >= 5 AND n_tokens <= 10000
+        AND ttr >= 0.2 AND top_bigram <= 0.25 AND sym_ratio <= 0.5
+    ),
+    ltok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+      FROM keepers
+    ),
+    lflat AS (
+      SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS pos
+      FROM ltok WHERE len(toks) > 0
+    ),
+    uni AS (SELECT w, count(*) AS cnt FROM lflat GROUP BY w),
+    vocab AS (SELECT w FROM uni WHERE cnt >= 2),
+    tpairs AS (
+      SELECT CASE WHEN p.c = '<s>' THEN '<s>' ELSE coalesce(vc.w, '<unk>') END AS c,
+             coalesce(vw.w, '<unk>') AS w
+      FROM (
+        SELECT doc_id, w,
+               coalesce(lag(w) OVER (PARTITION BY doc_id ORDER BY pos), '<s>') AS c
+        FROM lflat
+      ) p
+      LEFT JOIN vocab vc ON p.c = vc.w
+      LEFT JOIN vocab vw ON p.w = vw.w
+    ),
+    bigrams AS (SELECT c, w, count(*) AS cnt FROM tpairs GROUP BY c, w),
+    contexts AS (
+      SELECT c, CAST(sum(cnt) AS BIGINT) AS cnt_c, count(*) AS n_succ
+      FROM bigrams GROUP BY c
+    ),
+    cont AS (SELECT w, count(*) AS n_prec FROM bigrams GROUP BY w),
+    lst AS (
+      SELECT (SELECT count(*) FROM bigrams) AS n_types,
+             (SELECT count(*) FROM vocab) AS vsize,
+             (SELECT count(*) FROM bigrams WHERE cnt = 1) AS n1,
+             (SELECT count(*) FROM bigrams WHERE cnt = 2) AS n2
+    ),
+    lstd AS (
+      SELECT n_types,
+             CASE WHEN n1 + 2 * n2 > 0 THEN n1 / (n1 + 2 * n2) ELSE 0.75 END AS d,
+             1.0 / (vsize + 1) AS floor_p
+      FROM lst
+    ),
+    lspairs AS (
+      SELECT p.doc_id,
+             CASE WHEN p.c = '<s>' THEN '<s>' ELSE coalesce(vc.w, '<unk>') END AS c,
+             coalesce(vw.w, '<unk>') AS w
+      FROM (
+        SELECT doc_id, w,
+               coalesce(lag(w) OVER (PARTITION BY doc_id ORDER BY pos), '<s>') AS c
+        FROM lflat
+      ) p
+      LEFT JOIN vocab vc ON p.c = vc.w
+      LEFT JOIN vocab vw ON p.w = vw.w
+    ),
+    lpraw AS (
+      SELECT s.doc_id, lstd.floor_p,
+             CASE WHEN cx.cnt_c IS NULL THEN
+                    CASE WHEN coalesce(ct.n_prec, 0) / lstd.n_types > 0
+                         THEN coalesce(ct.n_prec, 0) / lstd.n_types
+                         ELSE lstd.floor_p END
+                  ELSE greatest(coalesce(bg.cnt, 0) - lstd.d, 0.0) / cx.cnt_c
+                       + (lstd.d * cx.n_succ / cx.cnt_c) *
+                         CASE WHEN coalesce(ct.n_prec, 0) / lstd.n_types > 0
+                              THEN coalesce(ct.n_prec, 0) / lstd.n_types
+                              ELSE lstd.floor_p END
+             END AS p_raw
+      FROM lspairs s
+      CROSS JOIN lstd
+      LEFT JOIN bigrams bg ON s.c = bg.c AND s.w = bg.w
+      LEFT JOIN contexts cx ON s.c = cx.c
+      LEFT JOIN cont ct ON s.w = ct.w
+    ),
+    lprobs AS (
+      SELECT doc_id,
+             CASE WHEN p_raw > 0 THEN p_raw ELSE floor_p END AS p
+      FROM lpraw
+    ),
+    lagg AS (
+      SELECT doc_id, count(*) AS n_tokens, sum(ln(p)) AS logprob
+      FROM lprobs GROUP BY doc_id
+    ),
+    lmppl AS MATERIALIZED (SELECT doc_id, exp(-logprob / n_tokens) AS ppl FROM lagg),
+    keepers2 AS (
+      SELECT k2.doc_id, k2.text
+      FROM keepers k2 JOIN lmppl l ON k2.doc_id = l.doc_id
+      WHERE l.ppl < {tail_min!r}
+    ),
+    ex AS (SELECT MIN(doc_id) AS doc_id FROM keepers2 GROUP BY md5(text)),
+    s1 AS MATERIALIZED (SELECT k2.doc_id, k2.text FROM keepers2 k2 JOIN ex USING (doc_id)),
+    arr2 AS (SELECT doc_id, string_split(text, ' ') AS a FROM s1),
+    sh AS MATERIALIZED (SELECT DISTINCT doc_id, array_to_string(list_slice(a, i, i + 2), ' ') AS shingle
+           FROM arr2, unnest(generate_series(1, len(a) - 2)) t(i) WHERE len(a) >= 3),
+    sig AS MATERIALIZED (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+    bands AS ({band_selects}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS i
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.id_a
+      JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT i.id_a, i.id_b
+      FROM inter i JOIN sz sa ON i.id_a = sa.doc_id JOIN sz sb ON i.id_b = sb.doc_id
+      WHERE ROUND(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 6) >= 0.6
+    ),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(node, lab) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    clus AS (SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node),
+    reps AS (
+      SELECT cluster_id, doc_id AS keep_id
+      FROM (SELECT c.cluster_id, c.doc_id,
+                   row_number() OVER (PARTITION BY c.cluster_id
+                                      ORDER BY l.ppl ASC, c.doc_id ASC) AS rn
+            FROM clus c JOIN lmppl l ON c.doc_id = l.doc_id)
+      WHERE rn = 1
+    ),
+    s2 AS (
+      SELECT s1.doc_id, s1.text FROM s1
+      LEFT JOIN clus ON s1.doc_id = clus.doc_id
+      LEFT JOIN reps ON clus.cluster_id = reps.cluster_id
+      WHERE clus.doc_id IS NULL OR reps.keep_id = s1.doc_id
+    ),
+    sp AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS ntok,
+             CASE WHEN u < 0.9 THEN 'train' WHEN u < 0.95 THEN 'valid' ELSE 'test' END AS split
+      FROM (SELECT doc_id, text,
+                   CAST(concat('0x', substr(md5('cb' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                     / CAST(16 ** 15 AS DOUBLE) AS u
+            FROM s2) t
+    ),
+    placed AS (
+      SELECT SUM(ntok) OVER (
+        ORDER BY CAST(concat('0x', substr(md5('cbp' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                   / CAST(16 ** 15 AS DOUBLE), doc_id) AS e
+      FROM sp WHERE split = 'train' AND ntok > 0
+    ),
+    nseq AS (SELECT COALESCE(CAST(CEIL(CAST(MAX(e) AS DOUBLE) / 256) AS BIGINT), 0) AS n FROM placed)
+    SELECT split, COUNT(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+           CASE WHEN split = 'train' THEN (SELECT n FROM nseq) ELSE 0 END AS n_seqs
+    FROM sp GROUP BY split
+    """
+
+
+@register("x_corpus_build_ccnet", _p12_ccnet_sql())
+def x_corpus_build_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The p12 corpus build with BOTH CCNet stages on — the full
+    public pipeline composition (Wenzek et al. 2020 + Lee et al.
+    2022): Gopher rules → LM-perplexity tail gate (bigram KN
+    self-trained on the rule survivors, tail >= 32 dropped) → exact
+    dedup → MinHash-LSH near-dup clusters, each keeping its
+    LOWEST-perplexity member (keep_best_by='lm_neg_ppl',
+    dedup.cluster_representatives) → leak-proof split → sequence
+    packing. Verifies the three round-9/10 pieces (LM scores,
+    quality-aware representatives, corpus_build) COMPOSED in one
+    oracle-backed slot: the oracle re-derives the LM, replays the
+    gate and the argmin-ppl keep-one, and re-runs the whole chain, so
+    a wiring bug in any stage boundary flips the counts."""
+    return corpus_build(
+        spark, sf_dir, lm_tail_min=32.0, keep_best_by="lm_neg_ppl"
     )
 
 
