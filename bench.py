@@ -163,6 +163,28 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # stamp the run with the source commit it measured (plus a dirty
+    # flag), so artifacts are self-identifying: cross-round
+    # adjudication and the run-LAST discipline check read the stamp
+    # instead of inferring the commit from git timestamps
+    commit = None
+    dirty = None
+    try:
+        import subprocess
+
+        repo_dir = os.path.dirname(os.path.abspath(__file__))
+        commit = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, cwd=repo_dir, timeout=10,
+        ).stdout.strip() or None
+        dirty = bool(
+            subprocess.run(
+                ["git", "status", "--porcelain", "--untracked-files=no"],
+                capture_output=True, text=True, cwd=repo_dir, timeout=10,
+            ).stdout.strip()
+        )
+    except Exception:
+        pass
     # full per-query detail goes to a file + one line per query on
     # stdout; the FINAL stdout line is a compact summary small enough
     # that a tail-capture window always contains the whole JSON
@@ -174,6 +196,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "commit": commit,
+        "dirty": dirty,
     }
     repo = os.path.dirname(os.path.abspath(__file__))
     detail_path = os.path.join(repo, "BENCH_DETAIL.json")
@@ -327,6 +351,8 @@ def main() -> None:
                     "sf": sf_val,
                     "total": total,
                     "queries": timings,
+                    "commit": commit,
+                    "dirty": dirty,
                 }
                 if isolated:
                     row["isolated"] = isolated
@@ -345,6 +371,8 @@ def main() -> None:
         "queries": slowest,
         "n_queries": len(timings),
         "sf": sf_val,
+        "commit": commit,
+        "dirty": dirty,
     }
     if vs_prev is not None:
         summary["vs_prev"] = vs_prev

@@ -321,9 +321,17 @@ def cmd_run(
             sf_dir, only, isolate_top=isolate_top if f == biggest else 0
         )
         print(f"  x{f} total {results[str(f)]['value']}s", flush=True)
+    # self-identifying artifact: the per-leg bench runs each stamp
+    # their own commit; the report carries the stamps plus a top-level
+    # commit so the run-LAST discipline (artifact commit == final
+    # source commit) is checkable from the file itself
+    leg_commits = {k: v.get("commit") for k, v in results.items()}
     report = {
         "base": BASE,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        "commit": next((c for c in leg_commits.values() if c), None),
+        "leg_commits": leg_commits,
+        "dirty": any(v.get("dirty") for v in results.values()),
         "factors": [1] + factors,
         "totals": {k: v["value"] for k, v in results.items()},
         "n_queries": {k: v.get("n_queries") for k, v in results.items()},
@@ -379,12 +387,18 @@ def _write_md(report: dict, path: str) -> None:
     faster than the data (ratio > factor) — split into
     expected-superlinear (annotated workloads) and unexplained."""
     factors = [f for f in report["factors"] if f != 1]
+    stamp = report.get("commit") or "unknown"
+    if report.get("dirty"):
+        stamp += " (DIRTY working tree — artifact does not identify the code)"
     lines = [
         "# Scale bench — sf0.1 replicated R× (FK-consistent)",
         "",
         f"Base: `{report['base']}` on local[{report['cpus']}]. Generated by",
         "`scale_bench.py` (replication design in its docstring); each factor",
         "runs the full suite via bench.py's own protocol in a fresh JVM.",
+        f"Source commit: `{stamp}` (stamped by each leg's bench run; the",
+        "run-LAST discipline requires this to equal the round's final",
+        "source commit).",
         "",
         "| factor | rows | suite total (s) | total ratio | queries |",
         "|---|---|---|---|---|",
