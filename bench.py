@@ -177,9 +177,26 @@ def main() -> None:
             ["git", "rev-parse", "--short", "HEAD"],
             capture_output=True, text=True, cwd=repo_dir, timeout=10,
         ).stdout.strip() or None
+        # "dirty" means SOURCE dirty: the run's own measurement
+        # by-products (history, detail, scale artifacts, derby noise)
+        # are excluded via git pathspec magic — r10's first stamped
+        # artifact declared itself DIRTY because the earlier legs of
+        # the same sweep had already appended to BENCH_HISTORY.jsonl
+        # by the time the later legs computed dirtiness (VERDICT r10
+        # wrong #1). Only files that identify the measured CODE count.
+        byproducts = [
+            "BENCH_HISTORY.jsonl",
+            "BENCH_DETAIL.json",
+            "BENCH_r*.json",
+            "SCALE_BENCH_r*.json",
+            "SCALE_BENCH_r*.md",
+            "DRIFT_NOTES_r*.md",
+            "derby.log",
+        ]
         dirty = bool(
             subprocess.run(
-                ["git", "status", "--porcelain", "--untracked-files=no"],
+                ["git", "status", "--porcelain", "--untracked-files=no",
+                 "--", ".", *[f":(exclude){p}" for p in byproducts]],
                 capture_output=True, text=True, cwd=repo_dir, timeout=10,
             ).stdout.strip()
         )

@@ -781,7 +781,15 @@ def ivf_index_compact(spark, path: str) -> dict:
     while any sentinel exists (a crashed-and-never-restarted stream
     leaves its sentinel behind deliberately: restart the stream so
     the batch commits, or remove the sentinel manually after
-    verifying the batch's marker exists in the ingest log)."""
+    verifying the batch's marker exists in the ingest log).
+
+    The exclusion is check-then-act over the filesystem (the handler
+    writes its sentinel before the staging write; this function lists
+    sentinels once before deleting anything) — airtight only under a
+    SINGLE driver operating the index: one ingest stream, compactions
+    issued from the same process between batches. Cross-process
+    concurrent compact-vs-ingest would need a shared lock this
+    deliberately does not implement."""
     import os
 
     from mfdb_hafro_etl_spark.sinks.tables import compact_partitions
@@ -847,6 +855,12 @@ def ivf_index_publish(
         except Exception as exc:
             msg = str(exc)
             if "LOCATION_ALREADY_EXISTS" not in msg and "already exists" not in msg:
+                raise
+            # Reclaim ONLY a true orphan: if the catalog still knows the
+            # table (the DROP above didn't apply — e.g. a same-named VIEW
+            # shadowing it, or a concurrent re-create), the location backs
+            # a live table and rmtree would destroy it. Re-raise instead.
+            if spark.catalog.tableExists(table):
                 raise
         import shutil
         from urllib.parse import urlparse

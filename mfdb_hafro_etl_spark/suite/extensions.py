@@ -1924,7 +1924,7 @@ def corpus_build(
     the member the clean-corpus LM finds LEAST surprising. Default
     None preserves the historical min-id policy byte-identically
     (pinned). Oracle-verified end-to-end by the x_corpus_build_ccnet
-    arm (x_cleaning combo)."""
+    arm (p12_corpus_family combo)."""
     from mfdb_hafro_etl_spark.operators import cleaning as cl
     from mfdb_hafro_etl_spark.operators import sampling as sp
 
@@ -1964,7 +1964,10 @@ def corpus_build(
         # scoring all read it — without the pin each consumer re-runs
         # the whole explode-and-join scoring subtree
         scored_lm = lmod.perplexity(kept, model).select("doc_id", "ppl").persist()
-        lm_pins = [model.vocab, model.bigrams, scored_lm]
+        # APPEND to the pin list (rule_ids is already in it): replacing
+        # it would orphan the persisted id-set on the LM-enabled path
+        # and leak executor cache past the result's lifetime
+        lm_pins += [model.vocab, model.bigrams, scored_lm]
         good = scored_lm.filter(
             F.col("ppl").isNotNull() & (F.col("ppl") < F.lit(lm_tail_min))
         ).select("doc_id")
@@ -2244,7 +2247,9 @@ def x_corpus_build_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality-aware representatives, corpus_build) COMPOSED in one
     oracle-backed slot: the oracle re-derives the LM, replays the
     gate and the argmin-ppl keep-one, and re-runs the whole chain, so
-    a wiring bug in any stage boundary flips the counts."""
+    a wiring bug in any stage boundary flips the counts. Rides the
+    p12_corpus_family combo (driver_view.py) next to the plain-p12
+    baseline arm."""
     return corpus_build(
         spark, sf_dir, lm_tail_min=32.0, keep_best_by="lm_neg_ppl"
     )
