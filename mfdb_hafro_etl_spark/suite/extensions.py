@@ -1884,6 +1884,8 @@ def corpus_build(
     lm_tail_min: float | None = None,
     lm_train: DataFrame | None = None,
     keep_best_by: str | None = None,
+    lm_order: int = 2,
+    lm_tail_quantile: float | None = None,
 ) -> DataFrame:
     """The p12 pipeline body, parameterized by the token accounting
     that drives packing:
@@ -1900,18 +1902,24 @@ def corpus_build(
       iterative), so it's pinned by tests/test_corpus_ops.py
       instead of a driver slot.
 
-    ``lm_tail_min``: optional CCNet-style LM-perplexity gate
-    (operators/lm.py) applied BETWEEN the rule-based quality filter
-    and dedup — the stage order a public pipeline uses (rules are
-    cheap, run first; the LM score prunes the boilerplate the rules
-    miss; dedup then runs on less data). A bigram Kneser-Ney model is
-    trained on ``lm_train`` (a clean reference corpus) or, absent
-    one, on the rule-surviving docs themselves, and docs whose
-    perplexity is >= the cutoff (the 'tail') are dropped. Default
+    ``lm_tail_min`` / ``lm_tail_quantile``: optional CCNet-style
+    LM-perplexity gate (operators/lm.py) applied BETWEEN the
+    rule-based quality filter and dedup — the stage order a public
+    pipeline uses (rules are cheap, run first; the LM score prunes
+    the boilerplate the rules miss; dedup then runs on less data). A
+    Kneser-Ney model of ``lm_order`` (2 = bigram, 3 = interpolated
+    trigram) is trained on ``lm_train`` (a clean reference corpus)
+    or, absent one, on the rule-surviving docs themselves, and docs
+    in the perplexity 'tail' are dropped: ``lm_tail_min`` compares
+    the UNROUNDED ppl to a fixed constant (the historical r10 arm,
+    byte-identical); ``lm_tail_quantile`` derives the cutoff as a
+    corpus percentile of the 6dp-rounded ppl (one bounded-scalar
+    action), so the gate drops the same FRACTION at every corpus
+    size — the scale-robust form (r10 verdict next #6). Default both
     None = stage off; the oracle-verified p12 arm runs with it off,
     and tests pin that None is byte-identical to the historical
-    pipeline while the scored path is verified by the
-    x_lm_perplexity arm.
+    pipeline while the scored paths are verified by the
+    x_lm_perplexity / x_lm3_perplexity / x_corpus_build_ccnet arms.
 
     ``keep_best_by``: optional quality-aware near-dup keep-one — name
     a numeric gopher-metric column (e.g. ``ttr``, ``n_tokens``) and
@@ -1948,7 +1956,7 @@ def corpus_build(
     kept = docs.join(rule_ids, "doc_id")
     scored_lm = None
     lm_pins: list[DataFrame] = [rule_ids]
-    if lm_tail_min is not None:
+    if lm_tail_min is not None or lm_tail_quantile is not None:
         from mfdb_hafro_etl_spark.operators import lm as lmod
 
         # persist the type-sized model tables: the gate and the
@@ -1956,20 +1964,75 @@ def corpus_build(
         # model re-derives its corpus scans per consumer; the pin is
         # scoped to the RETURNED frame's lifetime (pin_to_result
         # below), the r7 eager-cache contract
-        model = lmod.train_bigram_kn(
-            lm_train if lm_train is not None else kept
-        )
+        train_docs = lm_train if lm_train is not None else kept
+        if lm_order == 3:
+            model = lmod.train_trigram_kn(train_docs)
+            scored_raw = lmod.perplexity3(kept, model)
+            model_pins = [model.vocab, model.tri, model.cont2]
+        elif lm_order == 2:
+            model = lmod.train_bigram_kn(train_docs)
+            scored_raw = lmod.perplexity(kept, model)
+            model_pins = [model.vocab, model.bigrams]
+        else:
+            raise ValueError(f"corpus_build: lm_order must be 2 or 3, got {lm_order}")
         # score ONCE into a persisted doc-id-sized table: the gate,
         # the exact-dedup/s1 rebuilds of `kept`, and the keep-best
         # scoring all read it — without the pin each consumer re-runs
         # the whole explode-and-join scoring subtree
-        scored_lm = lmod.perplexity(kept, model).select("doc_id", "ppl").persist()
+        if lm_tail_quantile is not None:
+            # quantile gate (r11): the cutoff is a corpus percentile of
+            # the 6dp-ROUNDED ppl (one exact-percentile action over the
+            # persisted doc-id-sized table), so the gate drops the same
+            # FRACTION at every corpus size instead of degenerating as
+            # the ppl distribution shifts right with scale (the r10
+            # fixed-constant lesson). Rounding first makes the gate
+            # parity-exact: both engines compare identical doubles
+            # against a threshold that cannot sit on a document value
+            # it wasn't derived from.
+            # localCheckpoint, NOT persist: a persisted scored table's
+            # InMemoryRelation retains the scoring subtree's PHYSICAL
+            # plan, which keeps all eight model broadcast exchanges
+            # live for the life of the result — measured to OOM a
+            # default-heap (1g) driver once this chain runs next to the
+            # p12 baseline in one combo plan (the r10 combo-memory
+            # bound, re-measured r11 with the trigram model; 1.5g
+            # passes, 1g dies). The eager checkpoint materializes the
+            # doc-id-sized table and TRUNCATES lineage, so the model
+            # tables and their broadcasts are collectable immediately.
+            scored_lm = scored_raw.select(
+                "doc_id", F.round("ppl", 6).alias("ppl")
+            ).localCheckpoint(eager=True)
+            cutoff = lmod.ppl_thresholds(
+                scored_lm, cuts=(lm_tail_quantile,), exact=True
+            )[0]
+            for t in model_pins:
+                try:
+                    t.unpersist()
+                except Exception:
+                    pass
+            # NO release pin for the checkpoint: unlike a persisted
+            # cache (unpersist -> recompute, slower never wrong), a
+            # truncated-lineage checkpoint is UNRECOVERABLE — a pin
+            # firing while any derived plan still executes fails that
+            # plan with a missing-checkpoint-block error (measured in
+            # the combo, where the arm's result object is dropped
+            # after deriving the tagged union from it). The blocks are
+            # doc-id-sized and reclaimed by the ContextCleaner once
+            # the JVM-side plans referencing the RDD are GC'd.
+            model_pins = []
+        else:
+            # fixed-constant gate: UNROUNDED ppl, byte-identical to the
+            # historical (r10) bigram CCNet arm
+            scored_lm = scored_raw.select("doc_id", "ppl").persist()
+            cutoff = lm_tail_min
         # APPEND to the pin list (rule_ids is already in it): replacing
         # it would orphan the persisted id-set on the LM-enabled path
         # and leak executor cache past the result's lifetime
-        lm_pins += [model.vocab, model.bigrams, scored_lm]
+        lm_pins += model_pins + (
+            [scored_lm] if lm_tail_quantile is None else []
+        )
         good = scored_lm.filter(
-            F.col("ppl").isNotNull() & (F.col("ppl") < F.lit(lm_tail_min))
+            F.col("ppl").isNotNull() & (F.col("ppl") < F.lit(cutoff))
         ).select("doc_id")
         kept = kept.join(good, "doc_id")
     ex = kept.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("doc_id"))
@@ -1987,8 +2050,8 @@ def corpus_build(
             if scored_lm is None:
                 raise ValueError(
                     "keep_best_by='lm_neg_ppl' needs the LM stage: pass "
-                    "lm_tail_min (the gate's scored frame supplies the "
-                    "cluster scores)"
+                    "lm_tail_min or lm_tail_quantile (the gate's scored "
+                    "frame supplies the cluster scores)"
                 )
             score_table = scored_lm.select(
                 "doc_id", (-F.col("ppl")).alias("lm_neg_ppl")
@@ -2038,50 +2101,7 @@ def corpus_build(
 
 
 # --------------------------- CCNet corpus-build (LM gate + keep-best)
-def _p12_ccnet_sql(tail_min: float = 32.0) -> str:
-    """The p12 oracle with the two CCNet stages switched ON: a bigram
-    Kneser-Ney LM trained on the rule-surviving docs gates the tail
-    (ppl >= tail_min dropped, BETWEEN the Gopher rules and dedup),
-    and each near-dup cluster keeps its LOWEST-perplexity member
-    (argmin ppl, min-id tie-break) instead of the smallest id. The LM
-    CTEs are the proven x_lm_perplexity template (same IEEE tree);
-    the pipeline CTEs are the proven p12 template; only the wiring
-    between them is new — which is exactly what this arm verifies."""
-    k, rpb = 8, 2
-    sig_cols = _minhash_sig_cols(k, indent="             ")
-    band_selects = "\n      UNION ALL ".join(
-        "SELECT doc_id, {b} AS band, {val} AS val FROM sig".format(
-            b=b, val=" || ".join(f"h{b * rpb + r}" for r in range(rpb))
-        )
-        for b in range(k // rpb)
-    )
-    return f"""
-    WITH RECURSIVE
-    arr AS (SELECT doc_id, text, string_split(text, ' ') AS a FROM documents),
-    bi_all AS (
-      SELECT doc_id, concat_ws(' ', a[i], a[i + 1]) AS bg
-      FROM arr, unnest(generate_series(1, len(a) - 1)) t(i) WHERE len(a) >= 2
-    ),
-    bi AS (
-      SELECT doc_id, MAX(cnt) AS top_bi_cnt
-      FROM (SELECT doc_id, bg, COUNT(*) AS cnt FROM bi_all GROUP BY doc_id, bg)
-      GROUP BY doc_id
-    ),
-    m AS (
-      SELECT arr.doc_id, arr.text,
-             len(a) AS n_tokens,
-             CAST(len(list_distinct(a)) AS DOUBLE) / greatest(len(a), 1) AS ttr,
-             CAST(COALESCE(bi.top_bi_cnt, 0) AS DOUBLE) / greatest(len(a) - 1, 1) AS top_bigram,
-             CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
-               / greatest(len(a), 1) AS sym_ratio
-      FROM arr LEFT JOIN bi ON arr.doc_id = bi.doc_id
-    ),
-    keepers AS MATERIALIZED (
-      SELECT doc_id, text FROM m
-      WHERE n_tokens >= 5 AND n_tokens <= 10000
-        AND ttr >= 0.2 AND top_bigram <= 0.25 AND sym_ratio <= 0.5
-    ),
-    ltok AS (
+_CCNET_LM2_SECTION = '''    ltok AS (
       SELECT doc_id,
              list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
       FROM keepers
@@ -2160,13 +2180,185 @@ def _p12_ccnet_sql(tail_min: float = 32.0) -> str:
       SELECT doc_id, count(*) AS n_tokens, sum(ln(p)) AS logprob
       FROM lprobs GROUP BY doc_id
     ),
-    lmppl AS MATERIALIZED (SELECT doc_id, exp(-logprob / n_tokens) AS ppl FROM lagg),
+    lmppl AS MATERIALIZED (SELECT doc_id, {PPL_EXPR} AS ppl FROM lagg),
+'''
+
+_CCNET_LM3_SECTION = '''    ltok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+      FROM keepers
+    ),
+    lflat AS (
+      SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS pos
+      FROM ltok WHERE len(toks) > 0
+    ),
+    uni AS (SELECT w, count(*) AS cnt FROM lflat GROUP BY w),
+    vocab AS MATERIALIZED (SELECT w FROM uni WHERE cnt >= 2),
+    ttrip AS MATERIALIZED (
+      SELECT t.doc_id,
+             CASE WHEN t.u = '<s>' THEN '<s>' ELSE coalesce(vu.w, '<unk>') END AS u,
+             CASE WHEN t.v = '<s>' THEN '<s>' ELSE coalesce(vv.w, '<unk>') END AS v,
+             coalesce(vw.w, '<unk>') AS w
+      FROM (
+        SELECT doc_id, w,
+               coalesce(lag(w, 2) OVER (PARTITION BY doc_id ORDER BY pos), '<s>') AS u,
+               coalesce(lag(w, 1) OVER (PARTITION BY doc_id ORDER BY pos), '<s>') AS v
+        FROM lflat
+      ) t
+      LEFT JOIN vocab vu ON t.u = vu.w
+      LEFT JOIN vocab vv ON t.v = vv.w
+      LEFT JOIN vocab vw ON t.w = vw.w
+    ),
+    tri AS MATERIALIZED (SELECT u, v, w, count(*) AS cnt FROM ttrip GROUP BY u, v, w),
+    ctx3 AS (
+      SELECT u, v, CAST(sum(cnt) AS BIGINT) AS cnt_uv, count(*) AS n_succ3
+      FROM tri GROUP BY u, v
+    ),
+    cont2 AS MATERIALIZED (SELECT v, w, count(*) AS ckn FROM tri GROUP BY v, w),
+    ctx2 AS (
+      SELECT v, CAST(sum(ckn) AS BIGINT) AS ckn_v, count(*) AS n_succ2
+      FROM cont2 GROUP BY v
+    ),
+    cont1 AS (SELECT w, count(*) AS n_prec FROM cont2 GROUP BY w),
+    lst AS (
+      SELECT (SELECT count(*) FROM cont2) AS n_bitypes,
+             (SELECT count(*) FROM vocab) AS vsize,
+             (SELECT count(*) FROM tri WHERE cnt = 1) AS n1_3,
+             (SELECT count(*) FROM tri WHERE cnt = 2) AS n2_3,
+             (SELECT count(*) FROM cont2 WHERE ckn = 1) AS n1_2,
+             (SELECT count(*) FROM cont2 WHERE ckn = 2) AS n2_2
+    ),
+    lstd AS (
+      SELECT n_bitypes,
+             CASE WHEN n1_3 + 2 * n2_3 > 0 THEN n1_3 / (n1_3 + 2 * n2_3) ELSE 0.75 END AS d3,
+             CASE WHEN n1_2 + 2 * n2_2 > 0 THEN n1_2 / (n1_2 + 2 * n2_2) ELSE 0.75 END AS d2,
+             1.0 / (vsize + 1) AS floor_p
+      FROM lst
+    ),
+    pl1 AS (
+      SELECT s.doc_id, lstd.floor_p, lstd.d2, lstd.d3,
+             tg.cnt, x3.cnt_uv, x3.n_succ3,
+             c2.ckn, x2.ckn_v, x2.n_succ2,
+             CASE WHEN coalesce(c1.n_prec, 0) / lstd.n_bitypes > 0
+                  THEN coalesce(c1.n_prec, 0) / lstd.n_bitypes
+                  ELSE lstd.floor_p END AS p_cont
+      FROM ttrip s
+      CROSS JOIN lstd
+      LEFT JOIN tri tg ON s.u = tg.u AND s.v = tg.v AND s.w = tg.w
+      LEFT JOIN ctx3 x3 ON s.u = x3.u AND s.v = x3.v
+      LEFT JOIN cont2 c2 ON s.v = c2.v AND s.w = c2.w
+      LEFT JOIN ctx2 x2 ON s.v = x2.v
+      LEFT JOIN cont1 c1 ON s.w = c1.w
+    ),
+    pl2 AS (
+      SELECT doc_id, floor_p, d3, cnt, cnt_uv, n_succ3,
+             CASE WHEN ckn_v IS NULL THEN p_cont
+                  ELSE greatest(coalesce(ckn, 0) - d2, 0.0) / ckn_v
+                       + (d2 * n_succ2 / ckn_v) * p_cont
+             END AS p_kn2
+      FROM pl1
+    ),
+    pl3 AS (
+      SELECT doc_id, floor_p,
+             CASE WHEN cnt_uv IS NULL THEN p_kn2
+                  ELSE greatest(coalesce(cnt, 0) - d3, 0.0) / cnt_uv
+                       + (d3 * n_succ3 / cnt_uv) * p_kn2
+             END AS p_raw
+      FROM pl2
+    ),
+    lprobs AS (
+      SELECT doc_id,
+             CASE WHEN p_raw > 0 THEN p_raw ELSE floor_p END AS p
+      FROM pl3
+    ),
+    lagg AS (
+      SELECT doc_id, count(*) AS n_tokens, sum(ln(p)) AS logprob
+      FROM lprobs GROUP BY doc_id
+    ),
+    lmppl AS MATERIALIZED (SELECT doc_id, {PPL_EXPR} AS ppl FROM lagg),
+'''
+
+
+def _p12_ccnet_sql(
+    tail_min: float = 32.0,
+    lm_order: int = 2,
+    tail_quantile: float | None = None,
+) -> str:
+    """The p12 oracle with the two CCNet stages switched ON: a
+    Kneser-Ney LM of ``lm_order`` (2 = bigram, 3 = interpolated
+    trigram) trained on the rule-surviving docs gates the tail
+    (BETWEEN the Gopher rules and dedup), and each near-dup cluster
+    keeps its LOWEST-perplexity member (argmin ppl, min-id tie-break)
+    instead of the smallest id. The gate drops ppl >= tail_min
+    (unrounded, the historical bigram form) or, with
+    ``tail_quantile``, ppl >= quantile_cont of the 6dp-ROUNDED ppl —
+    the scale-robust form mirrored by corpus_build's
+    lm_tail_quantile. The LM CTEs are the proven
+    x_lm_perplexity/_LM3_SQL templates (same IEEE trees); the
+    pipeline CTEs are the proven p12 template; only the wiring
+    between them is new — which is exactly what this arm verifies.
+    Shared LM CTEs are AS MATERIALIZED (the DuckDB CTE-inlining
+    lesson)."""
+    k, rpb = 8, 2
+    if tail_quantile is not None:
+        ppl_expr = "round(exp(-logprob / n_tokens), 6)"
+        gate_section = f"""    lthr AS (
+      SELECT quantile_cont(ppl, {tail_quantile!r}) AS cut
+      FROM lmppl WHERE ppl IS NOT NULL
+    ),
     keepers2 AS (
+      SELECT k2.doc_id, k2.text
+      FROM keepers k2 JOIN lmppl l ON k2.doc_id = l.doc_id
+      CROSS JOIN lthr
+      WHERE l.ppl < lthr.cut
+    ),
+"""
+    else:
+        ppl_expr = "exp(-logprob / n_tokens)"
+        gate_section = f"""    keepers2 AS (
       SELECT k2.doc_id, k2.text
       FROM keepers k2 JOIN lmppl l ON k2.doc_id = l.doc_id
       WHERE l.ppl < {tail_min!r}
     ),
-    ex AS (SELECT MIN(doc_id) AS doc_id FROM keepers2 GROUP BY md5(text)),
+"""
+    LM_SECTION = (_CCNET_LM3_SECTION if lm_order == 3 else _CCNET_LM2_SECTION).replace(
+        "{PPL_EXPR}", ppl_expr
+    )
+    GATE_SECTION = gate_section
+    sig_cols = _minhash_sig_cols(k, indent="             ")
+    band_selects = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {val} AS val FROM sig".format(
+            b=b, val=" || ".join(f"h{b * rpb + r}" for r in range(rpb))
+        )
+        for b in range(k // rpb)
+    )
+    return f"""
+    WITH RECURSIVE
+    arr AS (SELECT doc_id, text, string_split(text, ' ') AS a FROM documents),
+    bi_all AS (
+      SELECT doc_id, concat_ws(' ', a[i], a[i + 1]) AS bg
+      FROM arr, unnest(generate_series(1, len(a) - 1)) t(i) WHERE len(a) >= 2
+    ),
+    bi AS (
+      SELECT doc_id, MAX(cnt) AS top_bi_cnt
+      FROM (SELECT doc_id, bg, COUNT(*) AS cnt FROM bi_all GROUP BY doc_id, bg)
+      GROUP BY doc_id
+    ),
+    m AS (
+      SELECT arr.doc_id, arr.text,
+             len(a) AS n_tokens,
+             CAST(len(list_distinct(a)) AS DOUBLE) / greatest(len(a), 1) AS ttr,
+             CAST(COALESCE(bi.top_bi_cnt, 0) AS DOUBLE) / greatest(len(a) - 1, 1) AS top_bigram,
+             CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+               / greatest(len(a), 1) AS sym_ratio
+      FROM arr LEFT JOIN bi ON arr.doc_id = bi.doc_id
+    ),
+    keepers AS MATERIALIZED (
+      SELECT doc_id, text FROM m
+      WHERE n_tokens >= 5 AND n_tokens <= 10000
+        AND ttr >= 0.2 AND top_bigram <= 0.25 AND sym_ratio <= 0.5
+    ),
+{LM_SECTION}{GATE_SECTION}    ex AS (SELECT MIN(doc_id) AS doc_id FROM keepers2 GROUP BY md5(text)),
     s1 AS MATERIALIZED (SELECT k2.doc_id, k2.text FROM keepers2 k2 JOIN ex USING (doc_id)),
     arr2 AS (SELECT doc_id, string_split(text, ' ') AS a FROM s1),
     sh AS MATERIALIZED (SELECT DISTINCT doc_id, array_to_string(list_slice(a, i, i + 2), ' ') AS shingle
@@ -2234,24 +2426,35 @@ def _p12_ccnet_sql(tail_min: float = 32.0) -> str:
     """
 
 
-@register("x_corpus_build_ccnet", _p12_ccnet_sql())
+@register("x_corpus_build_ccnet", _p12_ccnet_sql(lm_order=3, tail_quantile=2.0 / 3))
 def x_corpus_build_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The p12 corpus build with BOTH CCNet stages on — the full
     public pipeline composition (Wenzek et al. 2020 + Lee et al.
-    2022): Gopher rules → LM-perplexity tail gate (bigram KN
-    self-trained on the rule survivors, tail >= 32 dropped) → exact
+    2022): Gopher rules → LM-perplexity tail gate (interpolated
+    TRIGRAM KN self-trained on the rule survivors — r11, upgraded
+    from the r10 bigram per the verdict's next #5 — dropping the
+    worst-third quantile tail, the scale-robust gate form) → exact
     dedup → MinHash-LSH near-dup clusters, each keeping its
     LOWEST-perplexity member (keep_best_by='lm_neg_ppl',
     dedup.cluster_representatives) → leak-proof split → sequence
-    packing. Verifies the three round-9/10 pieces (LM scores,
-    quality-aware representatives, corpus_build) COMPOSED in one
-    oracle-backed slot: the oracle re-derives the LM, replays the
-    gate and the argmin-ppl keep-one, and re-runs the whole chain, so
-    a wiring bug in any stage boundary flips the counts. Rides the
-    p12_corpus_family combo (driver_view.py) next to the plain-p12
-    baseline arm."""
+    packing. Verifies the round-9/10/11 pieces (trigram LM scores,
+    quantile gate, quality-aware representatives, corpus_build)
+    COMPOSED in one oracle-backed slot: the oracle re-derives the
+    FULL trigram model, replays the quantile gate and the argmin-ppl
+    keep-one, and re-runs the whole chain, so a wiring bug in any
+    stage boundary flips the counts. The bigram fixed-cutoff
+    composition stays available via corpus_build(lm_tail_min=...)
+    and is pinned by tests/test_lm.py against _p12_ccnet_sql's
+    bigram form. Rides the p12_corpus_family combo (driver_view.py)
+    next to the plain-p12 baseline arm — still exactly ONE LM build
+    in the combo's unioned plan (the default-heap OOM bound,
+    COVERAGE.md)."""
     return corpus_build(
-        spark, sf_dir, lm_tail_min=32.0, keep_best_by="lm_neg_ppl"
+        spark,
+        sf_dir,
+        lm_order=3,
+        lm_tail_quantile=2.0 / 3,
+        keep_best_by="lm_neg_ppl",
     )
 
 

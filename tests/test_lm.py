@@ -244,6 +244,44 @@ def test_corpus_build_keep_best_by_default_off_and_changes_keeps(spark, sf_dir):
     assert n_scored == n_base  # one kept member per cluster either way
 
 
+def test_corpus_build_bigram_ccnet_still_matches_oracle(spark, sf_dir):
+    """The r10 bigram fixed-cutoff CCNet composition stays oracle-
+    pinned after the registered x_corpus_build_ccnet arm moved to the
+    trigram quantile form (r11): corpus_build(lm_tail_min=32,
+    keep_best_by='lm_neg_ppl') must match _p12_ccnet_sql()'s bigram
+    oracle on the same parquet — gate wiring, argmin-ppl keep-one,
+    and the downstream chain all replayed independently by DuckDB."""
+    from mfdb_hafro_etl_spark.suite.extensions import (
+        _p12_ccnet_sql,
+        corpus_build,
+    )
+    from tests.parity import compare, duck_connect
+
+    out = corpus_build(
+        spark, sf_dir, lm_tail_min=32.0, keep_best_by="lm_neg_ppl"
+    )
+    ddf = duck_connect(sf_dir).execute(_p12_ccnet_sql()).fetchdf()
+    assert not compare(out, ddf)
+
+
+def test_corpus_build_lm_order_and_quantile_gate(spark, sf_dir):
+    """lm_order validation + the quantile gate's defining property:
+    dropping the worst-third tail keeps a non-empty corpus strictly
+    smaller than the ungated one at ANY scale (the r10 fixed-constant
+    gate degenerated as the ppl distribution shifted with corpus
+    size). The trigram quantile composition itself is oracle-verified
+    by the registered x_corpus_build_ccnet arm."""
+    from mfdb_hafro_etl_spark.suite.extensions import corpus_build
+
+    with pytest.raises(ValueError, match="lm_order"):
+        corpus_build(spark, sf_dir, lm_tail_min=30.0, lm_order=4)
+    base = corpus_build(spark, sf_dir)
+    n_base = base.agg(F.sum("n_docs")).head()[0]
+    gated = corpus_build(spark, sf_dir, lm_order=3, lm_tail_quantile=2.0 / 3)
+    n_gated = gated.agg(F.sum("n_docs")).head()[0] or 0
+    assert 0 < n_gated < n_base
+
+
 # ------------------------------------------------------------ trigram KN
 @pytest.fixture(scope="module")
 def model3(corpus):
