@@ -288,6 +288,7 @@ def main() -> None:
     # cross-round comparisons use the isolated column.
     isolate = os.environ.get("BENCH_ISOLATE", "")
     isolated: dict[str, float] = {}
+    isolated_samples: dict[str, list[float]] = {}
     isolate_errors: dict[str, str] = {}
     if isolate and is_full:
         if isolate == "auto":
@@ -317,33 +318,82 @@ def main() -> None:
         spark.stop()
         import subprocess
 
-        for name in chosen:
-            env = dict(os.environ, BENCH_ONLY=name)
-            env.pop("BENCH_ISOLATE", None)
-            p = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env=env,
-                capture_output=True,
-                text=True,
-                cwd=repo,
-            )
-            sec = None
-            for line in p.stdout.splitlines():
-                if line.startswith('{"metric"'):
+        # Multi-sample arms whose HISTORICAL isolated band at this sf
+        # exceeded ±20% (max-min > 40% of median across recorded
+        # same-sf readings): a single fresh-JVM sample of such an arm
+        # is wider than the cross-round deltas it adjudicates
+        # (r10 verdict next #3 — x_embed_neardup read 23-32 s across
+        # three same-code runs). Those arms get BENCH_ISOLATE_REPEATS
+        # (default 3) probes; `isolated` records the MIN (the floor
+        # cost, least contaminated by GC/heap-sizing noise) and
+        # `isolated_samples` the full set, so the artifact carries its
+        # own band. Stable arms keep the single-probe protocol.
+        repeats_wide = max(int(os.environ.get("BENCH_ISOLATE_REPEATS", "3")), 1)
+        wide_band: set[str] = set()
+        try:
+            hsamples: dict[str, list[float]] = {}
+            with open(hist_path) as fh:
+                for line in fh:
                     try:
-                        sec = json.loads(line)["queries"].get(name)
-                    except (ValueError, KeyError):
-                        sec = None
-            if sec is not None:
-                isolated[name] = sec
-            rec = {"query": name, "isolated_sec": sec}
-            if sec is None:
+                        r = json.loads(line)
+                    except ValueError:
+                        continue
+                    if r.get("sf") == sf_val and r.get("isolated"):
+                        for k, v in r["isolated"].items():
+                            hsamples.setdefault(k, []).append(float(v))
+            for k, v in hsamples.items():
+                if len(v) >= 2:
+                    med = sorted(v)[len(v) // 2]
+                    if med > 0 and (max(v) - min(v)) / med > 0.4:
+                        wide_band.add(k)
+        except OSError:
+            pass
+        # BENCH_ISOLATE_WIDE: comma-list forcing arms into the
+        # multi-sample set regardless of history (first-round arms, or
+        # testing the probe protocol itself)
+        wide_band |= {
+            n
+            for n in os.environ.get("BENCH_ISOLATE_WIDE", "").split(",")
+            if n
+        }
+        for name in chosen:
+            n_rep = repeats_wide if name in wide_band else 1
+            runs: list[float] = []
+            last_p = None
+            for _ in range(n_rep):
+                env = dict(os.environ, BENCH_ONLY=name)
+                env.pop("BENCH_ISOLATE", None)
+                p = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)],
+                    env=env,
+                    capture_output=True,
+                    text=True,
+                    cwd=repo,
+                )
+                last_p = p
+                sec = None
+                for line in p.stdout.splitlines():
+                    if line.startswith('{"metric"'):
+                        try:
+                            sec = json.loads(line)["queries"].get(name)
+                        except (ValueError, KeyError):
+                            sec = None
+                if sec is not None:
+                    runs.append(sec)
+            if runs:
+                isolated[name] = min(runs)
+                if len(runs) > 1:
+                    isolated_samples[name] = runs
+            rec = {"query": name, "isolated_sec": isolated.get(name)}
+            if len(runs) > 1:
+                rec["isolated_samples"] = runs
+            if not runs and last_p is not None:
                 # a CRASHING probe (OOM, fresh-JVM-only regression) must
                 # be distinguishable from a skipped one in the artifact:
                 # record returncode + a stderr tail as an explicit error
                 # marker instead of silently omitting the arm (r9 ADVICE)
-                err = f"returncode={p.returncode}"
-                tail = (p.stderr or "").strip().splitlines()[-3:]
+                err = f"returncode={last_p.returncode}"
+                tail = (last_p.stderr or "").strip().splitlines()[-3:]
                 if tail:
                     err += " stderr: " + " | ".join(tail)[-400:]
                 isolate_errors[name] = err
@@ -351,6 +401,8 @@ def main() -> None:
             print(json.dumps(rec), flush=True)
         if isolated:
             detail["isolated"] = isolated
+        if isolated_samples:
+            detail["isolated_samples"] = isolated_samples
         if isolate_errors:
             detail["isolate_errors"] = isolate_errors
         if isolated or isolate_errors:
@@ -373,6 +425,8 @@ def main() -> None:
                 }
                 if isolated:
                     row["isolated"] = isolated
+                if isolated_samples:
+                    row["isolated_samples"] = isolated_samples
                 if isolate_errors:
                     row["isolate_errors"] = isolate_errors
                 fh.write(json.dumps(row, sort_keys=True) + "\n")
@@ -395,6 +449,8 @@ def main() -> None:
         summary["vs_prev"] = vs_prev
     if isolated:
         summary["isolated"] = isolated
+    if isolated_samples:
+        summary["isolated_samples"] = isolated_samples
     if isolate_errors:
         summary["isolate_errors"] = isolate_errors
     print(json.dumps(summary))

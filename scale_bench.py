@@ -290,13 +290,18 @@ def _run_bench(sf_dir: str, only: str | None, isolate_top: int = 0) -> dict:
     if per_query:
         summary["queries"] = per_query
     iso: dict[str, float] = {}
+    iso_samples: dict[str, list[float]] = {}
     for l in p.stdout.splitlines():
         if l.startswith('{"query"') and "isolated_sec" in l:
             row = json.loads(l)
             if row.get("isolated_sec") is not None:
                 iso[row["query"]] = row["isolated_sec"]
+            if row.get("isolated_samples"):
+                iso_samples[row["query"]] = row["isolated_samples"]
     if iso:
         summary["isolated"] = iso
+    if iso_samples:
+        summary["isolated_samples"] = iso_samples
     return summary
 
 
@@ -338,6 +343,11 @@ def cmd_run(
         "queries": {k: v["queries"] for k, v in results.items()},
         "isolated": {
             k: v["isolated"] for k, v in results.items() if v.get("isolated")
+        },
+        "isolated_samples": {
+            k: v["isolated_samples"]
+            for k, v in results.items()
+            if v.get("isolated_samples")
         },
     }
     base_q = results["1"]["queries"]
@@ -425,6 +435,7 @@ def _write_md(report: dict, path: str) -> None:
             "",
         ]
         iso = report.get("isolated", {}).get(str(f), {})
+        iso_samples = report.get("isolated_samples", {}).get(str(f), {})
         if iso:
             fq = report["queries"][str(f)]
             lines += [
@@ -435,11 +446,17 @@ def _write_md(report: dict, path: str) -> None:
                 "the arms before it (round-8 finding, now measured in the",
                 "same artifact instead of by hand-run probes):",
                 "",
-                "| query | in-suite (s) | isolated (s) | suite/isolated |",
-                "|---|---|---|---|",
+                "| query | in-suite (s) | isolated (s) | samples | suite/isolated |",
+                "|---|---|---|---|---|",
             ] + [
                 f"| {n} | {fq[n]} | {iso[n]} | "
-                f"{round(fq[n] / max(iso[n], 0.05), 2)}× |"
+                + (
+                    "min of "
+                    + "/".join(f"{v:.1f}" for v in iso_samples[n])
+                    if n in iso_samples
+                    else "1 probe"
+                )
+                + f" | {round(fq[n] / max(iso[n], 0.05), 2)}× |"
                 for n in sorted(iso, key=lambda n: -fq.get(n, 0))
                 if n in fq
             ] + [""]
@@ -500,9 +517,148 @@ def _write_md(report: dict, path: str) -> None:
     print(f"wrote {path}", flush=True)
 
 
+def cmd_drift(out: str | None) -> None:
+    """Machine-generate the per-arm drift table DRIFT_NOTES_r{N}.md
+    wraps (r10 verdict next #7): for every sf label in
+    BENCH_HISTORY.jsonl, compare the LATEST run's per-arm readings
+    against the previous same-sf run and the full historical band,
+    and emit a markdown table of (a) arms tripping bench.py's
+    vs_prev flag rule (>1.5x and >0.3s) and (b) arms outside their
+    historical envelope — each with a mechanical verdict. The
+    isolated column (fresh-JVM probes, the only adjudicable x100
+    numbers per the round protocol) gets its own full table,
+    including multi-sample bands where recorded. The prose notes
+    then cite rows by ts instead of hand-transcribing numbers."""
+    hist_path = os.path.join(REPO, "BENCH_HISTORY.jsonl")
+    rows = []
+    with open(hist_path) as fh:
+        for line in fh:
+            try:
+                rows.append(json.loads(line))
+            except ValueError:
+                continue
+    by_sf: dict[str, list[dict]] = {}
+    for r in rows:
+        by_sf.setdefault(str(r.get("sf")), []).append(r)
+    lines = [
+        "## Drift table (generated by `scale_bench.py drift`)",
+        "",
+        f"History: `BENCH_HISTORY.jsonl`, {len(rows)} rows. Verdict rules:",
+        "FLAG = bench.py's vs_prev rule (now > 1.5x prev and +0.3s);",
+        "band = [min, max] of all prior same-sf readings of the arm;",
+        "verdict `in-band` = now within the prior envelope (noise, not",
+        "regression, per the round protocol), `NEW-HIGH`/`NEW-LOW` =",
+        "outside it (needs a mechanism or an isolated probe).",
+        "",
+    ]
+
+    def _fmt_ts(ts: float) -> str:
+        return f"{ts:.0f}"
+
+    for sf in sorted(by_sf):
+        group = sorted(by_sf[sf], key=lambda r: r.get("ts", 0))
+        if len(group) < 2:
+            continue
+        now, prev = group[-1], group[-2]
+        nq, pq = now.get("queries", {}), prev.get("queries", {})
+        shared = sorted(set(nq) & set(pq))
+        if not shared:
+            continue
+        flagged = []
+        for n in shared:
+            prior_vals = [
+                g["queries"][n]
+                for g in group[:-1]
+                if n in g.get("queries", {})
+            ]
+            band = (min(prior_vals), max(prior_vals))
+            trip = nq[n] > max(pq[n], 0.2) * 1.5 and nq[n] - pq[n] > 0.3
+            outside = nq[n] > band[1] * 1.1 or nq[n] < band[0] * 0.9
+            if trip or (outside and abs(nq[n] - pq[n]) > 0.3):
+                verdict = (
+                    "in-band"
+                    if band[0] <= nq[n] <= band[1]
+                    else ("NEW-HIGH" if nq[n] > band[1] else "NEW-LOW")
+                )
+                flagged.append(
+                    f"| {n} | {pq[n]:.2f} | {nq[n]:.2f} | "
+                    f"[{band[0]:.2f}, {band[1]:.2f}] n={len(prior_vals)} | "
+                    f"{'FLAG' if trip else 'drift'} | {verdict} |"
+                )
+        tot_n = sum(nq[k] for k in shared)
+        tot_p = sum(pq[k] for k in shared)
+        lines += [
+            f"### sf={sf} — now ts={_fmt_ts(now.get('ts', 0))} "
+            f"(commit {now.get('commit')}) vs prev "
+            f"ts={_fmt_ts(prev.get('ts', 0))} (commit {prev.get('commit')})",
+            "",
+            f"Shared {len(shared)} arms: total {tot_p:.1f} -> {tot_n:.1f} s "
+            f"(ratio {tot_n / max(tot_p, 0.001):.3f}). "
+            f"{len(flagged)} arm(s) flagged/outside-band.",
+            "",
+        ]
+        if flagged:
+            lines += [
+                "| arm | prev | now | prior band | trigger | verdict |",
+                "|---|---|---|---|---|---|",
+                *flagged,
+                "",
+            ]
+        iso_now = now.get("isolated") or {}
+        if iso_now:
+            lines += [
+                "Isolated (fresh-JVM) column — the adjudicable readings:",
+                "",
+                "| arm | isolated now | samples | prior isolated band | verdict |",
+                "|---|---|---|---|---|",
+            ]
+            samples_now = now.get("isolated_samples") or {}
+            for n in sorted(iso_now):
+                prior_iso = [
+                    g["isolated"][n]
+                    for g in group[:-1]
+                    if n in (g.get("isolated") or {})
+                ]
+                if prior_iso:
+                    band_s = (
+                        f"[{min(prior_iso):.2f}, {max(prior_iso):.2f}] "
+                        f"n={len(prior_iso)}"
+                    )
+                    verdict = (
+                        "in-band"
+                        if min(prior_iso) * 0.9
+                        <= iso_now[n]
+                        <= max(prior_iso) * 1.1
+                        else (
+                            "NEW-HIGH"
+                            if iso_now[n] > max(prior_iso)
+                            else "NEW-LOW"
+                        )
+                    )
+                else:
+                    band_s, verdict = "first reading", "baseline"
+                smp = samples_now.get(n)
+                smp_s = (
+                    "[" + ", ".join(f"{v:.1f}" for v in smp) + "]"
+                    if smp
+                    else "1 probe"
+                )
+                lines.append(
+                    f"| {n} | {iso_now[n]:.2f} | {smp_s} | {band_s} | {verdict} |"
+                )
+            lines.append("")
+    text = "\n".join(lines)
+    if out:
+        with open(out, "w") as fh:
+            fh.write(text + "\n")
+        print(f"wrote {out}")
+    else:
+        print(text)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("cmd", choices=["gen", "run", "all"])
+    ap.add_argument("cmd", choices=["gen", "run", "all", "drift"])
     ap.add_argument("--factors", default="10,100")
     ap.add_argument("--only", default=None)
     ap.add_argument("--out", default=os.path.join(REPO, "SCALE_BENCH_r05.json"))
@@ -515,6 +671,9 @@ def main() -> None:
     )
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",") if x]
+    if args.cmd == "drift":
+        cmd_drift(args.out if args.out != ap.get_default("out") else None)
+        return
     if args.cmd in ("gen", "all"):
         cmd_gen(factors)
     if args.cmd in ("run", "all"):

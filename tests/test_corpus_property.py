@@ -330,14 +330,23 @@ def test_hot_key_anti_join_equals_plain_left_anti(spark, probe_keys, hot_keys, c
         [(i, k) for i, k in enumerate(probe_keys)], "row_id LONG, k LONG"
     )
     hot = spark.createDataFrame([(k,) for k in hot_keys], "k LONG")
+    # pass pins= like every in-package caller: the bare-call warning
+    # contract is pinned once in test_plan_quality; here (hundreds of
+    # hypothesis examples) it would both spam the suite output and
+    # leak one persisted key set per over-cap example
+    pins: list = []
     got = {
         (r["row_id"], r["k"])
-        for r in hot_key_anti_join(probe, hot, on=["k"], max_broadcast_keys=cap).collect()
+        for r in hot_key_anti_join(
+            probe, hot, on=["k"], max_broadcast_keys=cap, pins=pins
+        ).collect()
     }
     want = {
         (r["row_id"], r["k"])
         for r in probe.join(hot, on=["k"], how="left_anti").collect()
     }
+    for p_ in pins:
+        p_.unpersist()
     assert got == want
 
 

@@ -659,12 +659,36 @@ def test_hot_key_anti_join_three_regimes(spark):
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        out = hot_key_anti_join(probe, big, on=["k"], max_broadcast_keys=10)
+        # the bare call (no pins) must WARN that the over-cap key set
+        # outlives the call — the documented deliberate exception to
+        # the warning-free suite (r10 verdict optional #8): every
+        # in-package caller passes pins; only here is the bare
+        # contract itself under test
+        import pytest as _pytest
+
+        with _pytest.warns(UserWarning, match="over-cap key set"):
+            out = hot_key_anti_join(probe, big, on=["k"], max_broadcast_keys=10)
         plan = _plan(out)
         assert "LeftAnti" in plan and "BroadcastHashJoin" not in plan, plan[:2000]
         assert out.count() == 0
+        # the pins= form must stay silent and hand the pin to the caller
+        pins: list = []
+        import warnings as _w
+
+        with _w.catch_warnings(record=True) as caught:
+            _w.simplefilter("always")
+            out2 = hot_key_anti_join(
+                probe, big, on=["k"], max_broadcast_keys=10, pins=pins
+            )
+        assert not [c for c in caught if "over-cap" in str(c.message)]
+        assert out2.count() == 0 and len(pins) == 1
+        for p_ in pins:
+            p_.unpersist()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        from mfdb_hafro_etl_spark.session import release_cached_intermediates
+
+        release_cached_intermediates(spark)
 
 
 def test_hamming_cache_gate_structural(spark, tmp_path):
