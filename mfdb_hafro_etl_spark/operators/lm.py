@@ -326,9 +326,14 @@ def ppl_thresholds(
     """Corpus percentile cutoffs for ppl_bucket. Default is
     percentile_approx (mergeable Greenwald-Khanna sketch — the 100 TB
     path: one pass, fixed-size state, deterministic for a given
-    dataset). ``exact=True`` uses the exact percentile aggregate
-    (single-group sort — corpus stats; only where exactness is the
-    contract)."""
+    dataset). ``exact=True`` uses the exact percentile aggregate —
+    required where the cutoff must match an external quantile_cont
+    bit-for-bit (the oracle-parity arms). Its scale shape is better
+    than 'single-group sort' suggests: Spark's Percentile aggregate
+    keeps a value→count map with map-side partial aggregation, so the
+    single reducer merges DISTINCT-value histograms, not rows — and
+    callers feeding it 6dp-ROUNDED perplexities bound the distinct
+    count by the rounded value range, corpus-size-independent."""
     c = F.col(ppl_col)
     if exact:
         agg = F.percentile(c, F.array(*[F.lit(q) for q in cuts]))

@@ -1791,17 +1791,17 @@ def _p12_sql() -> str:
                / greatest(len(a), 1) AS sym_ratio
       FROM arr LEFT JOIN bi ON arr.doc_id = bi.doc_id
     ),
-    keepers AS (
+    keepers AS MATERIALIZED (
       SELECT doc_id, text FROM m
       WHERE n_tokens >= 5 AND n_tokens <= 10000
         AND ttr >= 0.2 AND top_bigram <= 0.25 AND sym_ratio <= 0.5
     ),
     ex AS (SELECT MIN(doc_id) AS doc_id FROM keepers GROUP BY md5(text)),
-    s1 AS (SELECT k2.doc_id, k2.text FROM keepers k2 JOIN ex USING (doc_id)),
+    s1 AS MATERIALIZED (SELECT k2.doc_id, k2.text FROM keepers k2 JOIN ex USING (doc_id)),
     arr2 AS (SELECT doc_id, string_split(text, ' ') AS a FROM s1),
-    sh AS (SELECT DISTINCT doc_id, array_to_string(list_slice(a, i, i + 2), ' ') AS shingle
+    sh AS MATERIALIZED (SELECT DISTINCT doc_id, array_to_string(list_slice(a, i, i + 2), ' ') AS shingle
            FROM arr2, unnest(generate_series(1, len(a) - 2)) t(i) WHERE len(a) >= 3),
-    sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+    sig AS MATERIALIZED (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
     bands AS ({band_selects}),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
