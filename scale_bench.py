@@ -517,7 +517,7 @@ def _write_md(report: dict, path: str) -> None:
     print(f"wrote {path}", flush=True)
 
 
-def cmd_drift(out: str | None) -> None:
+def cmd_drift(out: str | None, hist_path: str | None = None) -> None:
     """Machine-generate the per-arm drift table DRIFT_NOTES_r{N}.md
     wraps (r10 verdict next #7): for every sf label in
     BENCH_HISTORY.jsonl, compare the LATEST run's per-arm readings
@@ -529,7 +529,7 @@ def cmd_drift(out: str | None) -> None:
     numbers per the round protocol) gets its own full table,
     including multi-sample bands where recorded. The prose notes
     then cite rows by ts instead of hand-transcribing numbers."""
-    hist_path = os.path.join(REPO, "BENCH_HISTORY.jsonl")
+    hist_path = hist_path or os.path.join(REPO, "BENCH_HISTORY.jsonl")
     rows = []
     with open(hist_path) as fh:
         for line in fh:
@@ -663,6 +663,12 @@ def main() -> None:
     ap.add_argument("--only", default=None)
     ap.add_argument("--out", default=os.path.join(REPO, "SCALE_BENCH_r05.json"))
     ap.add_argument(
+        "--hist",
+        default=None,
+        help="history file for the drift subcommand (default repo "
+        "BENCH_HISTORY.jsonl)",
+    )
+    ap.add_argument(
         "--isolate-top",
         type=int,
         default=8,
@@ -672,7 +678,10 @@ def main() -> None:
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",") if x]
     if args.cmd == "drift":
-        cmd_drift(args.out if args.out != ap.get_default("out") else None)
+        cmd_drift(
+            args.out if args.out != ap.get_default("out") else None,
+            hist_path=args.hist,
+        )
         return
     if args.cmd in ("gen", "all"):
         cmd_gen(factors)

@@ -911,12 +911,14 @@ def test_ivf_ingest_budget_from_commit_log(spark, tmp_path, monkeypatch):
     assert len(_vec_rows(spark, path)) == 64  # 56 rebuilt + 8
     # legacy fallback: a pre-r10 "ok" marker makes the sum unknowable
     # from the log — the handler must fall back to the table-count
-    # path (reads vectors once) and still enforce correctly
+    # path (reads vectors once), WARN about it (r11), and still
+    # enforce correctly
     with open(os.path.join(logd, "_commits", "2"), "w") as fh:
         fh.write("ok")
     monkeypatch.setattr(DataFrameReader, "parquet", spy)
     seen.clear()
-    handle(_emb_df(spark, range(24, 28)), 3)
+    with pytest.warns(RuntimeWarning, match="commit-log admission unavailable"):
+        handle(_emb_df(spark, range(24, 28)), 3)
     assert vectors_root in seen  # the documented legacy cost
     monkeypatch.setattr(DataFrameReader, "parquet", orig)
     assert len(_vec_rows(spark, path)) == 68
