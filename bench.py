@@ -26,6 +26,26 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+# vs_prev regression flag rule — the single source of truth.
+# scale_bench.cmd_drift imports it so the DRIFT_NOTES tables and the
+# bench artifact adjudicate with the SAME constants (r11 ADVICE medium:
+# cmd_drift had hard-coded 1.5x where this rule uses 1.3x, so arms
+# regressing 1.3-1.5x were flagged here but absent from the drift
+# tables future rounds use to call noise vs regression).
+REGRESSION_RATIO = 1.3
+REGRESSION_ABS_S = 0.3
+
+
+def trips_vs_prev(prev_sec: float, now_sec: float) -> bool:
+    """True when a per-arm timing clears BOTH the ratio and the
+    absolute floor vs the previous full run (sub-second arms shift
+    ±0.1-0.3 s between JVMs, so a bare ratio reads jitter as drift)."""
+    return (
+        now_sec > max(prev_sec, 0.2) * REGRESSION_RATIO
+        and now_sec - prev_sec > REGRESSION_ABS_S
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -255,8 +275,7 @@ def main() -> None:
                 (
                     (n, prev["queries"][n], timings[n])
                     for n in shared
-                    if timings[n] > max(prev["queries"][n], 0.2) * 1.3
-                    and timings[n] - prev["queries"][n] > 0.3
+                    if trips_vs_prev(prev["queries"][n], timings[n])
                 ),
                 key=lambda t: t[1] - t[2],
             )[:3]

@@ -1286,12 +1286,36 @@ def ivf_markers_backfill(
       computation and rewritten whole.
 
     Run it with the stream STOPPED — like compaction, this is a
-    single-operator administrative action with no cross-process lock.
-    Returns a report dict."""
+    single-operator administrative action with no cross-process lock,
+    and like compaction it REFUSES while _ingest_pending sentinels
+    exist (an uncommitted batch's rows would otherwise be counted in
+    the synthetic marker AND again at redelivery). Returns a report
+    dict."""
     import json
     import uuid
 
     from mfdb_hafro_etl_spark.operators.similarity import _ivf_read_marker
+
+    # MUTUAL EXCLUSION with in-flight batches (mirrors
+    # ivf_index_compact, r11 ADVICE low): a crashed batch that renamed
+    # its files but never committed leaves a sentinel; its rows are in
+    # vectors/ with no marker, so the residual below would fold them
+    # into the synthetic marker AND the batch's redelivery would write
+    # its own marker for the same rows — double-counting the budget
+    # sum. Refuse until the stream finishes (or the sentinel is
+    # removed after verifying the batch's marker exists).
+    pending_dir = os.path.join(index_path, "_ingest_pending")
+    if os.path.isdir(pending_dir):
+        pending = sorted(os.listdir(pending_dir))
+        if pending:
+            raise RuntimeError(
+                f"IVF index at {index_path} has in-flight streaming "
+                f"batches {pending} (sentinels under _ingest_pending): "
+                "their renamed-but-uncommitted rows would be folded into "
+                "the synthetic backfill marker and then double-counted "
+                "when the batch redelivers. Let the stream finish (or "
+                "restart it so the batches commit), then backfill."
+            )
 
     meta = _ivf_read_marker(index_path)  # loud on a torn index
     build_id = meta.get("build_id")
@@ -1316,7 +1340,10 @@ def ivf_markers_backfill(
         try:
             with open(mpath) as fh:
                 rec = json.loads(fh.read())
-            if "n_appended" not in rec:
+            # valid-but-non-dict JSON (e.g. a bare `5`) is as legacy as
+            # unparseable bytes: `"n_appended" in 5` would raise
+            # TypeError (r11 ADVICE low) — rewrite it like the rest
+            if not isinstance(rec, dict) or "n_appended" not in rec:
                 rec = None
         except (OSError, ValueError):
             rec = None

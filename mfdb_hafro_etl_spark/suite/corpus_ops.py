@@ -1050,14 +1050,19 @@ def x_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # F.percentile via lm.ppl_thresholds; oracle: quantile_cont) — r10
 # pinned sf0.01 constants whose head bucket emptied as the ppl
 # distribution shifted right with corpus size (r10 verdict next #6).
-# Parity is safe by construction: both engines interpolate over the
-# IDENTICAL multiset of rounded doubles with the same q = 1.0/3
-# literals, and the bucket compares each rounded value with strict <
-# against a threshold that is either exactly a data value (tie or
-# integer rank, identical in both engines) or strictly inside the
-# open gap between two adjacent distinct rounded values — where no
-# document value can sit, so a last-ulp interpolation difference
-# cannot flip any row.
+# Parity rests on both engines interpolating over the IDENTICAL
+# multiset of rounded doubles with the same q = 1.0/3 literals: the
+# threshold is either exactly a data value (tie/integer rank,
+# identical in both engines) or strictly inside the open gap between
+# two adjacent distinct rounded values, where no document value can
+# sit. Residual caveat (r11 ADVICE low): the engines associate the
+# interpolation differently (Spark a + f*(b-a) vs DuckDB
+# (1-f)*a + f*b), so when f*(b-a) underflows below ulp(a)/2 one side
+# can return exactly a while the other returns nextafter(a), and
+# strict < then flips value-a rows — a last-ulp tie case that 6dp
+# rounding makes astronomically unlikely (gaps here are >= 1e-6)
+# but not impossible in general; bucketing on rank (ntile over the
+# rounded ppl) would make it airtight if it ever bites.
 # tri / cont2 / vocab are AS MATERIALIZED: each is referenced 3-5
 # times above an expensive subtree, the exact CTE shape that cost a
 # 10-min re-evaluation timeout vs 0.7 s materialized in the r10 combo

@@ -52,6 +52,9 @@ BASE = os.environ.get("SCALE_BASE", "/root/testdata/sf0.1")
 ROOT = os.environ.get("SCALE_ROOT", "/tmp/mfdb_scale")
 REPO = os.path.dirname(os.path.abspath(__file__))
 
+sys.path.insert(0, REPO)
+from bench import trips_vs_prev  # noqa: E402  (shared vs_prev flag rule)
+
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
@@ -544,7 +547,8 @@ def cmd_drift(out: str | None, hist_path: str | None = None) -> None:
         "## Drift table (generated by `scale_bench.py drift`)",
         "",
         f"History: `BENCH_HISTORY.jsonl`, {len(rows)} rows. Verdict rules:",
-        "FLAG = bench.py's vs_prev rule (now > 1.5x prev and +0.3s);",
+        "FLAG = bench.py's vs_prev rule (bench.trips_vs_prev: now >",
+        "1.3x prev and +0.3s — shared constant, r11 ADVICE medium);",
         "band = [min, max] of all prior same-sf readings of the arm;",
         "verdict `in-band` = now within the prior envelope (noise, not",
         "regression, per the round protocol), `NEW-HIGH`/`NEW-LOW` =",
@@ -572,7 +576,7 @@ def cmd_drift(out: str | None, hist_path: str | None = None) -> None:
                 if n in g.get("queries", {})
             ]
             band = (min(prior_vals), max(prior_vals))
-            trip = nq[n] > max(pq[n], 0.2) * 1.5 and nq[n] - pq[n] > 0.3
+            trip = trips_vs_prev(pq[n], nq[n])
             outside = nq[n] > band[1] * 1.1 or nq[n] < band[0] * 0.9
             if trip or (outside and abs(nq[n] - pq[n]) > 0.3):
                 verdict = (
@@ -637,6 +641,20 @@ def cmd_drift(out: str | None, hist_path: str | None = None) -> None:
                     )
                 else:
                     band_s, verdict = "first reading", "baseline"
+                # a min-of-N reading is biased LOW vs single-probe
+                # priors (r11 ADVICE low): when the estimator changed
+                # mid-history, say so instead of letting a spurious
+                # NEW-LOW (or masked regression) pass unannotated
+                prior_multi = any(
+                    n in (g.get("isolated_samples") or {})
+                    for g in group[:-1]
+                )
+                if (
+                    prior_iso
+                    and n in samples_now
+                    and not prior_multi
+                ):
+                    verdict += " (min-of-N now vs single-probe priors)"
                 smp = samples_now.get(n)
                 smp_s = (
                     "[" + ", ".join(f"{v:.1f}" for v in smp) + "]"

@@ -29,16 +29,19 @@ def test_drift_verdicts(tmp_path, capsys):
     hist = tmp_path / "hist.jsonl"
     rows = [
         # three prior runs: stable arm a; arm b historically [1.0, 3.4];
-        # arm c historically [1.0, 1.1]
-        _hist_row(1.0, {"a": 5.0, "b": 1.0, "c": 1.0}),
-        _hist_row(2.0, {"a": 5.1, "b": 3.4, "c": 1.1}),
-        _hist_row(3.0, {"a": 5.0, "b": 1.2, "c": 1.05},
+        # arm c historically [1.0, 1.1]; arm e historically [2.0, 3.0]
+        _hist_row(1.0, {"a": 5.0, "b": 1.0, "c": 1.0, "e": 2.0}),
+        _hist_row(2.0, {"a": 5.1, "b": 3.4, "c": 1.1, "e": 3.0}),
+        _hist_row(3.0, {"a": 5.0, "b": 1.2, "c": 1.05, "e": 2.0},
                   isolated={"a": 4.0}),
-        # latest: a stable; b trips vs_prev (1.2 -> 3.0, >1.5x and
+        # latest: a stable; b trips vs_prev (1.2 -> 3.0, >1.3x and
         # >0.3s) but sits inside its band -> FLAG + in-band;
         # c outside its band high (1.05 -> 2.0) -> NEW-HIGH;
+        # e regresses 1.4x (2.0 -> 2.8, +0.8s) — BETWEEN the 1.3x
+        # shared rule and the old hard-coded 1.5x: bench.py flags it,
+        # so the drift table must too (r11 ADVICE medium);
         # isolated a has prior 4.0 -> 4.1 within +-10% -> in-band
-        _hist_row(4.0, {"a": 5.05, "b": 3.0, "c": 2.0},
+        _hist_row(4.0, {"a": 5.05, "b": 3.0, "c": 2.0, "e": 2.8},
                   isolated={"a": 4.1, "d": 7.0},
                   samples={"a": [4.6, 4.1, 4.3]}),
     ]
@@ -55,6 +58,9 @@ def test_drift_verdicts(tmp_path, capsys):
         "FLAG" not in lines.get("a", "")
     assert "b" in lines and "FLAG" in lines["b"] and "in-band" in lines["b"]
     assert "c" in lines and "NEW-HIGH" in lines["c"]
+    # the 1.3-1.5x case: must FLAG under the shared bench.trips_vs_prev
+    # rule (the old hard-coded 1.5x silently dropped it)
+    assert "e" in lines and "FLAG" in lines["e"] and "in-band" in lines["e"]
     # isolated table: prior band -> in-band; first reading -> baseline
     iso_lines = [l for l in text.splitlines() if l.startswith("| a |") or
                  l.startswith("| d |")]

@@ -1026,6 +1026,49 @@ def test_ivf_markers_backfill_upgrades_legacy_log(spark, tmp_path, monkeypatch):
     assert total2 == 16
 
 
+def test_ivf_markers_backfill_refuses_pending_and_nondict_marker(
+    spark, tmp_path
+):
+    """r11 ADVICE low: (1) a renamed-but-uncommitted batch (sentinel
+    present, marker absent) must make the backfill REFUSE — folding
+    those rows into the synthetic marker would double-count them when
+    the batch redelivers its own marker; (2) a marker holding valid
+    non-dict JSON (e.g. `5`) is legacy like unparseable bytes and must
+    be rewritten, not raise TypeError."""
+    import json
+
+    import pytest
+
+    from mfdb_hafro_etl_spark.streaming.jobs import (
+        ivf_ingest_handler,
+        ivf_markers_backfill,
+    )
+
+    path = _build_ivf(spark, tmp_path)
+    logd = str(tmp_path / "log_bf2")
+    handle = ivf_ingest_handler(path, logd, max_appended_frac=1.0)
+    handle(_emb_df(spark, range(0, 4)), 0)
+    # poison batch 0's marker with valid non-dict JSON
+    with open(os.path.join(logd, "_commits", "0"), "w") as fh:
+        fh.write("5")
+    # a crashed batch's sentinel: backfill must refuse, untouched log
+    pending_dir = os.path.join(path, "_ingest_pending")
+    os.makedirs(pending_dir, exist_ok=True)
+    with open(os.path.join(pending_dir, "b7"), "w") as fh:
+        fh.write("{}")
+    with pytest.raises(RuntimeError, match="in-flight streaming batches"):
+        ivf_markers_backfill(spark, path, logd)
+    assert open(os.path.join(logd, "_commits", "0")).read() == "5"
+    os.remove(os.path.join(pending_dir, "b7"))
+    # sentinel gone: the non-dict marker is rewritten like any legacy one
+    report = ivf_markers_backfill(spark, path, logd)
+    assert report["n_rewritten"] == 1
+    rec0 = json.loads(open(os.path.join(logd, "_commits", "0")).read())
+    assert rec0["n_appended"] == 0 and rec0["backfilled"] is True
+    synth = json.loads(open(os.path.join(logd, "_commits", "backfill")).read())
+    assert synth["n_appended"] == 4  # batch 0's rows ride the synthetic
+
+
 def test_ivf_compact_refuses_mid_crash_window(spark, tmp_path):
     """r9 verdict #5, IVF family: the exactly-once rename discipline
     requires an uncommitted batch's ivfb_b<id>.parquet files to
