@@ -72,8 +72,20 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mfdb_hafro_etl_spark.session import spread_for_kernel
+
 BOS = "<s>"
 UNK = "<unk>"
+
+#: compressed-source bytes per scoring task. The KN scorer's probe
+#: stage (explode + 3-8 broadcast hash probes + log/CASE per n-gram)
+#: measures ~10^4 x scan CPU per byte — an order denser than the Arrow
+#: kernels spread_for_kernel's 64 KB default was sized for — so the
+#: fan-out saturates sooner. Targets are still capped at
+#: 2 x defaultParallelism, so this only decides how SOON the cap is
+#: reached; at real corpus scale the input is already over-split and
+#: the spread is a no-op.
+_LM_SCORE_BYTES_PER_TASK = 8 << 10
 
 #: Perplexity of an empty document is undefined; scoring returns NULL.
 
@@ -240,7 +252,19 @@ def perplexity(
     D = lm.discount
     floor = 1.0 / (lm.vocab_size + 1)
 
-    pairs = df.select(
+    # fan the scoring scan out (session.spread_for_kernel): the
+    # explode + model-probe + partial-sum stage costs ~10^4 x scan CPU
+    # per byte, and a single-row-group parquet source arrives as ONE
+    # task no matter the split config (row groups are the split floor)
+    # — measured 8.5 s on 1 of 32 cores at the 600 KB fixture, ~0.2 s
+    # spread. Cost-gated and capped at 2 x parallelism, so a real
+    # many-split corpus scan is untouched; per-document sums are
+    # unaffected because each document's rows stay in one partition
+    # (the round-robin moves whole pre-explode rows).
+    src = spread_for_kernel(
+        df.select(id_col, text_col), bytes_per_task=_LM_SCORE_BYTES_PER_TASK
+    )
+    pairs = src.select(
         F.col(id_col), F.explode(_pairs(lm_tokens(text_col))).alias("p")
     ).select(id_col, F.col("p.c").alias("c_raw"), F.col("p.w").alias("w_raw"))
 
@@ -589,7 +613,13 @@ def perplexity3(
     d3, d2 = lm.d3, lm.d2
     floor = 1.0 / (lm.vocab_size + 1)
 
-    trips = df.select(
+    # same scoring fan-out as perplexity (see there): the depth-3
+    # probe stage is even denser per byte, and single-row-group
+    # sources otherwise pin it to one core
+    src = spread_for_kernel(
+        df.select(id_col, text_col), bytes_per_task=_LM_SCORE_BYTES_PER_TASK
+    )
+    trips = src.select(
         F.col(id_col), F.explode(_triples(lm_tokens(text_col))).alias("t")
     ).select(
         id_col,
