@@ -43,39 +43,29 @@ def get_spark(
         # scale while mid-sized dimensions (the stations spine at test
         # SF) skip the shuffle entirely.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # Two PARALLELISM-FLOOR knobs whose defaults assume I/O-bound
-        # work and starve this engine's CPU-dense operators (KN
-        # scoring, per-gram hashing: 10^2-10^4 x scan CPU per byte) on
-        # small inputs (r12 measurement: the lm3 scoring stage ran as
-        # ONE 8.5 s task on 1 of 32 cores).
-        #
-        # - coalescePartitions.minPartitionSize (default 1m): AQE's
-        #   parallelism-first coalescing targets
-        #   max(minPartitionSize, shuffleBytes/parallelism) — on a
-        #   sub-32 MB shuffle the 1m floor coalesces every post-shuffle
-        #   stage down to 1-3 tasks. 64k keeps the SAME formula
-        #   scale-adaptive: at cluster scale shuffleBytes/parallelism
-        #   dominates and the setting is inert; below it, Spark's own
-        #   parallelism-first rule is allowed to actually reach
-        #   defaultParallelism.
-        # - files.openCostInBytes (default 4m): a scan split is capped
-        #   at max(openCost, bytes/parallelism), so a directory of
-        #   ~50 KB part files (every scratch/index table a 32-way write
-        #   produces) packs ~entirely into ONE split. 128k models the
-        #   true open cost of local/flash parquet and lets small
-        #   multi-file tables scan in parallel; large-file scans are
-        #   governed by maxPartitionBytes as before.
-        #
-        # Both env-overridable: production clusters with big inputs can
-        # keep any value — the formulas above make the local defaults
-        # no-ops there.
+        # AQE coalescing's PARALLELISM FLOOR (default 1m): the
+        # coalescer targets max(minPartitionSize,
+        # shuffleBytes/parallelism), so on a sub-32 MB shuffle the 1m
+        # floor coalesces every post-shuffle stage down to 1-3 tasks —
+        # starvation for this engine's CPU-dense operators (KN scoring,
+        # per-gram hashing: 10^2-10^4 x scan CPU per byte; r12
+        # measurement: the lm3 scoring stage ran as ONE 8.5 s task on
+        # 1 of 32 cores). 64k keeps the SAME formula scale-adaptive:
+        # at cluster scale shuffleBytes/parallelism dominates and the
+        # setting is inert; below it, Spark's own parallelism-first
+        # rule is allowed to actually reach defaultParallelism.
+        # Measured on the full 141-arm sf0.1 suite: this knob alone is
+        # the win (20-arm A/B/C/D subset: 57.7 s with only this vs
+        # 63.8 s default); lowering files.openCostInBytes alongside it
+        # was tried and REJECTED — splitting small multi-file scratch
+        # tables into per-file tasks cost more in per-task overhead
+        # than the parallelism returned (67-69 s on the same subset,
+        # +12 s on the full suite).
+        # Env-overridable: production clusters can pin any value — the
+        # formula above makes the local default a no-op there.
         .config(
             "spark.sql.adaptive.coalescePartitions.minPartitionSize",
             os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"),
-        )
-        .config(
-            "spark.sql.files.openCostInBytes",
-            os.environ.get("SPARK_GRAFT_OPEN_COST", "131072"),
         )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -132,15 +122,11 @@ def tune_session(spark: SparkSession) -> SparkSession:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # parallelism-floor knobs (see get_spark for the rationale and
-        # the scale story); runtime-settable SQL confs
+        # AQE parallelism-floor knob (see get_spark for the rationale
+        # and the scale story); runtime-settable SQL conf
         spark.conf.set(
             "spark.sql.adaptive.coalescePartitions.minPartitionSize",
             os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"),
-        )
-        spark.conf.set(
-            "spark.sql.files.openCostInBytes",
-            os.environ.get("SPARK_GRAFT_OPEN_COST", "131072"),
         )
     except Exception:
         pass  # static confs on some builds; harmless

@@ -2057,7 +2057,13 @@ def corpus_build(
                 "doc_id", (-F.col("ppl")).alias("lm_neg_ppl")
             )
         else:
-            score_table = m.select("doc_id", keep_best_by)
+            # persist the id+score projection (id-sized, same pattern
+            # as rule_ids): cluster_representatives joins this table
+            # against the clusters, and an unpersisted projection of
+            # `m` re-runs the full-corpus gopher Arrow kernel a second
+            # time — exactly the cost the rule_ids pin exists to avoid
+            score_table = m.select("doc_id", keep_best_by).persist()
+            lm_pins.append(score_table)
         reps = dd.cluster_representatives(
             clus, score_table, score_col=keep_best_by
         )
