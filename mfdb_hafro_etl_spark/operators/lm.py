@@ -149,12 +149,20 @@ def train_bigram_kn(
     discount: float | None = None,
     persist: bool = True,
 ) -> BigramKN:
-    """Fit the model from a clean reference corpus. Two corpus scans
-    (vocabulary, then unk-mapped pair counts), three hash aggregates;
-    the four scalar statistics (n_types, vocab_size, n1, n2) are
-    actions over the PERSISTED type-sized aggregates, so the corpus
-    is never rescanned for them. ``persist=False`` skips the caching
-    (the scalar actions then re-derive from the raw scans — correct,
+    """Fit the model from a clean reference corpus in ONE corpus scan
+    (r12; previously two): the raw (unmapped) pair-count type table is
+    built first, and the vocabulary derives from it — every token
+    appears exactly ONCE as the ``w`` of exactly one pair (``_pairs``
+    emits one struct per token, BOS only ever on the context side), so
+    unigram counts are exactly ``sum(cnt) group by w_raw`` over the
+    raw type table, no second pass over the corpus. The unk-mapping
+    joins then run against the TYPE table (vocab-sized) instead of
+    the position-level token stream, and re-aggregate (the mapping
+    collapses rare keys into UNK). Counts are bit-identical to the
+    two-scan form by construction. The raw type table is persisted
+    for the duration of training and released before returning — with
+    ``persist=False`` nothing is cached and the vocabulary and pair
+    branches each re-scan the corpus (the historical shape: correct,
     slower; use for one-shot harness runs where leaving cached
     fragments on the executors would pollute later timings)."""
     toks = lm_tokens(text_col)
@@ -163,16 +171,15 @@ def train_bigram_kn(
     def _keep(d: DataFrame) -> DataFrame:
         return d.persist() if persist else d
 
-    uni = (
-        base.select(F.explode("__toks__").alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    vocab = _keep(uni.filter(F.col("cnt") >= min_count).select("w"))
-
-    raw = base.select(F.explode(_pairs(F.col("__toks__"))).alias("p")).select(
+    raw3 = base.select(F.explode(_pairs(F.col("__toks__"))).alias("p")).select(
         F.col("p.c").alias("c_raw"), F.col("p.w").alias("w_raw")
     )
+    raw = raw3.groupBy("c_raw", "w_raw").agg(F.count(F.lit(1)).alias("rcnt"))
+    if persist:
+        raw = raw.persist()
+    uni = raw.groupBy(F.col("w_raw").alias("w")).agg(F.sum("rcnt").alias("cnt"))
+    vocab = _keep(uni.filter(F.col("cnt") >= min_count).select("w"))
+
     vc = vocab.select(F.col("w").alias("__vc__"))
     vw = vocab.select(F.col("w").alias("__vw__"))
     mapped = (
@@ -183,10 +190,11 @@ def train_bigram_kn(
             .otherwise(F.coalesce(F.col("__vc__"), F.lit(UNK)))
             .alias("c"),
             F.coalesce(F.col("__vw__"), F.lit(UNK)).alias("w"),
+            F.col("rcnt"),
         )
     )
     bigrams = _keep(
-        mapped.groupBy("c", "w").agg(F.count(F.lit(1)).alias("cnt"))
+        mapped.groupBy("c", "w").agg(F.sum("rcnt").alias("cnt"))
     )
     contexts = bigrams.groupBy("c").agg(
         F.sum("cnt").alias("cnt_c"), F.count(F.lit(1)).alias("n_succ")
@@ -207,6 +215,13 @@ def train_bigram_kn(
         .crossJoin(vocab.agg(F.count(F.lit(1)).alias("vsize")))
         .head()
     )
+    # the stats action has fully materialized the persisted vocab and
+    # bigrams tables; the raw type table's blocks are no longer needed
+    if persist:
+        try:
+            raw.unpersist()
+        except Exception:
+            pass
     n_types = stats["n_types"]
     vocab_size = stats["vsize"]
     if discount is None:
@@ -496,31 +511,41 @@ def train_trigram_kn(
     d2: float | None = None,
     persist: bool = True,
 ) -> TrigramKN:
-    """Fit the trigram model: two corpus scans (vocabulary, then
-    unk-mapped triple counts) and four hash aggregates, every
-    intermediate type-sized. The middle order's counts are
-    CONTINUATION counts (how many distinct contexts extend each
-    bigram type left), which is what distinguishes Kneser-Ney from
-    naive deleted interpolation — computed as one aggregate over the
-    trigram TYPE table, no extra corpus pass."""
+    """Fit the trigram model in ONE corpus scan (r12; previously two)
+    and type-sized aggregates throughout: the raw (unmapped)
+    triple-count type table is built first, and the vocabulary derives
+    from it — every token appears exactly ONCE as the ``w`` of exactly
+    one triple (``_triples`` emits one struct per token; BOS only ever
+    pads the context side), so unigram counts are exactly ``sum(cnt)
+    group by w_raw`` over the raw type table, no second corpus pass.
+    The unk-mapping joins then run against the TYPE table instead of
+    the position-level stream and re-aggregate (the mapping collapses
+    rare keys into UNK) — counts bit-identical to the two-scan form by
+    construction; ``persist=False`` keeps the historical uncached
+    two-scan shape. The middle order's counts are CONTINUATION counts
+    (how many distinct contexts extend each bigram type left), which
+    is what distinguishes Kneser-Ney from naive deleted interpolation
+    — computed as one aggregate over the trigram TYPE table, as
+    before."""
     toks = lm_tokens(text_col)
     base = df.select(toks.alias("__toks__")).filter(F.size("__toks__") > 0)
 
     def _keep(d: DataFrame) -> DataFrame:
         return d.persist() if persist else d
 
-    uni = (
-        base.select(F.explode("__toks__").alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    vocab = _keep(uni.filter(F.col("cnt") >= min_count).select("w"))
-
-    raw = base.select(F.explode(_triples(F.col("__toks__"))).alias("t")).select(
+    raw3 = base.select(F.explode(_triples(F.col("__toks__"))).alias("t")).select(
         F.col("t.u").alias("u_raw"),
         F.col("t.v").alias("v_raw"),
         F.col("t.w").alias("w_raw"),
     )
+    raw = raw3.groupBy("u_raw", "v_raw", "w_raw").agg(
+        F.count(F.lit(1)).alias("rcnt")
+    )
+    if persist:
+        raw = raw.persist()
+    uni = raw.groupBy(F.col("w_raw").alias("w")).agg(F.sum("rcnt").alias("cnt"))
+    vocab = _keep(uni.filter(F.col("cnt") >= min_count).select("w"))
+
     vu = vocab.select(F.col("w").alias("__vu__"))
     vv = vocab.select(F.col("w").alias("__vv__"))
     vw = vocab.select(F.col("w").alias("__vw__"))
@@ -536,9 +561,10 @@ def train_trigram_kn(
             .otherwise(F.coalesce(F.col("__vv__"), F.lit(UNK)))
             .alias("v"),
             F.coalesce(F.col("__vw__"), F.lit(UNK)).alias("w"),
+            F.col("rcnt"),
         )
     )
-    tri = _keep(mapped.groupBy("u", "v", "w").agg(F.count(F.lit(1)).alias("cnt")))
+    tri = _keep(mapped.groupBy("u", "v", "w").agg(F.sum("rcnt").alias("cnt")))
     ctx3 = tri.groupBy("u", "v").agg(
         F.sum("cnt").alias("cnt_uv"), F.count(F.lit(1)).alias("n_succ3")
     )
@@ -568,6 +594,13 @@ def train_trigram_kn(
         .crossJoin(vocab.agg(F.count(F.lit(1)).alias("vsize")))
         .head()
     )
+    # the stats action has fully materialized the persisted vocab,
+    # tri, and cont2 tables; release the raw type table's blocks
+    if persist:
+        try:
+            raw.unpersist()
+        except Exception:
+            pass
     vocab_size = st["vsize"]
     if d3 is None:
         d3 = st["n1_3"] / (st["n1_3"] + 2 * st["n2_3"]) if (st["n1_3"] + 2 * st["n2_3"]) > 0 else 0.75

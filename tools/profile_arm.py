@@ -31,21 +31,20 @@ def main() -> None:
     os.makedirs(EVDIR)
     os.environ.setdefault("SPARK_GRAFT_MAX_RESULT", "0")
 
-    from pyspark.sql import SparkSession
-
-    from mfdb_hafro_etl_spark.session import tune_session
+    # the bench's own session factory (same confs), plus event logging
+    # injected via submit args (must precede JVM launch)
+    os.environ["PYSPARK_SUBMIT_ARGS"] = (
+        "--conf spark.eventLog.enabled=true "
+        f"--conf spark.eventLog.dir={EVDIR} "
+        "--conf spark.eventLog.compress=false "
+        "--conf spark.eventLog.rolling.enabled=false "
+        "pyspark-shell"
+    )
+    from mfdb_hafro_etl_spark.session import get_spark
     from mfdb_hafro_etl_spark.suite import QUERIES
 
-    spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName("profile_arm")
-        .config("spark.ui.enabled", "false")
-        .config("spark.eventLog.enabled", "true")
-        .config("spark.eventLog.dir", EVDIR)
-        .getOrCreate()
-    )
+    spark = get_spark(app_name="profile_arm", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    tune_session(spark)
 
     marks = {}
     for arm in arms:
@@ -69,15 +68,29 @@ def main() -> None:
     spark.stop()
 
     # parse the event log: stage durations + job wall-clock windows
-    evfile = next(
+    evpath = next(
         os.path.join(EVDIR, f)
         for f in os.listdir(EVDIR)
         if not f.startswith(".")
     )
+    if os.path.isdir(evpath):  # Spark 4 rolling event-log dir
+        evfiles = sorted(
+            os.path.join(evpath, f)
+            for f in os.listdir(evpath)
+            if f.startswith("events")
+        )
+    else:
+        evfiles = [evpath]
+
+    def _lines():
+        for p in evfiles:
+            with open(p) as fh:
+                yield from fh
+
     stages = {}  # id -> dict
     jobs = []  # (t_submit_s, t_end_s, desc, [stage ids])
-    with open(evfile) as fh:
-        for line in fh:
+    if True:
+        for line in _lines():
             ev = json.loads(line)
             k = ev.get("Event")
             if k == "SparkListenerStageCompleted":
