@@ -51,6 +51,7 @@ def main() -> None:
         sc = spark.sparkContext
         sc.setJobDescription(f"ARM:{arm}")
         t0 = time.perf_counter()
+        w0 = time.time()
         df = QUERIES[arm](spark, sf_dir)
         t1 = time.perf_counter()
         try:
@@ -58,7 +59,7 @@ def main() -> None:
         except Exception:
             df.toPandas()
         t2 = time.perf_counter()
-        marks[arm] = (t0, t1, t2)
+        marks[arm] = (w0, w0 + (t2 - t0))
         print(
             f"== {arm}: build {t1 - t0:.2f}s materialize {t2 - t1:.2f}s "
             f"total {t2 - t0:.2f}s",
@@ -119,7 +120,12 @@ def main() -> None:
 
     for arm in arms:
         print(f"\n### {arm}")
-        arm_jobs = [j for j in jobs if j["desc"] == f"ARM:{arm}"]
+        w0, w1 = marks[arm]
+        # all jobs whose window overlaps the arm's wall window —
+        # streaming/foreachBatch jobs don't carry the ARM description
+        arm_jobs = [
+            j for j in jobs if j["t0"] < w1 + 1 and j.get("t1", j["t0"]) > w0
+        ]
         tot = sum(j.get("t1", j["t0"]) - j["t0"] for j in arm_jobs)
         print(f"{len(arm_jobs)} jobs, sum job wall {tot:.2f}s")
         # gaps between consecutive jobs (driver-side time)
