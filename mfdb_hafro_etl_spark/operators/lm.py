@@ -166,7 +166,22 @@ def train_bigram_kn(
     slower; use for one-shot harness runs where leaving cached
     fragments on the executors would pollute later timings)."""
     toks = lm_tokens(text_col)
-    base = df.select(toks.alias("__toks__")).filter(F.size("__toks__") > 0)
+    # the training scan gets the scorer's cost-gated fan-out: the
+    # explode + per-gram partial-aggregate stage is as CPU-dense as
+    # scoring, and a single-row-group parquet source otherwise pins it
+    # to ONE core (measured: 2.5 s single-task stage at sf0.1). All
+    # training outputs are grouping aggregates, so the round-robin
+    # partitioning cannot change any count.
+    src = spread_for_kernel(
+        df.select(text_col), bytes_per_task=_LM_SCORE_BYTES_PER_TASK
+    )
+    # no empty-doc filter here: explode() of an empty (or NULL) token
+    # array already emits zero rows, and an explicit size()>0 filter
+    # gets PUSHED BELOW the fan-out exchange by the optimizer, which
+    # re-tokenizes the whole corpus inside the single-split scan stage
+    # (measured: 2.3 s single-task stage) — the exact starvation the
+    # fan-out exists to remove.
+    base = src.select(toks.alias("__toks__"))
 
     def _keep(d: DataFrame) -> DataFrame:
         return d.persist() if persist else d
@@ -528,7 +543,22 @@ def train_trigram_kn(
     — computed as one aggregate over the trigram TYPE table, as
     before."""
     toks = lm_tokens(text_col)
-    base = df.select(toks.alias("__toks__")).filter(F.size("__toks__") > 0)
+    # the training scan gets the scorer's cost-gated fan-out: the
+    # explode + per-gram partial-aggregate stage is as CPU-dense as
+    # scoring, and a single-row-group parquet source otherwise pins it
+    # to ONE core (measured: 2.5 s single-task stage at sf0.1). All
+    # training outputs are grouping aggregates, so the round-robin
+    # partitioning cannot change any count.
+    src = spread_for_kernel(
+        df.select(text_col), bytes_per_task=_LM_SCORE_BYTES_PER_TASK
+    )
+    # no empty-doc filter here: explode() of an empty (or NULL) token
+    # array already emits zero rows, and an explicit size()>0 filter
+    # gets PUSHED BELOW the fan-out exchange by the optimizer, which
+    # re-tokenizes the whole corpus inside the single-split scan stage
+    # (measured: 2.3 s single-task stage) — the exact starvation the
+    # fan-out exists to remove.
+    base = src.select(toks.alias("__toks__"))
 
     def _keep(d: DataFrame) -> DataFrame:
         return d.persist() if persist else d
