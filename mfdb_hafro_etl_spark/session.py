@@ -357,25 +357,40 @@ def spread_for_kernel(df, factor: int = 2, bytes_per_task: int | None = None):
     mislead here); unknown stats estimate as huge and degrade to the
     conservative full fan-out.
 
-    Contract: call this on SCAN-ROOTED inputs (every in-package call
-    site is a projection straight off a table scan). The gate reads
-    the static physical partition count — for a scan that is the
-    true split count and planning it is cheap, but a plan ending in a
-    shuffle reports the pre-AQE static shuffle width, which AQE may
-    coalesce far below at runtime (the gate would skip exactly when
-    fan-out is needed) and physical-planning a deep upstream plan
-    twice isn't free. Kernels over shuffle outputs should set an
-    explicit repartition instead."""
+    The already-wide check is a BYTES ESTIMATE (leaf_bytes /
+    maxPartitionBytes ≈ the scan's own split count), not
+    df.rdd.getNumPartitions(): under AQE, .rdd on a non-trivial plan
+    (any join/aggregate upstream — e.g. a filter-id semi-join feeding
+    a scorer) finalizes the adaptive plan, which EXECUTES every
+    intermediate exchange — measured 2.8 s of eager work per call
+    site at the sf0.1 ccnet arm, plus a javaToPython conversion and a
+    second round of planning. The estimate errs only for many-tiny-
+    file scans (true splits > estimate), where the worst case is one
+    redundant shuffle bounded by cap × bytes_per_task (~4 MB) — far
+    cheaper than eagerly executing upstream stages. Inputs with
+    unknown leaf stats (Catalyst's Long.Max default) keep the old
+    .rdd probe: they are rare, and blindly repartitioning a possibly-
+    petabyte input to cap partitions must stay impossible."""
     sc = df.sparkSession.sparkContext
     cap = sc.defaultParallelism * factor
-    if df.rdd.getNumPartitions() >= cap:
-        return df
     per_task = bytes_per_task or _KERNEL_BYTES_PER_TASK
     nbytes = _leaf_scan_bytes(df)
-    if nbytes is None:
-        target = cap
-    else:
+    if nbytes is not None and nbytes < (1 << 60):
         target = max(1, min(cap, -(-nbytes // per_task)))
-    if df.rdd.getNumPartitions() >= target:
+        try:
+            maxpb = int(
+                df.sparkSession._jsparkSession.sessionState()
+                .conf()
+                .filesMaxPartitionBytes()
+            )
+        except Exception:
+            maxpb = 128 << 20
+        if -(-nbytes // maxpb) >= target:
+            return df
+        return df.repartition(target)
+    # unknown size: conservative full fan-out, unless the input is
+    # already wide (the .rdd probe — may execute AQE stages; this
+    # path is the rare exception, never the fixture hot path)
+    if df.rdd.getNumPartitions() >= cap:
         return df
-    return df.repartition(target)
+    return df.repartition(cap)
