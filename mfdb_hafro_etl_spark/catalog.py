@@ -18,6 +18,7 @@ Two families:
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -184,6 +185,20 @@ def read_events_raw(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+# session → {(path, mtime_ns, size): DataFrame} — lazy-PLAN memo
+# (r12). Each spark.read.parquet costs a py4j round-trip plus a
+# JVM-side file listing and footer schema read (~30-70 ms on this
+# harness), and the 141-arm suite re-opens the same handful of
+# testdata tables a few hundred times. The memoized object is an
+# immutable logical plan (no data is cached; every action still
+# scans parquet), and the mtime+size key means any rewrite of the
+# file — tests staging their own fixtures — invalidates the entry,
+# so a stale FileIndex can never serve a replaced table.
+_TABLE_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver testdata table (Parquet keeps its own schema —
     columnar scan + pushdown come for free). events.ts is normalized
@@ -191,9 +206,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown testdata table {name!r}")
     path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = None  # let the read itself raise (or list a directory)
+    per_session = _TABLE_MEMO.setdefault(spark, {})
+    if key is not None:
+        hit = per_session.get(key)
+        if hit is not None:
+            return hit
     if name == "events":
-        return normalize_events_ts(read_events_raw(spark, path))
-    return spark.read.parquet(path)
+        df = normalize_events_ts(read_events_raw(spark, path))
+    else:
+        df = spark.read.parquet(path)
+    if key is not None:
+        per_session[key] = df
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:

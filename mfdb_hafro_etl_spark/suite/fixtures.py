@@ -17,11 +17,50 @@ there.
 
 from __future__ import annotations
 
+import functools
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from mfdb_hafro_etl_spark.localrel import local_df
 
 from mfdb_hafro_etl_spark.catalog import load_table
+
+# session → {(builder, sf_dir): DataFrame} — lazy-PLAN memo (r12).
+# Building a fixture plan costs hundreds of py4j round-trips
+# (~0.5-0.75 ms each on this harness), and the suite re-builds the
+# shared fixtures for every pipeline arm that uses them — measured
+# 49.9 s of pure plan construction across the 141-arm sf0.1 bench,
+# a large slice of it these builders. A DataFrame is an immutable
+# logical plan, so handing every caller the SAME object changes
+# nothing about what executes: no data is cached (execution still
+# scans parquet per action — this is NOT result caching), callers
+# compose transformations on top without mutating the shared plan,
+# and the weak session key keeps test sessions collectable. Same
+# pattern as the long-standing _SAGA_MEMO below, minus even the
+# collect.
+_PLAN_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def plan_memo(fn):
+    """Memoize a ``(spark, sf_dir) -> DataFrame`` plan builder per
+    (session, sf_dir). Only for PURE builders: no eager actions, no
+    dependence on mutable state — the returned plan must mean the
+    same thing every time it is requested."""
+
+    @functools.wraps(fn)
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        per_session = _PLAN_MEMO.setdefault(spark, {})
+        key = (fn.__module__, fn.__qualname__, sf_dir)
+        hit = per_session.get(key)
+        if hit is None:
+            hit = fn(spark, sf_dir)
+            per_session[key] = hit
+        return hit
+
+    return wrapped
 
 # synaflokkur domain (reference R/initdb.R:117; R/initdb_shrimp.R:214)
 SYNAFLOKKUR = [1, 2, 8, 10, 12, 14, 20, 30, 31, 34, 35, 37, 38]
@@ -63,6 +102,7 @@ FROM orders
 """.format(syn=str(SYNAFLOKKUR))
 
 
+@plan_memo
 def stodvar(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     k, c = F.col("o_orderkey"), F.col("o_custkey")
@@ -116,8 +156,6 @@ FROM (SELECT DISTINCT CAST(c_custkey % 200 AS INT) AS skip_nr FROM customer) s
 CROSS JOIN (SELECT CAST(unnest(generate_series(1, 2)) AS INT) AS saga_nr) g
 """
 
-
-import weakref
 
 # session → {sf_dir: collected dim} — weak keys so a test session's
 # local relations die with it (and a recycled id() can't alias)
@@ -182,6 +220,7 @@ WHERE v % 10 <> 7
 """
 
 
+@plan_memo
 def gear_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = F.col("id")
     return (
@@ -210,6 +249,7 @@ WHERE r % 5 <> 0
 """
 
 
+@plan_memo
 def reitmapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     r, s = F.col("r"), F.col("s")
     return (
@@ -235,6 +275,7 @@ FROM (SELECT unnest({lst}) AS t)
 """.format(lst=str(SPECIES_TEGUND))
 
 
+@plan_memo
 def species_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return local_df(
         spark, [(t, f"SP{t}") for t in SPECIES_TEGUND], "tegund INT, species STRING"
@@ -260,6 +301,7 @@ FROM lineitem
 """
 
 
+@plan_memo
 def lengdir(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     pk, sk = F.col("l_partkey"), F.col("l_suppkey")
@@ -295,6 +337,7 @@ GROUP BY 1, 2
 """
 
 
+@plan_memo
 def numer(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     sid = F.col("l_orderkey")
@@ -349,6 +392,7 @@ WHERE l_linenumber <= 2
 """
 
 
+@plan_memo
 def kvarnir(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") <= 2)
     pk, sk, q = F.col("l_partkey"), F.col("l_suppkey"), F.col("l_quantity")
@@ -389,6 +433,7 @@ FROM lineitem
 """
 
 
+@plan_memo
 def lods(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     ok, pk, sk = F.col("l_orderkey"), F.col("l_partkey"), F.col("l_suppkey")
@@ -426,6 +471,7 @@ WHERE o_orderkey % 3 = 0
 """
 
 
+@plan_memo
 def fiskifelag(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 3 == 0)
     k, c = F.col("o_orderkey"), F.col("o_custkey")
@@ -451,6 +497,7 @@ FROM (SELECT unnest(generate_series(0, 159)) AS h)
 """
 
 
+@plan_memo
 def port2sr(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = F.col("id")
     return spark.range(0, 160).select(
@@ -471,6 +518,7 @@ FROM orders WHERE o_orderkey % 13 = 5
 """
 
 
+@plan_memo
 def corrected_togtimi(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.filter(F.col("o_orderkey") % 13 == 5).select(
@@ -484,6 +532,7 @@ FROM orders WHERE o_orderkey % 17 = 2
 """
 
 
+@plan_memo
 def corrected_toglengd(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.filter(F.col("o_orderkey") % 17 == 2).select(
@@ -517,6 +566,7 @@ FROM orders
 """
 
 
+@plan_memo
 def ices_landed_catch(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     k, c = F.col("o_orderkey"), F.col("o_custkey")
@@ -565,6 +615,7 @@ FROM orders
 """
 
 
+@plan_memo
 def vigtarskra(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     k, c = F.col("o_orderkey"), F.col("o_custkey")
@@ -582,6 +633,7 @@ def vigtarskra(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@plan_memo
 def bad_synis_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.filter(F.col("o_orderkey") % 41 == 7).select(

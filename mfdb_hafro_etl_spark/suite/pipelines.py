@@ -74,7 +74,11 @@ _STATION_COLS = (
 )
 
 
+@fx.plan_memo
 def _spark_fixture_stations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # plan-memoized (fixtures.plan_memo): four arms build this exact
+    # stations spine; the expression tree costs ~0.8 s of py4j round
+    # trips per build and is immutable once constructed
     return stations_plan.build_stations(
         fx.stodvar(spark, sf_dir),
         fx.skipasaga(spark, sf_dir),
