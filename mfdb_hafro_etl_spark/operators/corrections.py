@@ -15,6 +15,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from mfdb_hafro_etl_spark.exprcache import column_template
 from mfdb_hafro_etl_spark.functions.conditionals import nvl2
 
 
@@ -32,16 +33,30 @@ def apply_correction(
     joined = df.alias("d").join(
         F.broadcast(corrections.select(*keep).alias("c")), on=list(key), how="left"
     )
-    out_cols = []
-    fixed = set(fixes)
-    for c in df.columns:
-        if c in fixed:
-            out_cols.append(nvl2(F.col(f"c.{fixes[c]}"), F.col(f"c.{fixes[c]}"), F.col(f"d.{c}")).alias(c))
-        elif c in key:
-            out_cols.append(F.col(c))
-        else:
-            out_cols.append(F.col(f"d.{c}"))
+    out_cols = _overlay_cols(
+        tuple(df.columns), tuple(key), tuple(sorted(fixes.items()))
+    )
     return joined.select(*out_cols)
+
+
+@column_template
+def _overlay_cols(
+    cols: tuple[str, ...], key: tuple[str, ...], fixes: tuple[tuple[str, str], ...]
+) -> tuple:
+    """Per-output-column overlay expressions — memoized template
+    (exprcache): a wide fact overlaid with several correction tables
+    rebuilt one Column per fact column per table, every query."""
+    fix_map = dict(fixes)
+    out = []
+    for c in cols:
+        if c in fix_map:
+            f = fix_map[c]
+            out.append(nvl2(F.col(f"c.{f}"), F.col(f"c.{f}"), F.col(f"d.{c}")).alias(c))
+        elif c in key:
+            out.append(F.col(c))
+        else:
+            out.append(F.col(f"d.{c}"))
+    return out
 
 
 def drop_bad_keys(df: DataFrame, bad: DataFrame, key: Sequence[str]) -> DataFrame:

@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType
 
+from mfdb_hafro_etl_spark.exprcache import column_template
 from mfdb_hafro_etl_spark.operators.skew import hot_key_anti_join
 from mfdb_hafro_etl_spark.operators.text import tokens
 from mfdb_hafro_etl_spark.session import _leaf_scan_bytes, pin_to_result
@@ -79,17 +80,26 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     # be skipped when the previous token start matched zero-width one
     # char earlier (leading-space texts would lose a shingle)
     pat = f"(?:^|(?<= ))(?=({body}))"
-    c = F.col(col) if isinstance(col, str) else col
+    if isinstance(col, str):
+        return _shingles_named(col, n)
     return F.coalesce(
-        F.array_distinct(F.regexp_extract_all(c, F.lit(pat), F.lit(1))),
+        F.array_distinct(F.regexp_extract_all(col, F.lit(pat), F.lit(1))),
         F.array().cast("array<string>"),
     )
+
+
+@column_template
+def _shingles_named(name: str, n: int) -> Column:
+    """shingles() template for a plain column name — memoized per
+    (name, n) so the per-query (and per-micro-batch) rebuilds reuse
+    one tree."""
+    return shingles(F.col(name), n)
 
 
 def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """(id, shingle) exploded, distinct per doc."""
     return _spread_by_id(df.select(id_col, text_col), id_col).select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("shingle")
+        F.col(id_col), F.explode(shingles(text_col, n)).alias("shingle")
     )
 
 
@@ -153,7 +163,7 @@ def ngram_jaccard_pairs(
         F.col(id_col), F.xxhash64("shingle").alias("shingle")
     )
     sizes = df.select(
-        F.col(id_col), F.size(shingles(F.col(text_col), n)).alias("n_sh")
+        F.col(id_col), F.size(shingles(text_col, n)).alias("n_sh")
     )
     # NOTE: do NOT cache/materialize `gated` either — it would add a
     # full-shingle-table materialization on top of the shared
@@ -187,7 +197,8 @@ def ngram_jaccard_pairs(
     )
 
 
-def _minhash_hash_cols(k: int) -> list[Column]:
+@column_template
+def _minhash_hash_cols(k: int) -> tuple[Column, ...]:
     """ceil(k/4) salted md5 digests per shingle row — each 128-bit
     digest yields FOUR independent 32-bit minhash functions (8-hex
     slices of a uniform digest), so k functions cost k/4 md5
@@ -195,7 +206,9 @@ def _minhash_hash_cols(k: int) -> list[Column]:
     cost of minhash_lsh_pairs at scale (26.5M shingle rows × 8 md5s
     at the 100× fixture); projecting the digests BEFORE the
     aggregate guarantees one evaluation each regardless of
-    aggregate-codegen subexpression elimination."""
+    aggregate-codegen subexpression elimination. Template memoized
+    per k (exprcache): every minhash consumer — and the streaming
+    dedup handler PER MICRO-BATCH — re-built this identical tree."""
     n_md5 = -(-k // 4)
     return [
         F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle"))).alias(f"__m{s}__")
@@ -203,7 +216,8 @@ def _minhash_hash_cols(k: int) -> list[Column]:
     ]
 
 
-def _minhash_min_exprs(k: int) -> list[Column]:
+@column_template
+def _minhash_min_exprs(k: int) -> tuple[Column, ...]:
     """k minhash aggregates over the projected digests: h_i =
     min(substr(md5('{i//4}:' || shingle), 8·(i%4)+1, 8)). Min over
     fixed-width lowercase hex is engine-portable (lexicographic ==
@@ -214,6 +228,25 @@ def _minhash_min_exprs(k: int) -> list[Column]:
         ).alias(f"h{i}")
         for i in range(k)
     ]
+
+
+@column_template
+def _band_array(k: int, rows_per_band: int) -> Column:
+    """array<struct<band,val>> of LSH band keys over signature
+    columns h0..h{k-1} — the shared template behind
+    minhash_lsh_pairs and lsh_band_table."""
+    n_bands = k // rows_per_band
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat(
+                    *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("val"),
+            )
+            for b in range(n_bands)
+        ]
+    )
 
 
 def minhash_signatures(
@@ -296,18 +329,7 @@ def minhash_lsh_pairs(
     # signature cost). Also fills the shingle cache for the verify
     # joins downstream.
     sig.count()
-    n_bands = k // rows_per_band
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat(
-                    *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-                ).alias("val"),
-            )
-            for b in range(n_bands)
-        ]
-    )
+    bands = _band_array(k, rows_per_band)
     exploded = sig.select(F.col(id_col), F.explode(bands).alias("bv")).select(
         F.col(id_col), F.col("bv.band").alias("band"), F.col("bv.val").alias("val")
     )
@@ -825,18 +847,7 @@ def lsh_band_table(
     side is computed per increment)."""
     assert k % rows_per_band == 0
     sig = minhash_signatures(df, id_col, text_col, n, k)
-    n_bands = k // rows_per_band
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat(
-                    *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-                ).alias("val"),
-            )
-            for b in range(n_bands)
-        ]
-    )
+    bands = _band_array(k, rows_per_band)
     return sig.select(F.col(id_col), F.explode(bands).alias("bv")).select(
         F.col(id_col), F.col("bv.band").alias("band"), F.col("bv.val").alias("val")
     )

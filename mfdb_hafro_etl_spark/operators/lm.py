@@ -72,6 +72,7 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mfdb_hafro_etl_spark.exprcache import column_template
 from mfdb_hafro_etl_spark.session import spread_for_kernel
 
 BOS = "<s>"
@@ -93,9 +94,28 @@ _LM_SCORE_BYTES_PER_TASK = 8 << 10
 def lm_tokens(col: Column | str) -> Column:
     """Whitespace tokenization, lowercased, empties dropped — the
     corpus-wide convention (text.py token_count, bpe_word_freq) so LM
-    scores compose with the other text operators' token counts."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
+    scores compose with the other text operators' token counts.
+    String names route through a memoized template (exprcache)."""
+    if isinstance(col, str):
+        return _lm_tokens_named(col)
+    return F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != "")
+
+
+@column_template
+def _lm_tokens_named(name: str) -> Column:
+    return lm_tokens(F.col(name))
+
+
+@column_template
+def _pairs_named(name: str) -> Column:
+    """_pairs over a token-array column name — memoized template."""
+    return _pairs(F.col(name))
+
+
+@column_template
+def _pairs_tokens(text_col: str) -> Column:
+    """_pairs over lm_tokens(text_col) — memoized template."""
+    return _pairs(lm_tokens(text_col))
 
 
 def _pairs(toks: Column) -> Column:
@@ -186,7 +206,7 @@ def train_bigram_kn(
     def _keep(d: DataFrame) -> DataFrame:
         return d.persist() if persist else d
 
-    raw3 = base.select(F.explode(_pairs(F.col("__toks__"))).alias("p")).select(
+    raw3 = base.select(F.explode(_pairs_named("__toks__")).alias("p")).select(
         F.col("p.c").alias("c_raw"), F.col("p.w").alias("w_raw")
     )
     raw = raw3.groupBy("c_raw", "w_raw").agg(F.count(F.lit(1)).alias("rcnt"))
@@ -295,7 +315,7 @@ def perplexity(
         df.select(id_col, text_col), bytes_per_task=_LM_SCORE_BYTES_PER_TASK
     )
     pairs = src.select(
-        F.col(id_col), F.explode(_pairs(lm_tokens(text_col))).alias("p")
+        F.col(id_col), F.explode(_pairs_tokens(text_col)).alias("p")
     ).select(id_col, F.col("p.c").alias("c_raw"), F.col("p.w").alias("w_raw"))
 
     vc = lm.vocab.select(F.col("w").alias("__vc__"))
@@ -489,6 +509,18 @@ def _triples(toks: Column) -> Column:
     )
 
 
+@column_template
+def _triples_named(name: str) -> Column:
+    """_triples over a token-array column name — memoized template."""
+    return _triples(F.col(name))
+
+
+@column_template
+def _triples_tokens(text_col: str) -> Column:
+    """_triples over lm_tokens(text_col) — memoized template."""
+    return _triples(lm_tokens(text_col))
+
+
 @dataclass
 class TrigramKN:
     """Interpolated trigram Kneser-Ney (Chen & Goodman 1999 — the
@@ -563,7 +595,7 @@ def train_trigram_kn(
     def _keep(d: DataFrame) -> DataFrame:
         return d.persist() if persist else d
 
-    raw3 = base.select(F.explode(_triples(F.col("__toks__"))).alias("t")).select(
+    raw3 = base.select(F.explode(_triples_named("__toks__")).alias("t")).select(
         F.col("t.u").alias("u_raw"),
         F.col("t.v").alias("v_raw"),
         F.col("t.w").alias("w_raw"),
@@ -683,7 +715,7 @@ def perplexity3(
         df.select(id_col, text_col), bytes_per_task=_LM_SCORE_BYTES_PER_TASK
     )
     trips = src.select(
-        F.col(id_col), F.explode(_triples(lm_tokens(text_col))).alias("t")
+        F.col(id_col), F.explode(_triples_tokens(text_col)).alias("t")
     ).select(
         id_col,
         F.col("t.u").alias("u_raw"),

@@ -17,6 +17,8 @@ from collections.abc import Mapping
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from mfdb_hafro_etl_spark.exprcache import column_template
+
 # 15 hex chars = 60 bits. A 60-bit integer is NOT exactly
 # representable in a double (exact only to 2^53) — portability comes
 # from both engines performing the SAME correctly-rounded int→double
@@ -29,10 +31,17 @@ def hash_unit(col: Column | str, salt: str = "") -> Column:
     """Uniform [0,1) value derived from md5(salt || id) — the
     deterministic replacement for rand(seed). Engine-portable because
     conv→double rounding and the division are identical
-    correctly-rounded IEEE operations in Spark and the SQL oracle."""
-    c = F.col(col) if isinstance(col, str) else col
-    h = F.md5(F.concat(F.lit(salt), c.cast("string")))
+    correctly-rounded IEEE operations in Spark and the SQL oracle.
+    String names route through a memoized template (exprcache)."""
+    if isinstance(col, str):
+        return _hash_unit_named(col, salt)
+    h = F.md5(F.concat(F.lit(salt), col.cast("string")))
     return F.conv(F.substring(h, 1, _BUCKET_HEX), 16, 10).cast("double") / F.lit(_BUCKET_MAX)
+
+
+@column_template
+def _hash_unit_named(name: str, salt: str) -> Column:
+    return hash_unit(F.col(name), salt)
 
 
 def deterministic_sample(

@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mfdb_hafro_etl_spark.exprcache import column_template
+
 # Tiny per-language marker lists for the language-ID heuristic
 # (stopword-overlap scoring; swap for real lists in production).
 LANG_MARKERS: dict[str, list[str]] = {
@@ -398,6 +400,38 @@ def _bpe_pair_col(seg: Column) -> Column:
     ).otherwise(F.expr("cast(array() as array<string>)"))
 
 
+@column_template
+def _bpe_pair_named(name: str) -> Column:
+    """_bpe_pair_col over a column name — memoized template
+    (exprcache): the training loop re-built this tree every round."""
+    return _bpe_pair_col(F.col(name))
+
+
+@column_template
+def _bpe_fold_template() -> Column:
+    """The greedy left-to-right single-pair merge fold, as a FIXED
+    expression template: the pair being merged is read from the
+    literal columns __x__/__y__/__xy__ the caller attaches per round
+    (outer column references are ordinary attributes inside
+    higher-order-function lambdas), so the ~150-round-trip lambda
+    tree is built once per process instead of once per merge round —
+    and the stable lambda-variable names let the per-round codegen
+    hit the JVM class cache (same reason as shingles()'s fixed
+    regexp construction)."""
+    return F.aggregate(
+        F.split(F.col("seg"), " "),
+        F.expr("cast(array() as array<string>)"),
+        lambda acc, t: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.col("__x__"))
+            & (t == F.col("__y__")),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.col("__xy__"))
+            ),
+        ).otherwise(F.concat(acc, F.array(t))),
+    )
+
+
 def bpe_train(
     df: DataFrame, text_col: str = "text", n_merges: int = 5
 ) -> DataFrame:
@@ -442,7 +476,7 @@ def bpe_train(
     merges: list[tuple[int, str, int]] = []
     for rank in range(1, n_merges + 1):
         top = (
-            vocab.select("freq", F.explode(_bpe_pair_col(F.col("seg"))).alias("pair"))
+            vocab.select("freq", F.explode(_bpe_pair_named("seg")).alias("pair"))
             .groupBy("pair")
             .agg(F.sum("freq").alias("freq"))
             .orderBy(F.col("freq").desc(), F.col("pair").asc())
@@ -454,21 +488,17 @@ def bpe_train(
         merges.append((rank, pair, freq))
         x, y = pair.split(" ")
         merged = x + y
-        folded = F.aggregate(
-            F.split(F.col("seg"), " "),
-            F.expr("cast(array() as array<string>)"),
-            lambda acc, t: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == x)
-                & (t == y),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
-                ),
-            ).otherwise(F.concat(acc, F.array(t))),
+        new_vocab = (
+            vocab.select(
+                "freq",
+                "seg",
+                F.lit(x).alias("__x__"),
+                F.lit(y).alias("__y__"),
+                F.lit(merged).alias("__xy__"),
+            )
+            .select("freq", F.array_join(_bpe_fold_template(), " ").alias("seg"))
+            .localCheckpoint(eager=True)
         )
-        new_vocab = vocab.select(
-            "freq", F.array_join(folded, " ").alias("seg")
-        ).localCheckpoint(eager=True)
         try:  # free the superseded round's blocks (long-session hygiene)
             vocab._jdf.queryExecution().analyzed().rdd().unpersist(False)
         except Exception:
