@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from mfdb_hafro_etl_spark.exprcache import column_template
 from mfdb_hafro_etl_spark.functions.conditionals import nvl
 from mfdb_hafro_etl_spark.functions.domain import range_bucket, vessel_id
 from mfdb_hafro_etl_spark.operators.grids import month_spread
@@ -49,7 +50,7 @@ def build_landings_map(lods: DataFrame, skipasaga: DataFrame) -> DataFrame:
     (l_dags < ur_gildi, l_dags > i_gildi — different from the
     stations pipeline's half-open bounds; preserved exactly)."""
     j = lods.join(F.broadcast(skipasaga), on="skip_nr", how="left")
-    keep = (F.col("l_dags") < F.col("ur_gildi")) & (F.col("l_dags") > F.col("i_gildi"))
+    keep = _landings_map_keep()
     # repartition on the SUBSET of dedup columns the downstream
     # lods⋈map join shuffles on: a hash partitioning on (skip_nr,
     # komunr, hofn) already satisfies dropDuplicates' 4-column
@@ -60,9 +61,17 @@ def build_landings_map(lods: DataFrame, skipasaga: DataFrame) -> DataFrame:
     return (
         j.filter(keep)
         .select("skip_nr", "saga_nr", "komunr", "hofn")
-        .repartition(F.col("skip_nr"), F.col("komunr"), F.col("hofn"))
+        .repartition("skip_nr", "komunr", "hofn")
         .dropDuplicates()
     )
+
+
+@column_template
+def _landings_map_keep():
+    """OPEN temporal-interval bounds (different from the stations
+    pipeline's half-open bounds; preserved exactly) — memoized
+    template (exprcache)."""
+    return (F.col("l_dags") < F.col("ur_gildi")) & (F.col("l_dags") > F.col("i_gildi"))
 
 
 def build_landed_catch(
@@ -240,14 +249,23 @@ def rescale_by_published(
 def import_filter(landings: DataFrame, bad_vessels: list[str]) -> DataFrame:
     """Pre-import cleanup (reference R/initdb.R:485-495): '-0' vessel
     → NULL, drop hotfix vessels, positive non-null weights only."""
+    v_clean, w_pred = _import_filter_cols()
     return (
-        landings.withColumn(
-            "vessel",
-            F.when(F.col("vessel") == "-0", F.lit(None).cast("string")).otherwise(F.col("vessel")),
-        )
-        .filter(~nvl(F.col("vessel"), "").isin(bad_vessels))
-        .filter((F.col("weight_total") > 0) & F.col("weight_total").isNotNull())
+        landings.withColumn("vessel", v_clean)
+        .filter(~nvl(F.col("vessel"), "").isin(list(bad_vessels)))
+        .filter(w_pred)
     )
+
+
+@column_template
+def _import_filter_cols() -> tuple:
+    """'-0'-vessel NULLing + positive-weight predicate — memoized
+    template (the bad-vessel isin stays at the call site: it is
+    keyed by a caller-supplied list)."""
+    return [
+        F.when(F.col("vessel") == "-0", F.lit(None).cast("string")).otherwise(F.col("vessel")),
+        (F.col("weight_total") > 0) & F.col("weight_total").isNotNull(),
+    ]
 
 
 def build_month_spread_landings(

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from mfdb_hafro_etl_spark.localrel import local_df
 
+from mfdb_hafro_etl_spark.exprcache import column_template
 from mfdb_hafro_etl_spark.functions.conditionals import nvl, nvl2
 from mfdb_hafro_etl_spark.functions.domain import sex_recode
 
@@ -49,6 +50,14 @@ def build_ratio(
         df = df.withColumn(
             "vigt_synis", nvl2(F.col("vigt_synis_fx"), F.col("vigt_synis_fx"), F.col("vigt_synis"))
         ).drop("vigt_synis_fx")
+    return df.select(*_ratio_select_cols())
+
+
+@column_template
+def _ratio_select_cols() -> tuple:
+    """build_ratio's output projection — memoized template
+    (exprcache): identical fixed-name trees rebuilt by every
+    ldist-family query."""
     null_d = F.lit(None).cast("double")
     r = F.when(F.col("fj_talid") == 0, F.lit(1.0)).otherwise(
         F.col("fj_talid") / F.when(F.col("fj_maelt") == 0, F.lit(1.0)).otherwise(F.col("fj_maelt"))
@@ -59,15 +68,15 @@ def build_ratio(
     simplemean = F.when(F.col("vigt_synis") == 0, null_d).otherwise(
         F.col("vigt_synis") / F.when(F.col("fj_maelt") == 0, null_d).otherwise(F.col("fj_maelt"))
     )
-    return df.select(
-        "synis_id",
-        "tegund",
+    return [
+        F.col("synis_id"),
+        F.col("tegund"),
         r.alias("r"),
         biom_r.alias("biom_r"),
         simplemean.alias("simplemean_wt"),
-        "vigt_synis",
-        "fj_maelt",
-    )
+        F.col("vigt_synis"),
+        F.col("fj_maelt"),
+    ]
 
 
 def skala_med_toldum2(
@@ -99,14 +108,8 @@ def skala_med_toldum2(
 
     base = (
         lengdir.join(F.broadcast(biom_mat), on="tegund", how="left")
-        .withColumn(
-            "lengd_scaler",
-            F.when((F.col("s") == 0) | F.col("s").isNull(), F.lit(1.0)).otherwise(1 / F.col("s")),
-        )
-        .withColumn(
-            "lengd_interval",
-            F.round(F.col("lengd_scaler") * F.col("lengd"), 0) / F.col("lengd_scaler"),
-        )
+        .withColumn("lengd_scaler", _interval_cols()[0][1])
+        .withColumn("lengd_interval", _interval_cols()[1][1])
         .join(ratio, on=["synis_id", "tegund"], how="left")
     )
 
@@ -118,19 +121,7 @@ def skala_med_toldum2(
     # shuffle and NO self-join (the naive translation is groupBy +
     # join-back, which recomputes the upstream twice and adds a
     # large-large sort-merge join; .explain shows a single Exchange).
-    w_grp = Window.partitionBy("synis_id", "tegund")
-    w_int = Window.partitionBy("synis_id", "tegund", "lengd_interval")
-    null_d = F.lit(None).cast("double")
-
-    stage = base.withColumns(
-        {
-            "fjoldi_by_int": F.sum("fjoldi").over(w_int),
-            "fjoldi_sum": F.sum("fjoldi").over(w_grp),
-            # one-row-per-interval indicator so per-interval terms can
-            # be re-aggregated at group grain without a join
-            "__int_rn__": F.row_number().over(w_int.orderBy(F.lit(1))),
-        }
-    )
+    stage = base.withColumns(dict(_window_sum_cols()))
     # interval^b quantized to 6 dp AT THE SOURCE: Java Math.pow and C
     # libm pow disagree by 1 ulp on ~10% of inputs (measured on the
     # shrimp exponent), and that ulp rides through the whole
@@ -139,59 +130,18 @@ def skala_med_toldum2(
     # downstream double bit-identical across engines; the 6 dp loss
     # (relative ~1e-10 at shrimp magnitudes) is far below the data's
     # precision. The oracle applies the identical ROUND(POW(..), 6).
-    powc = F.round(F.pow("lengd_interval", F.col("b")), 6)
-    fpw = F.when(
-        F.col("fjoldi_sum") * F.col("a") * powc == 0,
-        null_d,
-    ).otherwise(F.col("fjoldi_by_int") / F.col("fjoldi_sum") * F.col("a") * powc)
-    stage = stage.withColumn("fjoldi_prop_weighted", fpw).withColumn(
-        "fjoldi_prop_weighted_sum",
-        F.sum(
-            F.when(F.col("__int_rn__") == 1, F.col("fjoldi_prop_weighted")).otherwise(F.lit(0.0))
-        ).over(w_grp),
-    )
-    stage = stage.withColumn(
-        "biom_prop",
-        F.when(F.col("fjoldi_prop_weighted_sum") == 0, null_d).otherwise(
-            F.col("fjoldi_prop_weighted") / F.col("fjoldi_prop_weighted_sum")
-        ),
+    fpw, fpw_sum, biom_prop = _prop_cols()
+    stage = (
+        stage.withColumn("fjoldi_prop_weighted", fpw)
+        .withColumn("fjoldi_prop_weighted_sum", fpw_sum)
+        .withColumn("biom_prop", biom_prop)
     )
 
     biom_spp = sorted(biom_teg)
+    mean_wt_col, fjoldi_scaled = _output_cols(tuple(biom_spp))
     out = (
-        stage.withColumn(
-            # mean_wt quantized to 6 dp (both engines): downstream
-            # weight formulas divide it by round decimals (towcount
-            # 100, towlength) which can land EXACTLY on a 6 dp
-            # rounding tie (measured: mean_wt 50.87685 / 100 =
-            # 0.5087685) — at a tie, the rounding direction hinges on
-            # sub-ulp summation-order noise and the engines disagree.
-            # Quantizing here makes the doubles entering that chain
-            # bit-identical, so even exact ties round identically.
-            # floor(x*1e6+0.5)/1e6, NOT F.round: Spark rounds the
-            # double's shortest decimal repr while DuckDB rounds the
-            # exact binary value, so values like biom_prop*(vigt/
-            # fjoldi) = 0.0192125 (7 places ending in 5) diverge
-            # between engines under round(); the floor construction
-            # is the same correctly-rounded IEEE multiply/add/floor/
-            # divide on both and mean_wt is nonnegative.
-            "mean_wt",
-            F.floor(
-                F.col("biom_prop")
-                * (
-                    F.when(F.col("vigt_synis") == 0, null_d).otherwise(F.col("vigt_synis"))
-                    / F.when(F.col("fjoldi_by_int") == 0, null_d).otherwise(F.col("fjoldi_by_int"))
-                )
-                * 1000000.0
-                + 0.5
-            )
-            / 1000000.0,
-        )
-        .withColumn(
-            "fjoldi",
-            F.col("fjoldi")
-            * F.when(F.col("tegund").isin(biom_spp), F.col("biom_r")).otherwise(F.col("r")),
-        )
+        stage.withColumn("mean_wt", mean_wt_col)
+        .withColumn("fjoldi", fjoldi_scaled)
         .drop(
             "vigt_synis",
             "fj_maelt",
@@ -210,6 +160,89 @@ def skala_med_toldum2(
         )
     )
     return out
+
+
+@column_template
+def _interval_cols() -> tuple:
+    """Length-interval derivation (steps 1-2) — memoized template.
+    SEQUENTIAL withColumn at the call site: lengd_interval references
+    lengd_scaler, so the two must not share one withColumns
+    projection."""
+    scaler = F.when((F.col("s") == 0) | F.col("s").isNull(), F.lit(1.0)).otherwise(
+        1 / F.col("s")
+    )
+    return [
+        ("lengd_scaler", scaler),
+        (
+            "lengd_interval",
+            F.round(F.col("lengd_scaler") * F.col("lengd"), 0) / F.col("lengd_scaler"),
+        ),
+    ]
+
+
+@column_template
+def _window_sum_cols() -> tuple:
+    """Window algebra over the single (synis_id, tegund) partitioning
+    (see the shuffle-shape note in skala_med_toldum2) — memoized
+    template; the Window specs are themselves immutable JVM objects."""
+    w_grp = Window.partitionBy("synis_id", "tegund")
+    w_int = Window.partitionBy("synis_id", "tegund", "lengd_interval")
+    return [
+        ("fjoldi_by_int", F.sum("fjoldi").over(w_int)),
+        ("fjoldi_sum", F.sum("fjoldi").over(w_grp)),
+        # one-row-per-interval indicator so per-interval terms can
+        # be re-aggregated at group grain without a join
+        ("__int_rn__", F.row_number().over(w_int.orderBy(F.lit(1)))),
+    ]
+
+
+@column_template
+def _prop_cols() -> tuple:
+    """Steps 3-4 (weighted proportions) — memoized template. powc is
+    quantized to 6 dp at the source (see the libm-pow note above)."""
+    null_d = F.lit(None).cast("double")
+    w_grp = Window.partitionBy("synis_id", "tegund")
+    powc = F.round(F.pow("lengd_interval", F.col("b")), 6)
+    fpw = F.when(
+        F.col("fjoldi_sum") * F.col("a") * powc == 0,
+        null_d,
+    ).otherwise(F.col("fjoldi_by_int") / F.col("fjoldi_sum") * F.col("a") * powc)
+    fpw_sum = F.sum(
+        F.when(F.col("__int_rn__") == 1, F.col("fjoldi_prop_weighted")).otherwise(F.lit(0.0))
+    ).over(w_grp)
+    biom_prop = F.when(F.col("fjoldi_prop_weighted_sum") == 0, null_d).otherwise(
+        F.col("fjoldi_prop_weighted") / F.col("fjoldi_prop_weighted_sum")
+    )
+    return [fpw, fpw_sum, biom_prop]
+
+
+@column_template
+def _output_cols(biom_spp: tuple) -> tuple:
+    """Steps 5-6: mean_wt quantized to 6 dp on both engines —
+    floor(x*1e6+0.5)/1e6, NOT F.round: Spark rounds the double's
+    shortest decimal repr while DuckDB rounds the exact binary value,
+    so 7-place values ending in 5 (e.g. biom_prop*(vigt/fjoldi) =
+    0.0192125) diverge under round(); the floor construction is the
+    same correctly-rounded IEEE multiply/add/floor/divide on both and
+    mean_wt is nonnegative. Quantizing here makes the doubles
+    entering the downstream weight chain bit-identical, so even
+    exact decimal ties round identically. fjoldi scaled by biom_r
+    for biomass species else r (step 6); keyed by the species
+    tuple."""
+    null_d = F.lit(None).cast("double")
+    mean_wt = F.floor(
+        F.col("biom_prop")
+        * (
+            F.when(F.col("vigt_synis") == 0, null_d).otherwise(F.col("vigt_synis"))
+            / F.when(F.col("fjoldi_by_int") == 0, null_d).otherwise(F.col("fjoldi_by_int"))
+        )
+        * 1000000.0
+        + 0.5
+    ) / 1000000.0
+    fjoldi = F.col("fjoldi") * F.when(
+        F.col("tegund").isin(list(biom_spp)), F.col("biom_r")
+    ).otherwise(F.col("r"))
+    return [mean_wt, fjoldi]
 
 
 def shrimp_weight_for_index(
