@@ -43,7 +43,19 @@ def _spread_by_id(df: DataFrame, id_col: str, partitions: int | None = None) -> 
     parallelism when the input is a single parquet row-group (a
     one-task scan would otherwise run the md5-heavy explode on one
     core). Explicit partition count so AQE doesn't coalesce the
-    CPU-bound fan-out away."""
+    CPU-bound fan-out away.
+
+    The width is deliberately NOT bytes-gated (tried r13, REVERTED
+    with numbers): clamp(leaf_bytes / 64 KB, 1, par) narrowed the
+    sf0.1 documents fan-out to ~10 tasks, and the md5-dense
+    explode+aggregate chain (which inherits this partitioning) lost
+    much of its parallelism (x_dedup_incremental 0.87 → 1.50 s,
+    x_dedup_minhash_lsh 1.98 → 2.67 s, isolated A/B). Unlike the
+    Python/Arrow kernels session.spread_for_kernel gates, these
+    stages are pure JVM codegen — no per-task Python-worker
+    handshake — so the fan-out costs only a task launch and the
+    CPU-per-byte (~10²-10³× a scan) repays it even at kilobyte
+    inputs."""
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(n, F.col(id_col))
 
@@ -75,13 +87,15 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     md5-heavy hot path). `[^ ]*` (not `\\S+`) reproduces split(' ')
     token semantics exactly — consecutive spaces yield empty tokens
     in both constructions."""
+    # string-name dispatch FIRST: building body/pat before it was dead
+    # work on every memo hit (r12 ADVICE low)
+    if isinstance(col, str):
+        return _shingles_named(col, n)
     body = " ".join(["[^ ]*"] * n)
     # both alternatives zero-width: a consuming " " alternative would
     # be skipped when the previous token start matched zero-width one
     # char earlier (leading-space texts would lose a shingle)
     pat = f"(?:^|(?<= ))(?=({body}))"
-    if isinstance(col, str):
-        return _shingles_named(col, n)
     return F.coalesce(
         F.array_distinct(F.regexp_extract_all(col, F.lit(pat), F.lit(1))),
         F.array().cast("array<string>"),
@@ -96,9 +110,18 @@ def _shingles_named(name: str, n: int) -> Column:
     return shingles(F.col(name), n)
 
 
-def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) exploded, distinct per doc."""
-    return _spread_by_id(df.select(id_col, text_col), id_col).select(
+def shingle_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    partitions: int | None = None,
+) -> DataFrame:
+    """(id, shingle) exploded, distinct per doc. ``partitions``
+    overrides the fan-out width for callers that know the input's
+    scale better than the default (the streaming ingest handler sizes
+    its increment-sized batches to the stream's state width)."""
+    return _spread_by_id(df.select(id_col, text_col), id_col, partitions).select(
         F.col(id_col), F.explode(shingles(text_col, n)).alias("shingle")
     )
 
@@ -250,11 +273,16 @@ def _band_array(k: int, rows_per_band: int) -> Column:
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 8
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 8,
+    partitions: int | None = None,
 ) -> DataFrame:
     """(id, h0..h{k-1}) minhash signature, one groupBy over the
-    exploded shingle table."""
-    sh = shingle_table(df, id_col, text_col, n)
+    exploded shingle table. ``partitions`` — see shingle_table."""
+    sh = shingle_table(df, id_col, text_col, n, partitions)
     return (
         sh.select(id_col, *_minhash_hash_cols(k))
         .groupBy(id_col)
@@ -321,14 +349,16 @@ def minhash_lsh_pairs(
         .cache()
     )
     pinned.append(sig)
-    # eager fill: the three consumers (hot-bucket count, both
-    # self-join sides) are planned into ONE job whose stages run
-    # concurrently — each would miss the still-empty cache and
-    # recompute the aggregation (measured: the lazy cache saved
-    # nothing at the 100× fixture; this barrier is worth ~2× the
-    # signature cost). Also fills the shingle cache for the verify
-    # joins downstream.
-    sig.count()
+    # NO separate eager sig.count() fill (r12 had one): the hot-bucket
+    # gate below (hot_key_anti_join) runs an eager key count at call
+    # time whose plan is exploded → sig → sh — ONE linear chain, so
+    # executing it fills BOTH caches on the way (no concurrent-stage
+    # cache miss is possible within that single action). The r12 shape
+    # paid a full extra aggregation pass + a serialized job just to
+    # fill what the very next action fills anyway (guide §5, measured:
+    # p12/ccnet/minhash arms each save one signature-sized job). The
+    # self-join sides and the verify joins then read the filled
+    # caches exactly as before.
     bands = _band_array(k, rows_per_band)
     exploded = sig.select(F.col(id_col), F.explode(bands).alias("bv")).select(
         F.col(id_col), F.col("bv.band").alias("band"), F.col("bv.val").alias("val")
@@ -839,14 +869,16 @@ def lsh_band_table(
     n: int = 3,
     k: int = 8,
     rows_per_band: int = 2,
+    partitions: int | None = None,
 ) -> DataFrame:
     """(id, band, val) LSH band keys — the shareable half of
     minhash_lsh_pairs, split out so incremental dedup can build the
     corpus side ONCE (at 100 TB the corpus band table is a
     materialized index maintained alongside the corpus; the batch
-    side is computed per increment)."""
+    side is computed per increment). ``partitions`` — see
+    shingle_table."""
     assert k % rows_per_band == 0
-    sig = minhash_signatures(df, id_col, text_col, n, k)
+    sig = minhash_signatures(df, id_col, text_col, n, k, partitions)
     bands = _band_array(k, rows_per_band)
     return sig.select(F.col(id_col), F.explode(bands).alias("bv")).select(
         F.col(id_col), F.col("bv.band").alias("band"), F.col("bv.val").alias("val")

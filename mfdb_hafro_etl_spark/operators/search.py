@@ -148,7 +148,21 @@ def tfidf_similar_pairs(
         .cache()
     )
     pinned.append(postings)
-    n_docs = corpus.select(F.countDistinct(id_col)).first()[0]
+    # the corpus-wide doc count and the postings cache fill are
+    # INDEPENDENT jobs the old shape ran serially (n_docs first, then
+    # the weighted fill recomputed postings inside itself): submit
+    # both from a 2-thread pool (guide §2.6 — actions are only
+    # sequential because driver code calls them sequentially), then
+    # fill `weighted` from the already-cached postings. Same rows,
+    # same arithmetic; one serialized full-corpus pass removed.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_ndocs = pool.submit(
+            lambda: corpus.select(F.countDistinct(id_col)).first()[0]
+        )
+        pool.submit(postings.count)
+        n_docs = f_ndocs.result()
     weighted = (
         postings.withColumn(
             "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
@@ -164,9 +178,9 @@ def tfidf_similar_pairs(
     pinned.append(weighted)
     # eager fill (see dedup.minhash_lsh_pairs): norms and both
     # self-join sides consume `weighted` inside one job — a lazy
-    # cache is empty for all three, re-running the postings groupBy
-    # and the df window per consumer. Pins are scoped to the
-    # returned DataFrame's lifetime (session.pin_to_result).
+    # cache is empty for all three, re-running the df window per
+    # consumer. Pins are scoped to the returned DataFrame's lifetime
+    # (session.pin_to_result).
     weighted.count()
     norms = weighted.groupBy(id_col).agg(
         F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm")

@@ -740,8 +740,20 @@ def dedup_ingest_handler(
                 b_hash = batch.select(
                     F.col(id_col), F.md5(F.col(text_col)).alias("h")
                 ).persist()
+                # size the increment's minhash fan-out to the stream's
+                # state width (auto_state_partitions: source-bytes-
+                # scaled, 2×parallelism-capped) instead of the batch
+                # default defaultParallelism — a kilobyte micro-batch
+                # otherwise schedules 32-task md5/aggregate stages per
+                # trigger (measured −0.5 s/arm at sf0.1; at scale the
+                # state width reaches 2×parallelism and the fan-out is
+                # as wide as before)
+                band_width = int(
+                    spark.conf.get("spark.sql.shuffle.partitions")
+                )
                 bands = lsh_band_table(
-                    batch, id_col, text_col, n, k, rows_per_band
+                    batch, id_col, text_col, n, k, rows_per_band,
+                    partitions=band_width,
                 ).persist()
                 pins += [b_hash, bands]
                 # 1) verdicts vs the standing corpus. Matches against
@@ -852,6 +864,17 @@ def dedup_ingest_handler(
                     )
                 )
                 verdicts = ranked.persist()
+                # EAGER fill before forking the three sink writes (the
+                # eager-cache-barrier rule, session.release_cached_
+                # intermediates docstring): the verdict write and the
+                # two index-append writes run as CONCURRENT jobs, and
+                # concurrent first consumers of a lazy cache each
+                # recompute the whole probe chain (corpus probe +
+                # intra-batch windows — the batch's real work) instead
+                # of reading it once. One id-sized count materializes
+                # verdicts AND the upstream b_hash/bands pins; the
+                # three writes then run cache-served.
+                verdicts.count()
                 try:
                     # 4) admit novel docs to the standing index and
                     # overwrite this batch's verdict partition
@@ -1054,6 +1077,17 @@ def ivf_ingest_handler(
         _ivf_read_marker,
     )
 
+    # centroids are FROZEN per index build (that is the append
+    # invariant the whole ingest rests on), so collecting them once
+    # per build_id and reusing the driver-local list across this
+    # stream's micro-batches is semantically free and removes one
+    # read+collect job per batch (guide §5: fewer driver actions).
+    # Keyed by build_id: a mid-stream rebuild (new build_id in the
+    # re-read meta) misses the memo and re-collects; legacy indexes
+    # without a build_id never memoize. Scoped to this handler
+    # closure — one stream run — so nothing persists across runs.
+    cents_memo: dict[str, list] = {}
+
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         marker = os.path.join(log_dir, "_commits", str(batch_id))
@@ -1086,24 +1120,39 @@ def ivf_ingest_handler(
             )
         batch = batch_df.persist()
         try:
-            n_rows = batch.count()
+            # ONE aggregation job answers row count AND the dim probe
+            # (was count + limit(1).collect — two serialized jobs per
+            # micro-batch on the same persisted batch; guide §5). The
+            # batch's persist fills during this job, so the staging
+            # write below reads cache. size(NULL array) is -1 under
+            # Spark's default legacy sizeOfNull, and min() skips SQL
+            # NULLs, so dmin == -1 ⇔ some vector is NULL.
+            stats = batch.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min(F.size(F.col(vec_col))).alias("dmin"),
+                F.max(F.size(F.col(vec_col))).alias("dmax"),
+                F.sum(F.col(vec_col).isNull().cast("int")).alias("nnull"),
+            ).collect()[0]
+            n_rows = int(stats["n"])
             n_cells = 0
             if n_rows:
-                first = (
-                    batch.select(F.size(F.col(vec_col)).alias("d"))
-                    .limit(1)
-                    .collect()
-                )
-                if first[0]["d"] is None:
+                dmin, dmax = stats["dmin"], stats["dmax"]
+                # size(NULL) is -1 under legacy sizeOfNull and NULL
+                # under ANSI; the explicit null count covers both (and
+                # catches a mixed batch the old first-row probe passed
+                # through to an opaque numpy failure)
+                if int(stats["nnull"] or 0) > 0 or dmin is None or int(dmin) < 0:
                     raise ValueError(
-                        f"stream batch {batch_id}: first {vec_col} is NULL — "
+                        f"stream batch {batch_id}: a {vec_col} is NULL — "
                         "IVF assignment is undefined; filter upstream"
                     )
-                if meta.get("dims") and int(first[0]["d"]) != int(meta["dims"]):
+                if meta.get("dims") and (
+                    int(dmin) != int(meta["dims"]) or int(dmax) != int(meta["dims"])
+                ):
                     raise ValueError(
                         f"IVF index at {index_path} holds {meta['dims']}-dim "
                         f"vectors; stream batch {batch_id} has "
-                        f"{first[0]['d']}-dim vectors."
+                        f"{dmin}..{dmax}-dim vectors."
                     )
                 token = f"b{batch_id}"
                 vectors = os.path.join(index_path, "vectors")
@@ -1168,15 +1217,31 @@ def ivf_ingest_handler(
                         "rebuild=True) and restart the stream, or raise "
                         "max_appended_frac deliberately."
                     )
-                cents = [
-                    (int(r[0]), [float(x) for x in r[1]])
-                    for r in spark.read.parquet(
-                        os.path.join(index_path, "centroids")
-                    ).collect()
-                ]
-                fanned = batch.repartition(
-                    spark.sparkContext.defaultParallelism
+                cents = cents_memo.get(build_id) if build_id else None
+                if cents is None:
+                    cents = [
+                        (int(r[0]), [float(x) for x in r[1]])
+                        for r in spark.read.parquet(
+                            os.path.join(index_path, "centroids")
+                        ).collect()
+                    ]
+                    if build_id:
+                        cents_memo.clear()  # one build live at a time
+                        cents_memo[build_id] = cents
+                # Width for the assign kernel derived from the batch's
+                # OWN volume (n_rows × vector bytes / 64 KB-per-task,
+                # the session._KERNEL_BYTES_PER_TASK budget), capped at
+                # defaultParallelism — the unconditional repartition(
+                # defaultParallelism) forced a 32-way scatter (and 32
+                # Python workers) under kilobyte micro-batches, and at
+                # scale the cap reproduces the old width exactly.
+                dims = int(meta.get("dims") or 0) or (
+                    len(cents[0][1]) if cents else 1
                 )
+                est_bytes = n_rows * (dims * 8 + 16)
+                par = spark.sparkContext.defaultParallelism
+                width = max(1, min(par, -(-est_bytes // (64 << 10))))
+                fanned = batch.repartition(width)
                 assigned = _ivf_assign_table(fanned, cents, id_col, vec_col)
                 staging = os.path.join(index_path, "_staging", token)
                 # block compaction from BEFORE the staging write until
@@ -1228,15 +1293,27 @@ def ivf_ingest_handler(
                     )
                     n_cells += 1
                 shutil.rmtree(staging, ignore_errors=True)
-            from mfdb_hafro_etl_spark.localrel import local_df
+            # the per-batch log record is ONE driver-local row: write
+            # it with pyarrow directly instead of running a whole
+            # Spark write job per micro-batch (guide §5 — the row
+            # never leaves the driver either way; the read-back is a
+            # plain partitioned parquet scan in both shapes). tmp +
+            # os.replace keeps the per-batch overwrite atomic.
+            import pyarrow as pa
+            import pyarrow.parquet as pq
 
-            local_df(
-                spark,
-                [(n_rows, n_cells)],
-                "n_appended BIGINT, n_cells INT",
-            ).coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(log_dir, f"batch_id={batch_id}")
+            bdir = os.path.join(log_dir, f"batch_id={batch_id}")
+            shutil.rmtree(bdir, ignore_errors=True)
+            os.makedirs(bdir, exist_ok=True)
+            tbl = pa.table(
+                {
+                    "n_appended": pa.array([n_rows], pa.int64()),
+                    "n_cells": pa.array([n_cells], pa.int32()),
+                }
             )
+            tmp_log = os.path.join(bdir, ".part-0.parquet.tmp")
+            pq.write_table(tbl, tmp_log)
+            os.replace(tmp_log, os.path.join(bdir, "part-0.parquet"))
         finally:
             batch.unpersist()
         os.makedirs(os.path.dirname(marker), exist_ok=True)

@@ -44,16 +44,42 @@ _PLAN_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
 )
 
 
+def _sf_dir_signature(sf_dir: str) -> tuple:
+    """Freshness key of every testdata table under ``sf_dir`` —
+    (name, mtime_ns, size) per ``<table>.parquet`` entry, the same
+    key load_table uses per table (catalog._TABLE_MEMO). A memoized
+    fixture PLAN closes over load_table results; keying the memo on
+    sf_dir alone would keep serving a plan whose underlying
+    DataFrame/FileIndex references a table that was since rewritten
+    IN PLACE under the same path (r12 verdict finding #2 — latent,
+    now closed). os.stat of ~10 entries is microseconds per call."""
+    import os
+
+    from mfdb_hafro_etl_spark.catalog import TESTDATA_TABLES
+
+    sig = []
+    for t in TESTDATA_TABLES:
+        try:
+            st = os.stat(os.path.join(sf_dir, f"{t}.parquet"))
+            sig.append((t, st.st_mtime_ns, st.st_size))
+        except OSError:
+            sig.append((t, None, None))
+    return tuple(sig)
+
+
 def plan_memo(fn):
     """Memoize a ``(spark, sf_dir) -> DataFrame`` plan builder per
-    (session, sf_dir). Only for PURE builders: no eager actions, no
-    dependence on mutable state — the returned plan must mean the
-    same thing every time it is requested."""
+    (session, sf_dir, testdata signature). Only for PURE builders: no
+    eager actions, no dependence on mutable state — the returned plan
+    must mean the same thing every time it is requested. Rewriting
+    any table under ``sf_dir`` changes the signature and the fixture
+    plan rebuilds (and re-reads through load_table, whose own memo
+    invalidates on the same stat key)."""
 
     @functools.wraps(fn)
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_session = _PLAN_MEMO.setdefault(spark, {})
-        key = (fn.__module__, fn.__qualname__, sf_dir)
+        key = (fn.__module__, fn.__qualname__, sf_dir, _sf_dir_signature(sf_dir))
         hit = per_session.get(key)
         if hit is None:
             hit = fn(spark, sf_dir)

@@ -520,18 +520,181 @@ def _write_md(report: dict, path: str) -> None:
     print(f"wrote {path}", flush=True)
 
 
-def cmd_drift(out: str | None, hist_path: str | None = None) -> None:
+def _arm_module_files(builder) -> set[str]:
+    """Repo-relative source files an arm's builder visibly depends on:
+    its defining module plus every package module reachable through a
+    NAME the builder's source references (module aliases like ``dd``,
+    directly-imported functions like ``load_table``). Level-1
+    precision by design — transitive operator dependencies are not
+    chased; the era cut is a band-validity heuristic, not a build
+    system."""
+    import inspect
+    import re
+
+    files: set[str] = set()
+    fn = inspect.unwrap(builder)
+    try:
+        src_file = inspect.getsourcefile(fn)
+        if src_file:
+            files.add(os.path.relpath(src_file, REPO))
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):
+        return files
+    g = getattr(fn, "__globals__", {})
+    for name in set(re.findall(r"\b([A-Za-z_][A-Za-z0-9_]*)\b", src)):
+        obj = g.get(name)
+        if obj is None:
+            continue
+        mod = inspect.getmodule(obj)
+        mod_file = getattr(mod, "__file__", None)
+        if mod_file and f"{os.sep}mfdb_hafro_etl_spark{os.sep}" in mod_file:
+            files.add(os.path.relpath(mod_file, REPO))
+    return files
+
+
+def _git_arm_eras() -> dict[str, str] | None:
+    """arm → newest commit (short sha) touching any of the arm's
+    source files — the ERA boundary: readings taken on code older
+    than that commit no longer band-adjudicate the arm (r11 #1/#8,
+    r12 next #5). None when the registry or git is unavailable (the
+    drift table then uses full-history bands, as before)."""
+    try:
+        from mfdb_hafro_etl_spark.suite import QUERIES
+    except Exception:
+        return None
+    file_era: dict[str, str | None] = {}
+
+    def _newest_commit(path: str) -> str | None:
+        if path not in file_era:
+            try:
+                p = subprocess.run(
+                    ["git", "log", "-1", "--format=%h", "--", path],
+                    capture_output=True, text=True, cwd=REPO, timeout=30,
+                )
+                file_era[path] = p.stdout.strip() or None
+            except Exception:
+                file_era[path] = None
+        return file_era[path]
+
+    def _commit_ts(sha: str) -> float:
+        try:
+            p = subprocess.run(
+                ["git", "show", "-s", "--format=%ct", sha],
+                capture_output=True, text=True, cwd=REPO, timeout=30,
+            )
+            return float(p.stdout.strip())
+        except Exception:
+            return 0.0
+
+    eras: dict[str, str] = {}
+    for arm, builder in QUERIES.items():
+        commits = {
+            c
+            for c in (_newest_commit(f) for f in _arm_module_files(builder))
+            if c
+        }
+        if commits:
+            eras[arm] = max(commits, key=_commit_ts)
+    return eras or None
+
+
+def _is_ancestor_or_equal(ancestor: str, descendant: str, _memo: dict = {}) -> bool:
+    """git ancestry (short shas ok), memoized; unknown shas → False
+    (a reading whose commit git can't resolve can't prove it
+    post-dates the era)."""
+    key = (ancestor, descendant)
+    if key not in _memo:
+        if ancestor == descendant:
+            _memo[key] = True
+        else:
+            try:
+                p = subprocess.run(
+                    ["git", "merge-base", "--is-ancestor", ancestor, descendant],
+                    capture_output=True, cwd=REPO, timeout=30,
+                )
+                _memo[key] = p.returncode == 0
+            except Exception:
+                _memo[key] = False
+    return _memo[key]
+
+
+def _latest_driver_rows() -> list[dict]:
+    """Synthesize history-shaped rows from the NEWEST round's driver
+    artifact (BENCH_r{N}.json): its `tail` carries the driver's own
+    per-arm JSON lines, which the drift machinery can then adjudicate
+    against local bands exactly like a local run (r12 next #5 — the
+    r12 verdict needed hand prose to call the driver's three
+    at-band-max readings noise). Partial coverage (the tail window
+    holds the last ~40 arms) adjudicates what it holds."""
+    import glob as _glob
+    import re
+
+    cands = []
+    for p in _glob.glob(os.path.join(REPO, "BENCH_r[0-9][0-9].json")) + _glob.glob(
+        os.path.join(REPO, "BENCH_r[0-9].json")
+    ):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            cands.append((int(m.group(1)), p))
+    if not cands:
+        return []
+    _, path = max(cands)
+    try:
+        with open(path) as fh:
+            art = json.load(fh)
+    except (OSError, ValueError):
+        return []
+    queries: dict[str, float] = {}
+    for line in (art.get("tail") or "").splitlines():
+        try:
+            row = json.loads(line)
+        except ValueError:
+            continue
+        if isinstance(row, dict) and "query" in row and "sec" in row:
+            queries[row["query"]] = float(row["sec"])
+    parsed = art.get("parsed") or {}
+    queries.update(parsed.get("queries") or {})
+    if not queries:
+        return []
+    return [
+        {
+            "ts": os.path.getmtime(path),
+            "sf": parsed.get("sf", art.get("sf")),
+            "queries": queries,
+            "commit": parsed.get("commit"),
+            "dirty": False,
+            "src": os.path.basename(path),
+        }
+    ]
+
+
+def cmd_drift(
+    out: str | None,
+    hist_path: str | None = None,
+    era_ts: dict[str, float] | None = None,
+    include_driver: bool = False,
+) -> None:
     """Machine-generate the per-arm drift table DRIFT_NOTES_r{N}.md
     wraps (r10 verdict next #7): for every sf label in
     BENCH_HISTORY.jsonl, compare the LATEST run's per-arm readings
-    against the previous same-sf run and the full historical band,
-    and emit a markdown table of (a) arms tripping bench.py's
-    vs_prev flag rule (>1.5x and >0.3s) and (b) arms outside their
-    historical envelope — each with a mechanical verdict. The
-    isolated column (fresh-JVM probes, the only adjudicable x100
-    numbers per the round protocol) gets its own full table,
-    including multi-sample bands where recorded. The prose notes
-    then cite rows by ts instead of hand-transcribing numbers."""
+    against the previous same-sf run and the historical band, and
+    emit a markdown table of (a) arms tripping bench.py's vs_prev
+    flag rule and (b) arms outside their historical envelope — each
+    with a mechanical verdict. The isolated column (fresh-JVM
+    probes, the only adjudicable x100 numbers per the round
+    protocol) gets its own full table, including multi-sample bands
+    where recorded. The prose notes then cite rows by ts instead of
+    hand-transcribing numbers.
+
+    ERA-AWARE BANDS (r12 next #5): an arm's band includes only prior
+    readings whose source commit is a descendant of the newest
+    commit touching the arm's source modules (git-derived; see
+    _git_arm_eras) — a code change resets the band instead of old-
+    code readings adjudicating new code. ``era_ts`` injects explicit
+    per-arm era floors as run timestamps (tests; also the fallback
+    semantics when git metadata is unavailable). The newest driver
+    artifact (BENCH_r{N}.json) is adjudicated as an extra row when
+    it is newer than the local history (``include_driver``)."""
     hist_path = hist_path or os.path.join(REPO, "BENCH_HISTORY.jsonl")
     rows = []
     with open(hist_path) as fh:
@@ -540,6 +703,28 @@ def cmd_drift(out: str | None, hist_path: str | None = None) -> None:
                 rows.append(json.loads(line))
             except ValueError:
                 continue
+    git_eras = None
+    if era_ts is None:
+        git_eras = _git_arm_eras()
+    if include_driver:
+        rows += [
+            r
+            for r in _latest_driver_rows()
+            if not rows or r["ts"] >= max(g.get("ts", 0) for g in rows)
+        ]
+
+    def _in_era(arm: str, row: dict) -> bool:
+        if era_ts is not None:
+            floor = era_ts.get(arm)
+            return floor is None or row.get("ts", 0) >= floor
+        if git_eras is not None:
+            era = git_eras.get(arm)
+            rc = row.get("commit")
+            return era is None or (
+                bool(rc) and _is_ancestor_or_equal(era, str(rc))
+            )
+        return True
+
     by_sf: dict[str, list[dict]] = {}
     for r in rows:
         by_sf.setdefault(str(r.get("sf")), []).append(r)
@@ -549,10 +734,14 @@ def cmd_drift(out: str | None, hist_path: str | None = None) -> None:
         f"History: `BENCH_HISTORY.jsonl`, {len(rows)} rows. Verdict rules:",
         "FLAG = bench.py's vs_prev rule (bench.trips_vs_prev: now >",
         "1.3x prev and +0.3s — shared constant, r11 ADVICE medium);",
-        "band = [min, max] of all prior same-sf readings of the arm;",
-        "verdict `in-band` = now within the prior envelope (noise, not",
-        "regression, per the round protocol), `NEW-HIGH`/`NEW-LOW` =",
-        "outside it (needs a mechanism or an isolated probe).",
+        "band = [min, max] of prior same-sf readings of the arm WITHIN",
+        "ITS ERA (readings from commits older than the newest commit",
+        "touching the arm's source modules are cut — a code change",
+        "resets the band, r12 next #5); verdict `in-band` = now within",
+        "the prior envelope (noise, not regression, per the round",
+        "protocol), `NEW-HIGH`/`NEW-LOW` = outside it (needs a",
+        "mechanism or an isolated probe), `era-reset` = no in-era",
+        "priors exist (the reading is the era's baseline).",
         "",
     ]
 
@@ -570,13 +759,28 @@ def cmd_drift(out: str | None, hist_path: str | None = None) -> None:
             continue
         flagged = []
         for n in shared:
-            prior_vals = [
+            prior_all = [
                 g["queries"][n]
                 for g in group[:-1]
                 if n in g.get("queries", {})
             ]
-            band = (min(prior_vals), max(prior_vals))
+            prior_vals = [
+                g["queries"][n]
+                for g in group[:-1]
+                if n in g.get("queries", {}) and _in_era(n, g)
+            ]
+            era_cut = len(prior_vals) < len(prior_all)
             trip = trips_vs_prev(pq[n], nq[n])
+            if not prior_vals:
+                if trip:
+                    flagged.append(
+                        f"| {n} | {pq[n]:.2f} | {nq[n]:.2f} | "
+                        f"(no in-era priors; full band "
+                        f"[{min(prior_all):.2f}, {max(prior_all):.2f}] "
+                        f"n={len(prior_all)}) | FLAG | era-reset |"
+                    )
+                continue
+            band = (min(prior_vals), max(prior_vals))
             outside = nq[n] > band[1] * 1.1 or nq[n] < band[0] * 0.9
             if trip or (outside and abs(nq[n] - pq[n]) > 0.3):
                 verdict = (
@@ -584,16 +788,18 @@ def cmd_drift(out: str | None, hist_path: str | None = None) -> None:
                     if band[0] <= nq[n] <= band[1]
                     else ("NEW-HIGH" if nq[n] > band[1] else "NEW-LOW")
                 )
+                era_s = " era" if era_cut else ""
                 flagged.append(
                     f"| {n} | {pq[n]:.2f} | {nq[n]:.2f} | "
-                    f"[{band[0]:.2f}, {band[1]:.2f}] n={len(prior_vals)} | "
+                    f"[{band[0]:.2f}, {band[1]:.2f}] n={len(prior_vals)}{era_s} | "
                     f"{'FLAG' if trip else 'drift'} | {verdict} |"
                 )
         tot_n = sum(nq[k] for k in shared)
         tot_p = sum(pq[k] for k in shared)
+        now_src = f", driver artifact {now['src']}" if now.get("src") else ""
         lines += [
             f"### sf={sf} — now ts={_fmt_ts(now.get('ts', 0))} "
-            f"(commit {now.get('commit')}) vs prev "
+            f"(commit {now.get('commit')}{now_src}) vs prev "
             f"ts={_fmt_ts(prev.get('ts', 0))} (commit {prev.get('commit')})",
             "",
             f"Shared {len(shared)} arms: total {tot_p:.1f} -> {tot_n:.1f} s "
@@ -687,6 +893,12 @@ def main() -> None:
         "BENCH_HISTORY.jsonl)",
     )
     ap.add_argument(
+        "--driver",
+        action="store_true",
+        help="drift: adjudicate the newest BENCH_r{N}.json driver "
+        "artifact as the latest run when it post-dates local history",
+    )
+    ap.add_argument(
         "--isolate-top",
         type=int,
         default=8,
@@ -699,6 +911,7 @@ def main() -> None:
         cmd_drift(
             args.out if args.out != ap.get_default("out") else None,
             hist_path=args.hist,
+            include_driver=args.driver,
         )
         return
     if args.cmd in ("gen", "all"):

@@ -69,6 +69,39 @@ def test_drift_verdicts(tmp_path, capsys):
     assert any("baseline" in l for l in iso_lines if l.startswith("| d |"))
 
 
+def test_era_reset_bands(tmp_path):
+    """A code change resets an arm's band (r12 verdict next #5): with
+    an era floor, pre-era readings stop adjudicating — a reading the
+    full-history band would call in-band becomes NEW-HIGH against the
+    in-era band, and an arm with no in-era priors gets an explicit
+    era-reset baseline row instead of a stale verdict."""
+    hist = tmp_path / "hist.jsonl"
+    rows = [
+        _hist_row(1.0, {"x": 1.0, "y": 1.0}),
+        _hist_row(2.0, {"x": 3.0, "y": 1.0}),
+        _hist_row(3.0, {"x": 1.0, "y": 1.0}),
+        # latest: x 1.0 -> 2.8 trips vs_prev; y 1.0 -> 2.0 trips
+        _hist_row(4.0, {"x": 2.8, "y": 2.0}),
+    ]
+    with open(hist, "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+    out = tmp_path / "drift.md"
+    # control: over full history x's band is [1.0, 3.0] -> in-band
+    cmd_drift(str(out), hist_path=str(hist), era_ts={})
+    ctl = [l for l in out.read_text().splitlines() if l.startswith("| x |")]
+    assert ctl and "in-band" in ctl[0] and " era" not in ctl[0]
+    # era floor 2.5 cuts x's ts<2.5 readings -> in-era band [1.0, 1.0]
+    # -> the same reading is now NEW-HIGH, and the band cell is marked
+    # as era-cut; y has NO in-era priors -> era-reset baseline row
+    cmd_drift(str(out), hist_path=str(hist), era_ts={"x": 2.5, "y": 3.5})
+    text = out.read_text()
+    xl = [l for l in text.splitlines() if l.startswith("| x |")]
+    assert xl and "NEW-HIGH" in xl[0] and " era" in xl[0]
+    yl = [l for l in text.splitlines() if l.startswith("| y |")]
+    assert yl and "era-reset" in yl[0]
+
+
 def test_drift_empty_and_single_row_history(tmp_path):
     hist = tmp_path / "hist.jsonl"
     hist.write_text(json.dumps(_hist_row(1.0, {"a": 1.0})) + "\n")

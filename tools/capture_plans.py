@@ -26,7 +26,7 @@ def main() -> None:
     arms = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    out_dir = os.path.join(HERE, "plans", "r12")
+    out_dir = os.path.join(HERE, "plans", os.environ.get("PLANS_ROUND", "r13"))
     os.makedirs(out_dir, exist_ok=True)
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")

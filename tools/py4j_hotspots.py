@@ -18,6 +18,8 @@ sys.path.insert(0, HERE)
 
 
 def main() -> None:
+    if len(sys.argv) < 2:
+        raise SystemExit("usage: python tools/py4j_hotspots.py <arm> [...]")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     os.environ.setdefault("SPARK_GRAFT_MAX_RESULT", "0")
 
@@ -59,8 +61,13 @@ def main() -> None:
     for arm in arms:
         sites.clear()
         active["on"] = True
-        QUERIES[arm](spark, sf_dir)
-        active["on"] = False
+        try:
+            QUERIES[arm](spark, sf_dir)
+        finally:
+            # an arm that throws mid-loop must not leave the counting
+            # wrapper active for the rest of the process (r12 ADVICE
+            # low; construction_census.py guards per-arm the same way)
+            active["on"] = False
         total = sum(sites.values())
         print(f"\n== {arm}: {total} round-trips")
         for site, n in sites.most_common(25):
